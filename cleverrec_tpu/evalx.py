@@ -1,0 +1,99 @@
+"""Evaluation engine: candidate-list and full-catalog top-K ranking.
+
+Protocol parity with the reference evaluator (RankingRecommender.py:198-299):
+
+- candidate protocol (loo or neg_samples>0): score each test user's
+  candidate list (negatives first, ground truth appended last), rank the
+  <= C candidates, map ranks back to item ids, metrics against
+  candidates[neg_samples:] (:250-299),
+- full-catalog protocol: score all items, then exclude the user's seen
+  TRAIN items from the ranking (:231-240) — here done by on-device
+  masking before top-k, which yields the identical top-K list as the
+  reference's Python "skip seen while collecting" loop,
+- ``cml_like`` distance models rank ascending (:222-225, :285-288).
+
+Everything device-side is fixed-shape: test users are processed in padded
+batches; one ``lax.top_k`` per batch replaces the reference's per-user
+``np.argsort`` over the whole catalog.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+import jax
+import jax.numpy as jnp
+
+from cleverrec_tpu.common import cdiv
+from cleverrec_tpu.data.arrays import DeviceData
+from cleverrec_tpu.metrics import PAD_ITEM, ranking_metrics_topks
+
+
+class Evaluator:
+    def __init__(self, model, device_data: DeviceData, cfg, jit_kwargs=None):
+        self.model = model
+        self.dd = device_data
+        self.cfg = cfg
+        self.topk = cfg.topk
+        self.kmax = max(self.topk)
+        self.batch_size_t = cfg.test_batch_size
+        self.candidate_eval = device_data.cand is not None
+        jk = jit_kwargs or {}
+        if self.candidate_eval:
+            self._rank_fn = jax.jit(self._rank_candidates, **jk)
+        else:
+            self._rank_fn = jax.jit(self._rank_full, **jk)
+
+    # -- device-side rankers ---------------------------------------------
+    def _rank_candidates(self, params, aux, u, cand, mask):
+        scores = self.model.score_candidates(params, u, cand, aux)
+        if self.model.cml_like:
+            scores = -scores          # ascending distance == descending score
+        scores = jnp.where(mask, scores, -jnp.inf)
+        k = min(self.kmax, cand.shape[1])
+        _, idx = jax.lax.top_k(scores, k)
+        return jnp.take_along_axis(cand, idx, axis=1)
+
+    def _rank_full(self, params, aux, u, seen_rows):
+        scores = self.model.score_all(params, u, aux)      # [B, I]
+        if self.model.cml_like:
+            scores = -scores
+        b, item_nums = scores.shape
+        # Exclude seen train items: scatter seen ids (sentinel == item_nums
+        # lands in the spill column and is sliced off).
+        seen = jnp.zeros((b, item_nums + 1), dtype=bool)
+        seen = seen.at[jnp.arange(b)[:, None], seen_rows].set(True)[:, :item_nums]
+        scores = jnp.where(seen, -jnp.inf, scores)
+        _, items = jax.lax.top_k(scores, self.kmax)
+        return items
+
+    # -- host driver ------------------------------------------------------
+    def evaluate(self, params, aux) -> dict[int, tuple[float, float, float]]:
+        """Returns {K: (mean HR, mean MRR, mean NDCG)} over all test users."""
+        dd = self.dd
+        t = len(dd.test_users)
+        bt = self.batch_size_t
+        n_batches = cdiv(t, bt)
+        padded = n_batches * bt
+        order = np.arange(padded) % t                      # pad wraps around
+        rec_all = np.empty((padded, min(self.kmax,
+                                        dd.cand.shape[1] if self.candidate_eval
+                                        else self.kmax)), dtype=np.int32)
+        for bidx in range(n_batches):
+            sel = order[bidx * bt: (bidx + 1) * bt]
+            u = jnp.asarray(dd.test_users[sel])
+            if self.candidate_eval:
+                items = self._rank_fn(params, aux, u,
+                                      jnp.asarray(dd.cand[sel]),
+                                      jnp.asarray(dd.cand_mask[sel]))
+            else:
+                items = self._rank_fn(params, aux, u,
+                                      jnp.asarray(dd.seen_sorted[dd.test_users[sel]]))
+            rec_all[bidx * bt: (bidx + 1) * bt] = np.asarray(items)
+        rec_all = rec_all[:t]
+
+        per_k = ranking_metrics_topks(dd.real_padded, rec_all, self.topk,
+                                      standard_mrr=self.cfg.bool(
+                                          "metrics.standard_mrr", False))
+        return {k: (float(hr.mean()), float(mrr.mean()), float(ndcg.mean()))
+                for k, (hr, mrr, ndcg) in per_k.items()}

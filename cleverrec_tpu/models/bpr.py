@@ -1,0 +1,50 @@
+"""BPR: Bayesian Personalized Ranking (UAI'09).
+
+Math parity with the reference (model/ranking/BPR.py:33-51):
+score(u, i) = <P[u], Q[i]>;   loss = get_loss(ui - uj) +
+reg * (l2(u_emb) + l2(i_emb) + l2(j_emb)) over the batch gathers;
+full-catalog prediction = U_batch @ Q^T.
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+
+from cleverrec_tpu.common import l2_loss, pairwise_loss
+from cleverrec_tpu.models.base import Aux, Params, RecModel
+
+
+class BPR(RecModel):
+    name = "BPR"
+    sampler = "pairwise"
+
+    def __init__(self, cfg, meta):
+        super().__init__(cfg, meta)
+        cfg.require("embed_size", "reg")
+        self.embed_size = cfg.int("embed_size")
+        self.reg = cfg.float("reg")
+
+    def init(self, key) -> Params:
+        P, Q = self._embed_tables(
+            key,
+            (self.meta.user_nums, self.embed_size),
+            (self.meta.item_nums, self.embed_size),
+        )
+        return {"P": P, "Q": Q}
+
+    def loss(self, params: Params, batch, aux: Aux):
+        w = batch["w"]
+        ue = params["P"][batch["u"]] * w[:, None]
+        ie = params["Q"][batch["i"]] * w[:, None]
+        je = params["Q"][batch["j"]] * w[:, None]
+        diff = jnp.sum(ue * ie, axis=1) - jnp.sum(ue * je, axis=1)
+        main = pairwise_loss(self.loss_func, diff, weight=w)
+        return main + self.reg * (l2_loss(ue) + l2_loss(ie) + l2_loss(je))
+
+    def score_pairs(self, params: Params, u, i, aux: Aux):
+        return jnp.sum(params["P"][u] * params["Q"][i], axis=1)
+
+    def score_all(self, params: Params, u, aux: Aux):
+        return jnp.dot(params["P"][u], params["Q"].T,
+                       preferred_element_type=jnp.float32)

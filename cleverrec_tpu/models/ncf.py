@@ -1,0 +1,184 @@
+"""NCF family: GMF, MLP, NeuMF (WWW'17).
+
+Math parity with the reference:
+- GMF  (model/ranking/GMF.py:29-58):  logits = <h_gmf, P[u] * Q[i]>;
+  pointwise sigmoid cross-entropy; test scores pass through sigmoid.
+  (The reference file has a missing-import NameError at GMF.py:48; the
+  intended math is reproduced here, SURVEY.md section 2.5 item 1.)
+- MLP  (model/ranking/MLP.py:29-75):  towers ``layers=[l0, l0/2, ...]``,
+  P/Q width l0/2, per-layer W:[l, l/2] + b with ReLU, output h_mlp.
+- NeuMF (model/ranking/NeuMF.py:27-110): dual embeddings, fused output
+  h_neumf over concat(gmf, mlp); optional warm-start from pretrained
+  GMF/MLP with h_neumf = 0.5*concat(h_gmf, h_mlp) (NeuMF.py:53-56) —
+  implemented in train/checkpoint.py as a params graft.
+
+TPU notes: GMF/NeuMF full-catalog scoring contracts the output weight into
+the user factors first ((P[u] ⊙ h) @ Q^T) so the catalog axis is a single
+MXU matmul rather than the reference's [B, I, d] einsum blow-up.
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+
+from cleverrec_tpu.common import init_param, l2_loss, sigmoid_xent_loss
+from cleverrec_tpu.models.base import Aux, Params, RecModel
+
+
+def mlp_tower(params: Params, x, n_layers: int):
+    for lid in range(n_layers):
+        x = jax.nn.relu(x @ params[f"W_{lid}"] + params[f"b_{lid}"])
+    return x
+
+
+class GMF(RecModel):
+    name = "GMF"
+    sampler = "pointwise"
+
+    def __init__(self, cfg, meta):
+        super().__init__(cfg, meta)
+        cfg.require("embed_size", "reg")
+        self.embed_size = cfg.int("embed_size")
+        self.reg = cfg.float("reg")
+
+    def init(self, key) -> Params:
+        P, Q, h = self._embed_tables(
+            key,
+            (self.meta.user_nums, self.embed_size),
+            (self.meta.item_nums, self.embed_size),
+            (self.embed_size,),
+        )
+        return {"P": P, "Q": Q, "h_gmf": h}
+
+    def _logits(self, params, u, i):
+        return jnp.sum(params["P"][u] * params["Q"][i] * params["h_gmf"],
+                       axis=1)
+
+    def loss(self, params: Params, batch, aux: Aux):
+        w = batch["w"]
+        ue = params["P"][batch["u"]] * w[:, None]
+        ie = params["Q"][batch["i"]] * w[:, None]
+        logits = jnp.sum(ue * ie * params["h_gmf"], axis=1)
+        main = sigmoid_xent_loss(batch["y"], logits, weight=w)
+        return main + self.reg * (l2_loss(ue) + l2_loss(ie))
+
+    def score_pairs(self, params: Params, u, i, aux: Aux):
+        return jax.nn.sigmoid(self._logits(params, u, i))
+
+    def score_all(self, params: Params, u, aux: Aux):
+        uh = params["P"][u] * params["h_gmf"]
+        return jax.nn.sigmoid(jnp.dot(uh, params["Q"].T,
+                                      preferred_element_type=jnp.float32))
+
+
+class MLP(RecModel):
+    name = "MLP"
+    sampler = "pointwise"
+
+    def __init__(self, cfg, meta):
+        super().__init__(cfg, meta)
+        cfg.require("layers", "reg")
+        self.layers = cfg.int_list("layers")
+        self.reg = cfg.float("reg")
+
+    def init(self, key) -> Params:
+        half = self.layers[0] // 2
+        keys = jax.random.split(key, 3 + 2 * len(self.layers))
+        params: Params = {
+            "P": init_param(keys[0], self.initializer,
+                            (self.meta.user_nums, half)),
+            "Q": init_param(keys[1], self.initializer,
+                            (self.meta.item_nums, half)),
+            "h_mlp": init_param(keys[2], self.initializer,
+                                (self.layers[-1] // 2,)),
+        }
+        for lid, width in enumerate(self.layers):
+            params[f"W_{lid}"] = init_param(keys[3 + 2 * lid],
+                                            self.initializer,
+                                            (width, width // 2))
+            params[f"b_{lid}"] = init_param(keys[4 + 2 * lid],
+                                            self.initializer, (width // 2,))
+        return params
+
+    def _logits(self, params, ue, ie):
+        x = jnp.concatenate([ue, ie], axis=-1)
+        x = mlp_tower(params, x, len(self.layers))
+        return x @ params["h_mlp"]
+
+    def loss(self, params: Params, batch, aux: Aux):
+        w = batch["w"]
+        ue = params["P"][batch["u"]] * w[:, None]
+        ie = params["Q"][batch["i"]] * w[:, None]
+        logits = self._logits(params, ue, ie)
+        main = sigmoid_xent_loss(batch["y"], logits, weight=w)
+        return main + self.reg * (l2_loss(ue) + l2_loss(ie))
+
+    def score_pairs(self, params: Params, u, i, aux: Aux):
+        return jax.nn.sigmoid(self._logits(params, params["P"][u],
+                                           params["Q"][i]))
+
+
+class NeuMF(RecModel):
+    name = "NeuMF"
+    sampler = "pointwise"
+
+    def __init__(self, cfg, meta):
+        super().__init__(cfg, meta)
+        cfg.require("embed_size", "layers", "reg1", "reg2")
+        self.embed_size = cfg.int("embed_size")
+        self.layers = cfg.int_list("layers")
+        self.reg1 = cfg.float("reg1")
+        self.reg2 = cfg.float("reg2")
+
+    def init(self, key) -> Params:
+        half = self.layers[0] // 2
+        keys = jax.random.split(key, 6 + 2 * len(self.layers))
+        params: Params = {
+            "P_gmf": init_param(keys[0], self.initializer,
+                                (self.meta.user_nums, self.embed_size)),
+            "Q_gmf": init_param(keys[1], self.initializer,
+                                (self.meta.item_nums, self.embed_size)),
+            "h_gmf": init_param(keys[2], self.initializer, (self.embed_size,)),
+            "P_mlp": init_param(keys[3], self.initializer,
+                                (self.meta.user_nums, half)),
+            "Q_mlp": init_param(keys[4], self.initializer,
+                                (self.meta.item_nums, half)),
+            "h_mlp": init_param(keys[5], self.initializer,
+                                (self.layers[-1] // 2,)),
+        }
+        for lid, width in enumerate(self.layers):
+            params[f"W_{lid}"] = init_param(keys[6 + 2 * lid],
+                                            self.initializer,
+                                            (width, width // 2))
+            params[f"b_{lid}"] = init_param(keys[7 + 2 * lid],
+                                            self.initializer, (width // 2,))
+        # h_neumf over concat(gmf, mlp); overwritten by the warm-start graft
+        # when pretrained GMF/MLP checkpoints are configured.
+        params["h_neumf"] = init_param(
+            jax.random.fold_in(key, 99), self.initializer,
+            (self.embed_size + self.layers[-1] // 2,))
+        return params
+
+    def _logits(self, params, ug, ig, um, im):
+        y_gmf = ug * ig
+        y_mlp = mlp_tower(params, jnp.concatenate([um, im], axis=-1),
+                          len(self.layers))
+        return jnp.concatenate([y_gmf, y_mlp], axis=-1) @ params["h_neumf"]
+
+    def loss(self, params: Params, batch, aux: Aux):
+        w = batch["w"]
+        wcol = w[:, None]
+        ug = params["P_gmf"][batch["u"]] * wcol
+        ig = params["Q_gmf"][batch["i"]] * wcol
+        um = params["P_mlp"][batch["u"]] * wcol
+        im = params["Q_mlp"][batch["i"]] * wcol
+        logits = self._logits(params, ug, ig, um, im)
+        main = sigmoid_xent_loss(batch["y"], logits, weight=w)
+        return (main + self.reg1 * (l2_loss(ug) + l2_loss(ig))
+                + self.reg2 * (l2_loss(um) + l2_loss(im)))
+
+    def score_pairs(self, params: Params, u, i, aux: Aux):
+        return jax.nn.sigmoid(self._logits(
+            params, params["P_gmf"][u], params["Q_gmf"][i],
+            params["P_mlp"][u], params["Q_mlp"][i]))

@@ -1,0 +1,1 @@
+from cleverrec_tpu.train.trainer import Trainer  # noqa: F401

@@ -1,0 +1,74 @@
+"""End-to-end smoke: BPR learns a planted preference structure."""
+
+import numpy as np
+import pytest
+
+from cleverrec_tpu.data import load_ranking_data
+from cleverrec_tpu.models import make_model
+from cleverrec_tpu.models.base import DataMeta
+from cleverrec_tpu.train import Trainer
+from tests.conftest import base_config
+
+
+def make_blocky_dataset(tmp_path, n_users=60, n_items=60, seed=0):
+    """Two user groups strongly preferring two item blocks -> learnable."""
+    r = np.random.default_rng(seed)
+    lines = ["u_id,i_id,rating,time"]
+    t = 0
+    for u in range(n_users):
+        block = 0 if u < n_users // 2 else 1
+        lo, hi = (0, n_items // 2) if block == 0 else (n_items // 2, n_items)
+        items = r.choice(np.arange(lo, hi), size=12, replace=False)
+        for i in items:
+            t += 1
+            lines.append(f"{u},{i},5,{t}")
+    ds = tmp_path / "blocky"
+    ds.mkdir()
+    (ds / "ratings.csv").write_text("\n".join(lines) + "\n")
+    return {"root": str(tmp_path), "name": "blocky"}
+
+
+@pytest.fixture
+def blocky(tmp_path):
+    return make_blocky_dataset(tmp_path)
+
+
+def test_bpr_end_to_end_learns(blocky):
+    cfg = base_config(blocky, **{
+        "epoches": "8", "test.neg_samples": "20", "lr": "0.05",
+        "embed_size": "16", "batch_size": "128", "neg_ratio": "2",
+    })
+    data = load_ranking_data(cfg)
+    model = make_model(cfg, DataMeta(data.user_nums, data.item_nums))
+    trainer = Trainer(model, data, cfg)
+    best = trainer.run()
+    # 20 negatives + 1 truth; random HR@5 ~ 5/21 = 0.24. Learned >> random.
+    hr5 = best["metrics"][5][0]
+    assert hr5 > 0.5, f"BPR failed to learn, HR@5={hr5}"
+
+
+def test_bpr_full_catalog_eval(blocky):
+    cfg = base_config(blocky, **{
+        "data.split_way": "rs", "test.neg_samples": "0",
+        "epoches": "6", "lr": "0.05", "embed_size": "16",
+        "batch_size": "128",
+    })
+    data = load_ranking_data(cfg)
+    model = make_model(cfg, DataMeta(data.user_nums, data.item_nums))
+    trainer = Trainer(model, data, cfg)
+    best = trainer.run()
+    assert best["metrics"][5][2] > 0.1  # NDCG@5 well above random
+
+
+def test_loss_decreases(blocky):
+    cfg = base_config(blocky, **{"epoches": "1", "lr": "0.05",
+                                 "batch_size": "128"})
+    data = load_ranking_data(cfg)
+    model = make_model(cfg, DataMeta(data.user_nums, data.item_nums))
+    trainer = Trainer(model, data, cfg)
+    params, opt_state = trainer.init_state()
+    losses = []
+    for _ in range(5):
+        params, opt_state, loss = trainer.train_epoch(params, opt_state)
+        losses.append(loss)
+    assert losses[-1] < losses[0]
