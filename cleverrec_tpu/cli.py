@@ -1,0 +1,83 @@
+"""CLI entry point — the ``python main.py`` equivalent.
+
+The reference reads ./CleverRec.properties + conf/<Model>.properties with
+no CLI arguments (main.py:16-25).  We keep that flow but add standard
+flags: --config/--conf-dir/--model/--set key=value overrides.
+
+Usage:
+    cleverrec-tpu --config CleverRec.properties [--model BPR]
+                  [--set lr=0.01 --set epoches=5]
+"""
+
+from __future__ import annotations
+
+import argparse
+import sys
+
+from cleverrec_tpu.config import Config
+from cleverrec_tpu.utils.logging import get_logger
+
+
+def build_parser() -> argparse.ArgumentParser:
+    p = argparse.ArgumentParser(
+        prog="cleverrec-tpu",
+        description="TPU-native recommender framework (CleverRec rebuild)")
+    p.add_argument("--config", default="./CleverRec.properties",
+                   help="global properties file ([default] section)")
+    p.add_argument("--conf-dir", default=None,
+                   help="per-model properties dir (default: config_dir key)")
+    p.add_argument("--model", default=None,
+                   help="override the recommender name")
+    p.add_argument("--set", action="append", default=[], metavar="K=V",
+                   help="config override, repeatable")
+    p.add_argument("--list-models", action="store_true")
+    return p
+
+
+def run_experiment(cfg: Config, logger=None):
+    """Load data, build model + trainer, run the full loop."""
+    import numpy as np
+
+    from cleverrec_tpu.models import make_model
+    from cleverrec_tpu.models.base import DataMeta
+
+    logger = logger or get_logger(cfg.get("log.dir"), cfg.recommender)
+    logger.info("=" * 80)
+    logger.info("Current model: %s", cfg.recommender)
+
+    if cfg.model_type == "rating":
+        from cleverrec_tpu.rating import run_rating
+        return run_rating(cfg, logger)
+
+    from cleverrec_tpu.data import load_ranking_data
+    from cleverrec_tpu.train import Trainer
+
+    rng = np.random.default_rng(cfg.seed)
+    data = load_ranking_data(cfg, rng=rng, logger=logger)
+    model = make_model(cfg, DataMeta(data.user_nums, data.item_nums))
+    trainer = Trainer(model, data, cfg, logger=logger)
+    return trainer.run()
+
+
+def main(argv=None):
+    args = build_parser().parse_args(argv)
+    if args.list_models:
+        from cleverrec_tpu.models import available_models
+        print("\n".join(available_models()))
+        return 0
+    overrides = {}
+    if args.model:
+        overrides["recommender"] = args.model
+    for kv in args.set:
+        if "=" not in kv:
+            print(f"bad --set {kv!r} (want key=value)", file=sys.stderr)
+            return 2
+        k, v = kv.split("=", 1)
+        overrides[k] = v
+    cfg = Config.from_properties(args.config, args.conf_dir, overrides)
+    run_experiment(cfg)
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())

@@ -152,7 +152,12 @@ class Config:
         v = self._v.get(key, default)
         if v is None:
             raise KeyError(key)
-        return str(v)
+        # Strip INI-style quotes (the reference ships atten_type='prod')
+        # but NOT whitespace — a literal tab separator must survive.
+        s = str(v)
+        if len(s) >= 2 and s[0] == s[-1] and s[0] in "'\"":
+            s = s[1:-1]
+        return s
 
     def bool(self, key: str, default: bool = False) -> bool:
         return _parse_bool(self._v.get(key, default))

@@ -21,6 +21,7 @@ import numpy as np
 
 from cleverrec_tpu.data.dataset import RankingData
 from cleverrec_tpu.metrics import pad_lists
+from cleverrec_tpu.sampling import MemberTable, build_member_table
 
 
 @dataclass
@@ -32,9 +33,8 @@ class DeviceData:
     # Training positives (flattened (u, i) pairs).
     pos_u: np.ndarray            # [N] int32
     pos_i: np.ndarray            # [N] int32
-    # Seen-items table (train interactions), sorted, sentinel-padded.
-    seen_sorted: np.ndarray      # [U, L] int32, pad == item_nums
-    seen_len: np.ndarray         # [U] int32
+    # Seen-items membership (train interactions): sorted rows + bitmap.
+    seen: MemberTable
     # Test side.
     test_users: np.ndarray       # [T] int32
     cand: np.ndarray | None      # [T, C] int32, pad == 0 (masked) — candidate eval
@@ -49,20 +49,6 @@ class DeviceData:
         return int(self.pos_u.shape[0])
 
 
-def build_seen_table(ui_train: dict[int, list[int]], user_nums: int,
-                     item_nums: int) -> tuple[np.ndarray, np.ndarray]:
-    lens = np.zeros(user_nums, dtype=np.int32)
-    for u, items in ui_train.items():
-        lens[u] = len(items)
-    width = max(int(lens.max()) if user_nums else 1, 1)
-    table = np.full((user_nums, width), item_nums, dtype=np.int32)
-    for u, items in ui_train.items():
-        # Sort (and keep duplicates — the reference's seen *set* dedupes, but
-        # duplicates only make membership tests hit the same answer).
-        table[u, : len(items)] = np.sort(np.asarray(items, dtype=np.int32))
-    return table, lens
-
-
 def build_device_data(data: RankingData) -> DeviceData:
     # Flatten positives.
     n = sum(len(v) for v in data.ui_train.values())
@@ -75,8 +61,7 @@ def build_device_data(data: RankingData) -> DeviceData:
         pos_i[ofs: ofs + k] = items
         ofs += k
 
-    seen_sorted, seen_len = build_seen_table(data.ui_train, data.user_nums,
-                                             data.item_nums)
+    seen = build_member_table(data.ui_train, data.user_nums, data.item_nums)
 
     test_users = np.fromiter(data.ui_test.keys(), dtype=np.int32,
                              count=len(data.ui_test))
@@ -100,8 +85,7 @@ def build_device_data(data: RankingData) -> DeviceData:
 
     return DeviceData(
         user_nums=data.user_nums, item_nums=data.item_nums,
-        pos_u=pos_u, pos_i=pos_i,
-        seen_sorted=seen_sorted, seen_len=seen_len,
+        pos_u=pos_u, pos_i=pos_i, seen=seen,
         test_users=test_users, cand=cand, cand_mask=cand_mask,
         n_truth=n_truth, real_padded=real_padded,
         friends_padded=data.friends_padded,

@@ -88,7 +88,7 @@ class Evaluator:
                                       jnp.asarray(dd.cand_mask[sel]))
             else:
                 items = self._rank_fn(params, aux, u,
-                                      jnp.asarray(dd.seen_sorted[dd.test_users[sel]]))
+                                      jnp.asarray(dd.seen.rows[dd.test_users[sel]]))
             rec_all[bidx * bt: (bidx + 1) * bt] = np.asarray(items)
         rec_all = rec_all[:t]
 

@@ -10,7 +10,10 @@ from __future__ import annotations
 from cleverrec_tpu.config import Config
 from cleverrec_tpu.models.base import DataMeta, RecModel
 from cleverrec_tpu.models.bpr import BPR
+from cleverrec_tpu.models.itemsim import FISM, NAIS, NAISSingle
+from cleverrec_tpu.models.metric import CML, LRML, TransCF
 from cleverrec_tpu.models.ncf import GMF, MLP, NeuMF
+from cleverrec_tpu.models.social import CUNE_BPR, SAMN, SAMNSingle, SBPR
 
 _REGISTRY: dict[str, type] = {}
 
@@ -20,7 +23,8 @@ def register(cls):
     return cls
 
 
-for _cls in (BPR, GMF, MLP, NeuMF):
+for _cls in (BPR, GMF, MLP, NeuMF, CML, LRML, TransCF, FISM, NAIS,
+             NAISSingle, SBPR, CUNE_BPR, SAMN, SAMNSingle):
     register(_cls)
 
 

@@ -90,11 +90,15 @@ class RecModel:
         s = self.score_pairs(params, u_flat, cand.reshape(-1), aux)
         return s.reshape(b, c)
 
+    # Catalog chunk width for the default score_all; models whose pair
+    # scorer is memory-hungry (history attention) shrink this.
+    SCORE_ALL_CHUNK = 2048
+
     def score_all(self, params: Params, u: Array, aux: Aux) -> Array:
         """[B, I] full-catalog scores.  Default: chunked candidate scoring
         (models with a matmul-friendly form override with an MXU path)."""
         item_nums = self.meta.item_nums
-        chunk = 2048
+        chunk = self.SCORE_ALL_CHUNK
         n_chunks = -(-item_nums // chunk)
         padded = n_chunks * chunk
         items = jnp.arange(padded, dtype=jnp.int32) % item_nums

@@ -1,0 +1,246 @@
+"""Social models: SBPR, CUNE_BPR, SAMN (+ SAMN_single alias).
+
+Math parity:
+- SBPR (model/ranking/SBPR.py:41-66): triple ranking i > social-item k >
+  negative j; loss = bpr((x_ui - x_uk)/suk) + bpr(x_uk - x_uj) +
+  reg * l2 over all gathered embeddings and biases; x has an item bias;
+  full-catalog predict is P[u] @ Q^T WITHOUT the bias (SBPR.py:62 — we
+  reproduce that asymmetry).
+- CUNE_BPR (model/ranking/CUNE_BPR.py:41-66): same triple loss but with
+  a LEARNED scalar s: bpr(x_ui - x_uk) + bpr((x_uk - x_uj)/(s+1));
+  friends are latent (deep-walk + skip-gram top-K cosine,
+  utils/tools.py:130-209 — see data/social.py).
+- SAMN (model/ranking/SAMN.py:56-107): memory-attended friend vectors
+  (key-addressed memory over normalized joint embeddings), friend-level
+  attention, u_vec = u_embed + u_frien.  Reference quirk reproduced:
+  masked friend slots still receive softmax mass in the friend-level
+  attention (their logits come from zeroed uf_vec rows -> h.ReLU(b)),
+  they just contribute zero vectors (SAMN.py:77-85).  ``SAMN_single``
+  shares this implementation — the reference's per-user variant computes
+  the same math one user at a time (SAMN_single.py).
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from cleverrec_tpu.common import bpr_loss, init_param, l2_loss, pairwise_loss
+from cleverrec_tpu.models.base import Aux, Params, RecModel
+from cleverrec_tpu.sampling import MemberTable, build_member_table
+
+
+class _SocialTripleBase(RecModel):
+    """Shared SBPR/CUNE machinery: SPu aux tables + restricted epoch."""
+
+    sampler = "sbpr"
+
+    def __init__(self, cfg, meta):
+        super().__init__(cfg, meta)
+        cfg.require("embed_size", "reg")
+        self.embed_size = cfg.int("embed_size")
+        self.reg = cfg.float("reg")
+
+    # Subclasses fill self._spu/self._suk in build_aux.
+    def _social_aux(self, device_data, spu, suk):
+        t = build_member_table(spu, self.meta.user_nums, self.meta.item_nums)
+        suk_arr = np.zeros_like(t.rows, dtype=np.float32)
+        for u, counts in suk.items():
+            suk_arr[u, : len(counts)] = counts
+        # Restrict epoch pairs to users with social positives
+        # (utils/sampler.py:105-106).
+        has = np.zeros(self.meta.user_nums, bool)
+        has[list(spu.keys())] = True
+        keep = has[device_data.pos_u]
+        self._pos_u = device_data.pos_u[keep]
+        self._pos_i = device_data.pos_i[keep]
+        return {"spu": MemberTable(rows=t.rows, lens=t.lens, bits=t.bits),
+                "spu_suk": suk_arr}
+
+    def epoch_pairs(self, device_data):
+        return self._pos_u, self._pos_i
+
+    def init(self, key) -> Params:
+        P, Q = self._embed_tables(
+            key,
+            (self.meta.user_nums, self.embed_size),
+            (self.meta.item_nums, self.embed_size))
+        params = {"P": P, "Q": Q,
+                  "bias": jnp.zeros(self.meta.item_nums + 1)}
+        return params
+
+    def _x(self, params, ue, idx):
+        return (jnp.sum(ue * params["Q"][idx], axis=1)
+                + params["bias"][idx])
+
+    def _reg_terms(self, params, batch, w):
+        wc = w[:, None]
+        terms = 0.0
+        for key in ("i", "k", "j"):
+            idx = batch[key]
+            terms += l2_loss(params["Q"][idx] * wc)
+            terms += l2_loss(params["bias"][idx] * w)
+        terms += l2_loss(params["P"][batch["u"]] * wc)
+        return terms
+
+    def score_pairs(self, params: Params, u, i, aux: Aux):
+        return self._x(params, params["P"][u], i)
+
+    def score_all(self, params: Params, u, aux: Aux):
+        # Reference full-catalog path omits the bias (SBPR.py:62).
+        return jnp.dot(params["P"][u], params["Q"].T,
+                       preferred_element_type=jnp.float32)
+
+
+class SBPR(_SocialTripleBase):
+    name = "SBPR"
+
+    def build_aux(self, device_data, data) -> dict:
+        from cleverrec_tpu.data.social import build_spu
+        if data.user_friends is None:
+            raise ValueError("SBPR requires social_file")
+        spu, suk = build_spu(data.ui_train, data.user_friends)
+        return self._social_aux(device_data, spu, suk)
+
+    def loss(self, params: Params, batch, aux: Aux):
+        w = batch["w"]
+        ue = params["P"][batch["u"]]
+        x_ui = self._x(params, ue, batch["i"])
+        x_uk = self._x(params, ue, batch["k"])
+        x_uj = self._x(params, ue, batch["j"])
+        suk = jnp.maximum(batch["suk"], 1.0)
+        main = (bpr_loss((x_ui - x_uk) / suk, weight=w)
+                + bpr_loss(x_uk - x_uj, weight=w))
+        return main + self.reg * self._reg_terms(params, batch, w)
+
+
+class CUNE_BPR(_SocialTripleBase):
+    name = "CUNE_BPR"
+
+    def __init__(self, cfg, meta):
+        super().__init__(cfg, meta)
+        cfg.require("walk_count", "walk_length", "walk_dim", "window_size",
+                    "topk_f")
+
+    def build_aux(self, device_data, data) -> dict:
+        from cleverrec_tpu.data.social import build_cune_friends
+        cfg = self.cfg
+        friends, spu, suk = build_cune_friends(
+            data.ui_train, self.meta.user_nums, self.meta.item_nums,
+            cfg.int("walk_count"), cfg.int("walk_length"),
+            cfg.int("walk_dim"), cfg.int("window_size"), cfg.int("topk_f"),
+            seed=cfg.seed)
+        return self._social_aux(device_data, spu, suk)
+
+    def init(self, key) -> Params:
+        params = super().init(key)
+        params["s"] = jnp.zeros(())   # learned social coefficient
+        return params
+
+    def loss(self, params: Params, batch, aux: Aux):
+        w = batch["w"]
+        ue = params["P"][batch["u"]]
+        x_ui = self._x(params, ue, batch["i"])
+        x_uk = self._x(params, ue, batch["k"])
+        x_uj = self._x(params, ue, batch["j"])
+        main = (bpr_loss(x_ui - x_uk, weight=w)
+                + bpr_loss((x_uk - x_uj) / (params["s"] + 1.0), weight=w))
+        return main + self.reg * self._reg_terms(params, batch, w)
+
+
+class SAMN(RecModel):
+    name = "SAMN"
+    sampler = "pairwise"
+
+    def __init__(self, cfg, meta):
+        super().__init__(cfg, meta)
+        cfg.require("embed_size", "mem_size", "atten_size", "reg1", "reg2")
+        self.embed_size = cfg.int("embed_size")
+        self.mem_size = cfg.int("mem_size")
+        self.atten_size = cfg.int("atten_size")
+        self.reg1 = cfg.float("reg1")
+        self.reg2 = cfg.float("reg2")
+
+    def build_aux(self, device_data, data) -> dict:
+        if device_data.friends_padded is None:
+            raise ValueError("SAMN requires social_file")
+        return {}
+
+    def init(self, key) -> Params:
+        d, m, a = self.embed_size, self.mem_size, self.atten_size
+        P, Q, ib, Key, Mem, W3, b, h = self._embed_tables(
+            key,
+            (self.meta.user_nums + 1, d),   # sentinel friend row
+            (self.meta.item_nums, d),
+            (self.meta.item_nums,),
+            (d, m), (m, d), (d, a), (a,), (a,))
+        return {"P": P, "Q": Q, "i_b": ib, "Key": Key, "Mem": Mem,
+                "W3": W3, "b": b, "h": h}
+
+    def _user_vec(self, params, u, friends):
+        """u_vec = u_embed + attention-weighted memory friend vectors
+        (SAMN.py:56-89)."""
+        ue = params["P"][u]                                # [B, d]
+        fe = params["P"][friends]                          # [B, F, d]
+        exists = (friends != self.meta.user_nums).astype(ue.dtype)  # [B, F]
+        fe = fe * exists[:, :, None]
+        # rsqrt(|x|^2 + eps) normalization: finite gradients for the
+        # all-zero rows of masked friend slots (norm() NaNs at 0).
+        un = ue * jax.lax.rsqrt(jnp.sum(jnp.square(ue), axis=1,
+                                        keepdims=True) + 1e-12)
+        fn = fe * jax.lax.rsqrt(jnp.sum(jnp.square(fe), axis=2,
+                                        keepdims=True) + 1e-12)
+        joint = un[:, None, :] * fn                        # [B, F, d]
+        atten_key = jax.nn.softmax(joint @ params["Key"], axis=-1)
+        atten_key = atten_key * exists[:, :, None]
+        f_vec = (atten_key @ params["Mem"]) * fe           # [B, F, d]
+        # Friend-level attention; masked slots keep their softmax mass
+        # (reference behavior, SAMN.py:77-85).
+        logits = (jax.nn.relu(f_vec @ params["W3"] + params["b"])
+                  @ params["h"])                           # [B, F]
+        att = jax.nn.softmax(logits, axis=1)
+        u_frien = jnp.einsum("bf,bfd->bd", att, f_vec)
+        return ue + u_frien
+
+    def loss(self, params: Params, batch, aux: Aux):
+        w = batch["w"]
+        friends = aux["friends_padded"][batch["u"]]
+        uv = self._user_vec(params, batch["u"], friends)
+        ie = params["Q"][batch["i"]]
+        je = params["Q"][batch["j"]]
+        ib = params["i_b"][batch["i"]]
+        jb = params["i_b"][batch["j"]]
+        s_i = jnp.sum(uv * ie, axis=1) + ib
+        s_j = jnp.sum(uv * je, axis=1) + jb
+        main = pairwise_loss(self.loss_func, s_i - s_j, weight=w)
+        wc = w[:, None]
+        l2_1 = (l2_loss(uv * wc) + l2_loss(ie * wc) + l2_loss(je * wc)
+                + l2_loss(ib * w) + l2_loss(jb * w))
+        l2_2 = l2_loss(params["W3"]) + l2_loss(params["b"]) + l2_loss(params["h"])
+        return main + self.reg1 * l2_1 + self.reg2 * l2_2
+
+    def score_pairs(self, params: Params, u, i, aux: Aux):
+        friends = aux["friends_padded"][u]
+        uv = self._user_vec(params, u, friends)
+        return jnp.sum(uv * params["Q"][i], axis=1) + params["i_b"][i]
+
+    def score_candidates(self, params: Params, u, cand, aux: Aux):
+        # Friend attention computed once per user, then one dot per cand.
+        friends = aux["friends_padded"][u]
+        uv = self._user_vec(params, u, friends)            # [B, d]
+        ce = params["Q"][cand]                             # [B, C, d]
+        return jnp.einsum("bd,bcd->bc", uv, ce) + params["i_b"][cand]
+
+    def score_all(self, params: Params, u, aux: Aux):
+        friends = aux["friends_padded"][u]
+        uv = self._user_vec(params, u, friends)
+        return (jnp.dot(uv, params["Q"].T,
+                        preferred_element_type=jnp.float32)
+                + params["i_b"][None, :])
+
+
+class SAMNSingle(SAMN):
+    """Alias: the reference's per-user SAMN variant (same math batched)."""
+
+    name = "SAMN_single"

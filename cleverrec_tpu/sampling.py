@@ -3,18 +3,25 @@
 Replaces the reference's epoch-materialized Python rejection samplers
 (utils/sampler.py:10-203).  Same statistical contract — uniform negatives
 rejected against the user's seen set — but computed inside the training
-step on-device with fixed shapes:
+step on-device with fixed shapes.
 
-- membership tests are O(log L) binary searches against a per-user SORTED,
-  sentinel-padded seen table (data/arrays.py),
-- rejection is a fixed number of resample rounds (``TRIES``): a candidate
-  that is still "seen" after round t is replaced by a fresh uniform draw;
-  the residual collision probability is density^TRIES (< 1e-8 even for a
-  user who has seen half the catalog), vs. the reference's unbounded
-  ``while`` loop (utils/sampler.py:59-61),
-- the reference additionally forbids duplicate negatives within one
-  (u, i) group (``random_j`` set); we sample independently, which is
-  statistically equivalent for metric purposes (SURVEY.md section 7.3.1).
+Membership structure (``MemberTable``), two execution paths chosen at
+table-build time (a static decision, so jit traces exactly one):
+
+- bitmap path (default for CleverRec-scale data): per-entity packed
+  uint32 bitmaps, membership = one gather + bit test, O(1) per query;
+- sorted-rows path (fallback when the bitmap would exceed the budget,
+  e.g. Epinions' user×user friend sets): per-entity sorted sentinel-padded
+  rows, membership = O(log L) binary search.
+
+Rejection is ONE vectorized round: draw ``TRIES`` candidates per slot,
+test all of them at once, take the first unseen (``argmax`` over the
+try axis).  Residual collision probability is density^TRIES (< 1e-8 even
+for a user who has seen half the catalog) vs. the reference's unbounded
+``while`` loop (utils/sampler.py:59-61).  The reference additionally
+forbids duplicate negatives within one (u, i) group (``random_j`` set);
+we sample independently — statistically equivalent for metric purposes
+(SURVEY.md section 7.3.1).
 
 Epoch layout parity: one reference epoch is the multiset of train pairs
 repeated ``neg_ratio`` times (pairwise) or 1 positive + ``neg_ratio``
@@ -30,54 +37,98 @@ from typing import NamedTuple
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 
 Array = jax.Array
 
-TRIES = 24  # resample rounds; collision prob <= density^TRIES
+TRIES = 16  # candidate draws per slot; collision prob <= density^TRIES
+BITMAP_BUDGET_BYTES = 256 << 20  # fall back to sorted rows above this
 
 
-class SortedTable(NamedTuple):
-    """Padded sorted membership table: rows[i] ascending, padded with a
-    sentinel strictly greater than any valid id."""
+class MemberTable(NamedTuple):
+    """Per-entity membership sets over an id range [0, id_range)."""
 
-    rows: Array   # [N, L] int32, each row sorted ascending
-    lens: Array   # [N] int32
+    rows: Array        # [N, L] int32 sorted, padded with sentinel id_range
+    lens: Array        # [N] int32
+    bits: Array | None  # [N, ceil(id_range/32)] uint32, or None
 
 
-def member(table_rows: Array, x: Array) -> Array:
-    """Vectorized membership: is x[b] contained in table_rows[b]?
+def build_member_table(sets: dict[int, list[int]], n_entities: int,
+                       id_range: int,
+                       bitmap_budget: int = BITMAP_BUDGET_BYTES) -> MemberTable:
+    """Host-side construction from {entity: [member ids]}."""
+    lens = np.zeros(n_entities, dtype=np.int32)
+    for e, ids in sets.items():
+        lens[e] = len(ids)
+    width = max(int(lens.max()) if n_entities else 1, 1)
+    rows = np.full((n_entities, width), id_range, dtype=np.int32)
+    for e, ids in sets.items():
+        rows[e, : len(ids)] = np.sort(np.asarray(ids, dtype=np.int32))
 
-    table_rows: [B, L] sorted rows (already gathered for the batch).
-    x: [B] query ids.  Returns bool [B].
+    n_words = -(-id_range // 32)
+    bits = None
+    if n_entities * n_words * 4 <= bitmap_budget:
+        bits = np.zeros((n_entities, n_words), dtype=np.uint32)
+        for e, ids in sets.items():
+            a = np.asarray(ids, dtype=np.int64)
+            np.bitwise_or.at(bits[e], a >> 5,
+                             (np.uint32(1) << (a & 31).astype(np.uint32)))
+    return MemberTable(rows=rows, lens=lens, bits=bits)
+
+
+def member(table: MemberTable, e: Array, x: Array) -> Array:
+    """Is x[b, ...] a member of entity e[b]'s set?
+
+    e: [B] entity ids; x: [B] or [B, ...] query ids (batch axis leading).
     """
-    idx = jax.vmap(jnp.searchsorted)(table_rows, x)
-    L = table_rows.shape[1]
-    idx_c = jnp.minimum(idx, L - 1)
-    return jnp.take_along_axis(table_rows, idx_c[:, None], axis=1)[:, 0] == x
+    flat = x.reshape(x.shape[0], -1)                     # [B, M]
+    if table.bits is not None:
+        bm = table.bits[e]                               # [B, W]
+        word = jnp.take_along_axis(bm, (flat >> 5).astype(jnp.int32), axis=1)
+        res = (word >> (flat & 31).astype(jnp.uint32)) & 1
+        return res.astype(bool).reshape(x.shape)
+    rows = table.rows[e]                                 # [B, L]
+    idx = jax.vmap(jnp.searchsorted)(rows, flat)         # [B, M]
+    idx_c = jnp.minimum(idx, rows.shape[1] - 1)
+    res = jnp.take_along_axis(rows, idx_c, axis=1) == flat
+    return res.reshape(x.shape)
 
 
-def sample_not_in(key: Array, rows: Array, n_range: int,
-                  shape: tuple[int, ...]) -> Array:
-    """Uniform draws from [0, n_range) rejecting membership in ``rows``.
-
-    rows: [B, L] sorted membership rows for each batch element.
-    shape: output shape whose leading dim is B (e.g. (B,) or (B, K)).
-    """
-    draws = jax.random.randint(key, (TRIES,) + shape, 0, n_range,
+def _reject(key: Array, e: Array, n_range: int, shape: tuple[int, ...],
+            is_bad, extra_rounds: int = 8) -> Array:
+    """Draw uniforms avoiding ``is_bad`` sets: one vectorized TRIES-wide
+    round (first-good wins), then up to ``extra_rounds`` cheap corrective
+    redraws of the still-bad stragglers.  Residual miss probability is
+    density^(TRIES + extra_rounds) per slot."""
+    key0, key1 = jax.random.split(key)
+    draws = jax.random.randint(key0, shape + (TRIES,), 0, n_range,
                                dtype=jnp.int32)
-    flat = lambda a: a.reshape(-1)
-    if len(shape) == 2:
-        # Expand rows across the K negatives.
-        b, k = shape
-        rows_q = jnp.repeat(rows, k, axis=0)       # [B*K, L]
-    else:
-        rows_q = rows
+    bad = is_bad(draws)                                   # [*shape, T]
+    first = jnp.argmax(~bad, axis=-1)                     # [*shape]
+    j = jnp.take_along_axis(draws, first[..., None], axis=-1)[..., 0]
 
-    def body(t, j):
-        seen = member(rows_q, flat(j)).reshape(shape)
-        return jnp.where(seen, draws[t], j)
+    # Fixed-trip corrective rounds (static bounds compile leaner than a
+    # data-dependent while_loop and the expected work is ~0 rounds).
+    def body(i, j):
+        new = jax.random.randint(jax.random.fold_in(key1, i), j.shape,
+                                 0, n_range, dtype=jnp.int32)
+        both = jnp.stack([j, new], axis=-1)
+        bad2 = is_bad(both)
+        # Switch to the fresh draw only when it strictly improves.
+        take_new = bad2[..., 0] & ~bad2[..., 1]
+        return jnp.where(take_new, new, j)
 
-    return jax.lax.fori_loop(1, TRIES, body, draws[0])
+    return jax.lax.fori_loop(0, extra_rounds, body, j)
+
+
+def sample_not_in(key: Array, table: MemberTable, e: Array, n_range: int,
+                  shape: tuple[int, ...]) -> Array:
+    """Uniform draws from [0, n_range) avoiding entity e's set.
+
+    shape: output shape with batch leading; shape[0] == e.shape[0].
+    """
+    return _reject(key, e, n_range, shape,
+                   lambda q: member(table, e, q))
 
 
 def epoch_permutation(key: Array, epoch_rows: int, padded_rows: int) -> tuple[Array, Array]:
@@ -95,19 +146,19 @@ def epoch_permutation(key: Array, epoch_rows: int, padded_rows: int) -> tuple[Ar
 # Each takes the device tables + this step's shuffled row ids and returns a
 # dict batch.  All are shape-static and run inside the scanned train step.
 
-def pairwise_batch(key, rows, valid, pos_u, pos_i, seen_sorted, item_nums,
-                   neg_ratio):
+def pairwise_batch(key, rows, valid, pos_u, pos_i, seen: MemberTable,
+                   item_nums, neg_ratio):
     """(u, i, j) rows: pair p repeated neg_ratio times (sampler.py:46-74)."""
     n = pos_u.shape[0]
     p = (rows % (n * neg_ratio)) // neg_ratio
     u = pos_u[p]
     i = pos_i[p]
-    j = sample_not_in(key, seen_sorted[u], item_nums, u.shape)
+    j = sample_not_in(key, seen, u, item_nums, u.shape)
     return {"u": u, "i": i, "j": j, "w": valid}
 
 
-def pointwise_batch(key, rows, valid, pos_u, pos_i, seen_sorted, item_nums,
-                    neg_ratio):
+def pointwise_batch(key, rows, valid, pos_u, pos_i, seen: MemberTable,
+                    item_nums, neg_ratio):
     """(u, i, y) rows: 1 positive + neg_ratio negatives per pair
     (sampler.py:10-43)."""
     n = pos_u.shape[0]
@@ -117,35 +168,34 @@ def pointwise_batch(key, rows, valid, pos_u, pos_i, seen_sorted, item_nums,
     is_pos = (r % grp) == 0
     u = pos_u[p]
     i_pos = pos_i[p]
-    j = sample_not_in(key, seen_sorted[u], item_nums, u.shape)
+    j = sample_not_in(key, seen, u, item_nums, u.shape)
     i = jnp.where(is_pos, i_pos, j)
     y = is_pos.astype(jnp.float32)
     return {"u": u, "i": i, "y": y, "w": valid}
 
 
-def cml_batch(key, rows, valid, pos_u, pos_i, seen_sorted, item_nums,
+def cml_batch(key, rows, valid, pos_u, pos_i, seen: MemberTable, item_nums,
               neg_ratio):
     """(u, i, [K negatives]) rows — one row per pair (sampler.py:77-99)."""
     n = pos_u.shape[0]
     p = rows % n
     u = pos_u[p]
     i = pos_i[p]
-    negs = sample_not_in(key, seen_sorted[u], item_nums,
-                         (u.shape[0], neg_ratio))
+    negs = sample_not_in(key, seen, u, item_nums, (u.shape[0], neg_ratio))
     return {"u": u, "i": i, "negs": negs, "w": valid}
 
 
-def sbpr_batch(key, rows, valid, pos_u, pos_i, seen_sorted, item_nums,
-               neg_ratio, spu_rows, spu_suk, spu_len):
+def sbpr_batch(key, rows, valid, pos_u, pos_i, seen: MemberTable, item_nums,
+               neg_ratio, spu: MemberTable, spu_suk):
     """(u, i, social item k, negative j, suk) rows (sampler.py:102-141).
 
     The caller must restrict (pos_u, pos_i) to users with non-empty SPu
     (the reference skips users without social positives, sampler.py:105-106).
     ``spu_suk[u, s]`` pre-counts how many of u's friends consumed
-    ``spu_rows[u, s]`` (the reference recomputes this per sample,
-    sampler.py:124-130 — it is sample-independent, so we precompute).
-    The negative is rejected against seen(u) UNION SPu(u) (sampler.py:117-119);
-    we test the two sorted tables separately.
+    ``spu.rows[u, s]`` (the reference recomputes this per sample,
+    sampler.py:124-130 — it is sample-independent, so we precompute; note
+    spu_suk is aligned with the SORTED spu rows).  The negative is rejected
+    against seen(u) UNION SPu(u) (sampler.py:117-119).
     """
     n = pos_u.shape[0]
     p = (rows % (n * neg_ratio)) // neg_ratio
@@ -156,35 +206,27 @@ def sbpr_batch(key, rows, valid, pos_u, pos_i, seen_sorted, item_nums,
     # list length; modulo bias is negligible at int32 range).
     s_raw = jax.random.randint(k_key, u.shape, 0, jnp.iinfo(jnp.int32).max,
                                dtype=jnp.int32)
-    s = s_raw % jnp.maximum(spu_len[u], 1)
-    k = jnp.take_along_axis(spu_rows[u], s[:, None], axis=1)[:, 0]
+    s = s_raw % jnp.maximum(spu.lens[u], 1)
+    k = jnp.take_along_axis(spu.rows[u], s[:, None], axis=1)[:, 0]
     suk = jnp.take_along_axis(spu_suk[u], s[:, None], axis=1)[:, 0]
-    # Negative not in seen(u) nor SPu(u): resample against both tables.
-    seen_u = seen_sorted[u]
-    spu_u = spu_rows[u]
-    draws = jax.random.randint(j_key, (TRIES,) + u.shape, 0, item_nums,
-                               dtype=jnp.int32)
-
-    def body(t, j):
-        bad = member(seen_u, j) | member(spu_u, j)
-        return jnp.where(bad, draws[t], j)
-
-    j = jax.lax.fori_loop(1, TRIES, body, draws[0])
+    # Negative not in seen(u) nor SPu(u): reject against both sets.
+    j = _reject(j_key, u, item_nums, u.shape,
+                lambda q: member(seen, u, q) | member(spu, u, q))
     return {"u": u, "i": i, "k": k, "j": j,
             "suk": suk.astype(jnp.float32), "w": valid}
 
 
-def samn_batch(key, rows, valid, pos_u, pos_i, seen_sorted, item_nums,
+def samn_batch(key, rows, valid, pos_u, pos_i, seen: MemberTable, item_nums,
                neg_ratio, friends_padded):
     """Pairwise rows + each user's padded friend list (sampler.py:144-166)."""
-    b = pairwise_batch(key, rows, valid, pos_u, pos_i, seen_sorted,
-                       item_nums, neg_ratio)
+    b = pairwise_batch(key, rows, valid, pos_u, pos_i, seen, item_nums,
+                       neg_ratio)
     b["friends"] = friends_padded[b["u"]]
     return b
 
 
-def social_pairwise_batch(key, rows, valid, sf_u, sf_v, friends_sorted,
-                          user_nums, neg_ratio):
+def social_pairwise_batch(key, rows, valid, sf_u, sf_v,
+                          friends: MemberTable, user_nums, neg_ratio):
     """Social-domain (u, v, w) triples for the dual-domain models:
     positive friend pairs with negatives rejected against the friend list
     (sampler.py:184-197)."""
@@ -192,5 +234,5 @@ def social_pairwise_batch(key, rows, valid, sf_u, sf_v, friends_sorted,
     p = (rows % (n * neg_ratio)) // neg_ratio
     u = sf_u[p]
     v = sf_v[p]
-    w = sample_not_in(key, friends_sorted[u], user_nums, u.shape)
+    w = sample_not_in(key, friends, u, user_nums, u.shape)
     return {"u_s": u, "v": v, "w_neg": w, "w_s": valid}

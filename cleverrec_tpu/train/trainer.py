@@ -41,27 +41,33 @@ class Trainer:
     """
 
     def __init__(self, model: RecModel, data: RankingData, cfg: Config,
-                 logger=None):
+                 logger=None, mesh=None):
         self.model = model
         self.cfg = cfg
         self.logger = logger
+        self.mesh = mesh  # jax.sharding.Mesh('data','model') or None
         self.dd: DeviceData = build_device_data(data)
         self.data = data
 
+        # build_aux may restrict the epoch's positive pairs (SBPR family),
+        # so it must run before epoch_pairs.
+        model_aux = model.build_aux(self.dd, data)
         pos_u, pos_i = model.epoch_pairs(self.dd)
         self.n_pairs = int(len(pos_u))
 
         # One dict of device arrays shared by samplers, losses and eval.
+        seen = self.dd.seen
         arrays: dict[str, Any] = {
             "pos_u": jnp.asarray(pos_u),
             "pos_i": jnp.asarray(pos_i),
-            "seen_sorted": jnp.asarray(self.dd.seen_sorted),
-            "seen_len": jnp.asarray(self.dd.seen_len),
+            "seen": sampling.MemberTable(
+                rows=jnp.asarray(seen.rows), lens=jnp.asarray(seen.lens),
+                bits=None if seen.bits is None else jnp.asarray(seen.bits)),
         }
         if self.dd.friends_padded is not None:
             arrays["friends_padded"] = jnp.asarray(self.dd.friends_padded)
-        for k, v in model.build_aux(self.dd, data).items():
-            arrays[k] = jnp.asarray(v)
+        for k, v in model_aux.items():
+            arrays[k] = jax.tree_util.tree_map(jnp.asarray, v)
         self.arrays = arrays
 
         self.optimizer = make_optimizer(cfg.optimizer, cfg.lr)
@@ -87,7 +93,7 @@ class Trainer:
         s = self.model.sampler
         item_nums = self.dd.item_nums
         common = (key, rows, valid, arrays["pos_u"], arrays["pos_i"],
-                  arrays["seen_sorted"], item_nums, self.neg_ratio)
+                  arrays["seen"], item_nums, self.neg_ratio)
         if s == "pairwise":
             return sampling.pairwise_batch(*common)
         if s == "pointwise":
@@ -95,8 +101,8 @@ class Trainer:
         if s == "cml":
             return sampling.cml_batch(*common)
         if s == "sbpr":
-            return sampling.sbpr_batch(*common, arrays["spu_rows"],
-                                       arrays["spu_suk"], arrays["spu_len"])
+            return sampling.sbpr_batch(*common, arrays["spu"],
+                                       arrays["spu_suk"])
         if s == "samn":
             return sampling.samn_batch(*common, arrays["friends_padded"])
         raise NotImplementedError(f"sampler {s!r}")
@@ -108,18 +114,25 @@ class Trainer:
         padded = steps * b
         model = self.model
         optimizer = self.optimizer
+        if self.mesh is not None:
+            from cleverrec_tpu.parallel.sharding import shard_batch_spec
+            constrain = shard_batch_spec(self.mesh)
+        else:
+            constrain = lambda batch: batch  # noqa: E731
 
         def epoch(params, opt_state, key, arrays):
             pkey, skey = jax.random.split(key)
             perm, valid = sampling.epoch_permutation(pkey, rows_total, padded)
-            perm = perm.reshape(steps, b)
-            valid = valid.reshape(steps, b)
-            step_keys = jax.random.split(skey, steps)
+            # Sample the ENTIRE epoch's batches in one vectorized pass —
+            # one big bitmap-rejection kernel instead of per-step launches;
+            # the scan body below is then pure fwd/bwd/update.
+            batch_all = self._build_batch(skey, perm, valid, arrays)
+            batches = jax.tree_util.tree_map(
+                lambda x: x.reshape((steps, b) + x.shape[1:]), batch_all)
 
-            def step(carry, xs):
+            def step(carry, batch):
                 params, opt_state = carry
-                rows, w, k = xs
-                batch = self._build_batch(k, rows, w, arrays)
+                batch = constrain(batch)
                 loss, grads = jax.value_and_grad(model.loss)(params, batch,
                                                              arrays)
                 updates, opt_state = optimizer.update(grads, opt_state, params)
@@ -128,7 +141,7 @@ class Trainer:
                 return (params, opt_state), loss
 
             (params, opt_state), losses = jax.lax.scan(
-                step, (params, opt_state), (perm, valid, step_keys))
+                step, (params, opt_state), batches)
             return params, opt_state, jnp.mean(losses)
 
         return jax.jit(epoch, donate_argnums=(0, 1))
@@ -138,6 +151,9 @@ class Trainer:
         key = jax.random.PRNGKey(self.cfg.seed if seed is None else seed)
         ikey, self._loop_key = jax.random.split(key)
         params = self.model.init(ikey)
+        if self.mesh is not None:
+            from cleverrec_tpu.parallel.sharding import shard_params
+            params = shard_params(params, self.model.meta, self.mesh)
         opt_state = self.optimizer.init(params)
         return params, opt_state
 

@@ -6,11 +6,19 @@ via __graft_entry__.dryrun_multichip)."""
 
 import os
 
-os.environ.setdefault("JAX_PLATFORMS", "cpu")
+# Force CPU: the container's sitecustomize imports jax and registers the
+# axon TPU backend at interpreter startup, so flipping the env var is not
+# enough — update jax.config before the first backend use.
+os.environ.pop("PALLAS_AXON_POOL_IPS", None)
+os.environ["JAX_PLATFORMS"] = "cpu"
 flags = os.environ.get("XLA_FLAGS", "")
 if "xla_force_host_platform_device_count" not in flags:
     os.environ["XLA_FLAGS"] = (
         flags + " --xla_force_host_platform_device_count=8").strip()
+
+import jax  # noqa: E402
+
+jax.config.update("jax_platforms", "cpu")
 
 import numpy as np  # noqa: E402
 import pytest  # noqa: E402
@@ -47,6 +55,22 @@ def toy_dataset(tmp_path):
     ds_dir.mkdir()
     n = make_toy_interactions(ds_dir / "ratings.csv")
     return {"root": str(tmp_path), "name": "toy", "rows": n}
+
+
+@pytest.fixture
+def toy_social_dataset(tmp_path):
+    """Toy interactions + a trust graph (for SBPR/SAMN-family models)."""
+    ds_dir = tmp_path / "toysoc"
+    ds_dir.mkdir()
+    n = make_toy_interactions(ds_dir / "ratings.csv", n_users=30, n_rows=500)
+    r = np.random.default_rng(5)
+    lines = ["u_id,v_id"]
+    for u in range(30):
+        for v in r.choice(30, size=r.integers(1, 5), replace=False):
+            if v != u:
+                lines.append(f"{u},{v}")
+    (ds_dir / "trusts.csv").write_text("\n".join(lines) + "\n")
+    return {"root": str(tmp_path), "name": "toysoc", "rows": n}
 
 
 def base_config(toy, **overrides):

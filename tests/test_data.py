@@ -81,8 +81,8 @@ def test_device_data_packing(toy_dataset):
     assert dd.num_pairs == n
     # Seen table rows are sorted and sentinel-padded.
     for u in range(dd.user_nums):
-        row = dd.seen_sorted[u]
-        ln = dd.seen_len[u]
+        row = dd.seen.rows[u]
+        ln = dd.seen.lens[u]
         assert (np.diff(row) >= 0).all()
         assert (row[ln:] == dd.item_nums).all()
         assert set(row[:ln].tolist()) == set(data.ui_train.get(u, []))

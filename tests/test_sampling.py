@@ -1,61 +1,76 @@
-"""Device-side sampler: correctness + statistical contracts."""
+"""Device-side sampler: correctness + statistical contracts.
+
+Every membership test runs on BOTH execution paths (packed bitmap and
+sorted-rows binary search) — the bitmap path is the default; the rows
+path serves entity sets whose bitmap would blow the memory budget.
+"""
 
 import jax
 import jax.numpy as jnp
 import numpy as np
+import pytest
 
 from cleverrec_tpu import sampling
 
 
-def _mk_seen(user_items, n_users, n_items):
-    width = max(len(v) for v in user_items.values())
-    table = np.full((n_users, width), n_items, dtype=np.int32)
-    for u, items in user_items.items():
-        table[u, : len(items)] = np.sort(items)
-    return jnp.asarray(table)
+def _table(user_items, n_users, n_items, bitmap=True):
+    t = sampling.build_member_table(user_items, n_users, n_items,
+                                    bitmap_budget=(1 << 30) if bitmap else 0)
+    if bitmap:
+        assert t.bits is not None
+    else:
+        assert t.bits is None
+    return sampling.MemberTable(
+        rows=jnp.asarray(t.rows), lens=jnp.asarray(t.lens),
+        bits=None if t.bits is None else jnp.asarray(t.bits))
 
 
-def test_member():
-    rows = jnp.asarray([[1, 3, 5, 99], [2, 2, 4, 99]], dtype=jnp.int32)
-    x = jnp.asarray([3, 5], dtype=jnp.int32)
-    assert sampling.member(rows, x).tolist() == [True, False]
-    x2 = jnp.asarray([0, 2], dtype=jnp.int32)
-    assert sampling.member(rows, x2).tolist() == [False, True]
+@pytest.fixture(params=[True, False], ids=["bitmap", "rows"])
+def use_bitmap(request):
+    return request.param
 
 
-def test_sample_not_in_avoids_seen():
+def test_member(use_bitmap):
+    t = _table({0: [1, 3, 5], 1: [2, 4]}, 2, 100, bitmap=use_bitmap)
+    e = jnp.asarray([0, 1], dtype=jnp.int32)
+    assert sampling.member(t, e, jnp.asarray([3, 5])).tolist() == [True, False]
+    assert sampling.member(t, e, jnp.asarray([0, 2])).tolist() == [False, True]
+    # Multi-query layout [B, K]: row b holds queries against entity e[b].
+    q = jnp.asarray([[1, 99], [2, 4]], dtype=jnp.int32)
+    got = sampling.member(t, e, q)
+    assert got.tolist() == [[True, False], [True, True]]
+
+
+def test_sample_not_in_avoids_seen(use_bitmap):
     n_items = 20
     user_items = {0: [0, 1, 2, 3], 1: list(range(15)), 2: [19]}
-    seen = _mk_seen(user_items, 3, n_items)
+    t = _table(user_items, 3, n_items, bitmap=use_bitmap)
     u = jnp.asarray([0, 1, 2] * 50, dtype=jnp.int32)
-    j = sampling.sample_not_in(jax.random.PRNGKey(0), seen[u], n_items,
-                               u.shape)
-    j = np.asarray(j)
-    for uu, jj in zip(np.asarray(u), j):
+    j = sampling.sample_not_in(jax.random.PRNGKey(0), t, u, n_items, u.shape)
+    for uu, jj in zip(np.asarray(u), np.asarray(j)):
         assert jj not in user_items[int(uu)]
         assert 0 <= jj < n_items
 
 
-def test_sample_not_in_2d():
+def test_sample_not_in_2d(use_bitmap):
     n_items = 30
     user_items = {0: [5, 6, 7], 1: [0]}
-    seen = _mk_seen(user_items, 2, n_items)
+    t = _table(user_items, 2, n_items, bitmap=use_bitmap)
     u = jnp.asarray([0, 1, 0, 1], dtype=jnp.int32)
-    negs = sampling.sample_not_in(jax.random.PRNGKey(1), seen[u], n_items,
-                                  (4, 6))
-    negs = np.asarray(negs)
+    negs = np.asarray(sampling.sample_not_in(jax.random.PRNGKey(1), t, u,
+                                             n_items, (4, 6)))
     assert negs.shape == (4, 6)
     for r, uu in enumerate(np.asarray(u)):
         for jj in negs[r]:
             assert jj not in user_items[int(uu)]
+            assert 0 <= jj < n_items
 
 
 def test_negatives_roughly_uniform():
     n_items = 50
-    user_items = {0: [0, 1, 2, 3, 4]}
-    seen = _mk_seen(user_items, 1, n_items)
+    t = _table({0: [0, 1, 2, 3, 4]}, 1, n_items)
     u = jnp.zeros(20000, dtype=jnp.int32)
-    j = np.asarray(sampling.sample_not_in(jax.random.PRNGKey(2), seen[u],
+    j = np.asarray(sampling.sample_not_in(jax.random.PRNGKey(2), t, u,
                                           n_items, u.shape))
     counts = np.bincount(j, minlength=n_items)
     assert counts[:5].sum() == 0
@@ -64,21 +79,33 @@ def test_negatives_roughly_uniform():
     assert counts[5:].max() < 444 + 4 * np.sqrt(444)
 
 
+def test_bitmap_and_rows_paths_agree():
+    rng = np.random.default_rng(0)
+    n_users, n_items = 40, 300
+    user_items = {u: rng.choice(n_items, size=rng.integers(1, 50),
+                                replace=False).tolist()
+                  for u in range(n_users)}
+    tb = _table(user_items, n_users, n_items, bitmap=True)
+    tr = _table(user_items, n_users, n_items, bitmap=False)
+    e = jnp.asarray(rng.integers(0, n_users, 500), dtype=jnp.int32)
+    q = jnp.asarray(rng.integers(0, n_items, 500), dtype=jnp.int32)
+    np.testing.assert_array_equal(np.asarray(sampling.member(tb, e, q)),
+                                  np.asarray(sampling.member(tr, e, q)))
+
+
 def test_epoch_permutation_and_pairwise_batch():
     key = jax.random.PRNGKey(3)
     perm, valid = sampling.epoch_permutation(key, 10, 16)
-    perm_np = np.asarray(perm)
-    assert sorted(perm_np.tolist()) == list(range(16))
+    assert sorted(np.asarray(perm).tolist()) == list(range(16))
     assert np.asarray(valid).sum() == 10
 
     pos_u = jnp.asarray([0, 0, 1], dtype=jnp.int32)
     pos_i = jnp.asarray([2, 3, 4], dtype=jnp.int32)
-    seen = _mk_seen({0: [2, 3], 1: [4]}, 2, 10)
-    neg_ratio = 2
+    t = _table({0: [2, 3], 1: [4]}, 2, 10)
     rows = jnp.arange(6, dtype=jnp.int32)  # full epoch, unshuffled
     w = jnp.ones(6)
     b = sampling.pairwise_batch(jax.random.PRNGKey(4), rows, w, pos_u, pos_i,
-                                seen, 10, neg_ratio)
+                                t, 10, 2)
     # Each pair appears exactly neg_ratio times.
     got = sorted(zip(np.asarray(b["u"]).tolist(), np.asarray(b["i"]).tolist()))
     assert got == [(0, 2), (0, 2), (0, 3), (0, 3), (1, 4), (1, 4)]
@@ -89,12 +116,11 @@ def test_epoch_permutation_and_pairwise_batch():
 def test_pointwise_batch_layout():
     pos_u = jnp.asarray([0, 1], dtype=jnp.int32)
     pos_i = jnp.asarray([5, 6], dtype=jnp.int32)
-    seen = _mk_seen({0: [5], 1: [6]}, 2, 10)
-    neg_ratio = 3
+    t = _table({0: [5], 1: [6]}, 2, 10)
     rows = jnp.arange(8, dtype=jnp.int32)
     w = jnp.ones(8)
     b = sampling.pointwise_batch(jax.random.PRNGKey(5), rows, w, pos_u, pos_i,
-                                 seen, 10, neg_ratio)
+                                 t, 10, 3)
     y = np.asarray(b["y"])
     u = np.asarray(b["u"])
     i = np.asarray(b["i"])
@@ -105,3 +131,15 @@ def test_pointwise_batch_layout():
             assert i[r] == (5 if u[r] == 0 else 6)
         else:
             assert i[r] != (5 if u[r] == 0 else 6)
+
+
+def test_cml_batch():
+    pos_u = jnp.asarray([0, 1], dtype=jnp.int32)
+    pos_i = jnp.asarray([5, 6], dtype=jnp.int32)
+    t = _table({0: [5], 1: [6]}, 2, 12)
+    rows = jnp.arange(2, dtype=jnp.int32)
+    b = sampling.cml_batch(jax.random.PRNGKey(6), rows, jnp.ones(2), pos_u,
+                           pos_i, t, 12, 4)
+    negs = np.asarray(b["negs"])
+    assert negs.shape == (2, 4)
+    assert 5 not in negs[0] and 6 not in negs[1]
