@@ -22,6 +22,9 @@ import time
 sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
 from cleverrec_tpu.config import Config  # noqa: E402
+from cleverrec_tpu.utils.logging import enable_compilation_cache  # noqa: E402
+
+enable_compilation_cache()
 from cleverrec_tpu.data import load_ranking_data  # noqa: E402
 from cleverrec_tpu.models import make_model  # noqa: E402
 from cleverrec_tpu.models.base import DataMeta  # noqa: E402

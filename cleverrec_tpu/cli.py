@@ -38,6 +38,9 @@ def run_experiment(cfg: Config, logger=None):
     """Load data, build model + trainer, run the full loop."""
     import numpy as np
 
+    from cleverrec_tpu.utils.logging import enable_compilation_cache
+    enable_compilation_cache()
+
     from cleverrec_tpu.models import make_model
     from cleverrec_tpu.models.base import DataMeta
 

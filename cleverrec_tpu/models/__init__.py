@@ -10,6 +10,7 @@ from __future__ import annotations
 from cleverrec_tpu.config import Config
 from cleverrec_tpu.models.base import DataMeta, RecModel
 from cleverrec_tpu.models.bpr import BPR
+from cleverrec_tpu.models.graph import RML_DGATs, SoHRML
 from cleverrec_tpu.models.itemsim import FISM, NAIS, NAISSingle
 from cleverrec_tpu.models.metric import CML, LRML, TransCF
 from cleverrec_tpu.models.ncf import GMF, MLP, NeuMF
@@ -24,7 +25,8 @@ def register(cls):
 
 
 for _cls in (BPR, GMF, MLP, NeuMF, CML, LRML, TransCF, FISM, NAIS,
-             NAISSingle, SBPR, CUNE_BPR, SAMN, SAMNSingle):
+             NAISSingle, SBPR, CUNE_BPR, SAMN, SAMNSingle, RML_DGATs,
+             SoHRML):
     register(_cls)
 
 

@@ -73,9 +73,18 @@ class Trainer:
         self.optimizer = make_optimizer(cfg.optimizer, cfg.lr)
         self.batch_size = cfg.batch_size
         self.neg_ratio = cfg.neg_ratio
-        self._epoch_rows = self._rows_per_epoch()
-        self.steps_per_epoch = cdiv(self._epoch_rows, self.batch_size)
-        self._epoch_fn = self._build_epoch_fn()
+        if model.sampler == "dual":
+            # Dual-domain models split both domains into train_batches
+            # slices per epoch (RankingRecommender.py:179-195).
+            self.steps_per_epoch = model.train_batches
+            self._epoch_rows = self.n_pairs * self.neg_ratio
+            self._epoch_fn = self._build_dual_epoch_fn()
+        else:
+            self._epoch_rows = self._rows_per_epoch()
+            self.steps_per_epoch = cdiv(self._epoch_rows, self.batch_size)
+            self._epoch_fn = self._build_epoch_fn()
+        self._pre_epoch_fn = (jax.jit(model.pre_epoch)
+                              if hasattr(model, "pre_epoch") else None)
         self.evaluator = Evaluator(model, self.dd, cfg)
 
     # -- epoch construction ----------------------------------------------
@@ -121,18 +130,19 @@ class Trainer:
             constrain = lambda batch: batch  # noqa: E731
 
         def epoch(params, opt_state, key, arrays):
+            # Per-step in-scan sampling benchmarked FASTER than hoisting the
+            # whole epoch's sampling out of the scan (175ms vs 316ms per
+            # ml-100k BPR epoch on v5e) — the sampler fuses into the step.
             pkey, skey = jax.random.split(key)
             perm, valid = sampling.epoch_permutation(pkey, rows_total, padded)
-            # Sample the ENTIRE epoch's batches in one vectorized pass —
-            # one big bitmap-rejection kernel instead of per-step launches;
-            # the scan body below is then pure fwd/bwd/update.
-            batch_all = self._build_batch(skey, perm, valid, arrays)
-            batches = jax.tree_util.tree_map(
-                lambda x: x.reshape((steps, b) + x.shape[1:]), batch_all)
+            perm = perm.reshape(steps, b)
+            valid = valid.reshape(steps, b)
+            step_keys = jax.random.split(skey, steps)
 
-            def step(carry, batch):
+            def step(carry, xs):
                 params, opt_state = carry
-                batch = constrain(batch)
+                rows, w, k = xs
+                batch = constrain(self._build_batch(k, rows, w, arrays))
                 loss, grads = jax.value_and_grad(model.loss)(params, batch,
                                                              arrays)
                 updates, opt_state = optimizer.update(grads, opt_state, params)
@@ -141,7 +151,54 @@ class Trainer:
                 return (params, opt_state), loss
 
             (params, opt_state), losses = jax.lax.scan(
-                step, (params, opt_state), batches)
+                step, (params, opt_state), (perm, valid, step_keys))
+            return params, opt_state, jnp.mean(losses)
+
+        return jax.jit(epoch, donate_argnums=(0, 1))
+
+    def _build_dual_epoch_fn(self):
+        """Epoch over item-domain (u,i,j) AND social-domain (u,v,w) triples,
+        both split into ``train_batches`` slices and consumed together."""
+        steps = self.steps_per_epoch
+        neg_ratio = self.neg_ratio
+        item_nums = self.dd.item_nums
+        user_nums = self.dd.user_nums
+        model = self.model
+        optimizer = self.optimizer
+        m_i = self.n_pairs * neg_ratio
+        n_social = int(len(self.arrays["sf_u"]))
+        m_s = max(n_social * neg_ratio, 1)
+        b_i = cdiv(m_i, steps)
+        b_s = cdiv(m_s, steps)
+
+        def epoch(params, opt_state, key, arrays):
+            ki, ks, kbi, kbs, kd = jax.random.split(key, 5)
+            perm_i, valid_i = sampling.epoch_permutation(ki, m_i, steps * b_i)
+            perm_s, valid_s = sampling.epoch_permutation(ks, m_s, steps * b_s)
+            batch_i = sampling.pairwise_batch(
+                kbi, perm_i, valid_i, arrays["pos_u"], arrays["pos_i"],
+                arrays["seen"], item_nums, neg_ratio)
+            batch_s = sampling.social_pairwise_batch(
+                kbs, perm_s, valid_s, arrays["sf_u"], arrays["sf_v"],
+                arrays["friends_tbl"], user_nums, neg_ratio)
+            batch_all = {**batch_i, **batch_s}
+            batches = jax.tree_util.tree_map(
+                lambda x: x.reshape((steps, -1) + x.shape[1:]), batch_all)
+            step_keys = jax.random.split(kd, steps)
+
+            def step(carry, xs):
+                params, opt_state = carry
+                batch, dkey = xs
+                batch = dict(batch)
+                batch["dropout_key"] = dkey
+                loss, grads = jax.value_and_grad(model.loss)(params, batch,
+                                                             arrays)
+                updates, opt_state = optimizer.update(grads, opt_state, params)
+                params = optax.apply_updates(params, updates)
+                return (params, opt_state), loss
+
+            (params, opt_state), losses = jax.lax.scan(
+                step, (params, opt_state), (batches, step_keys))
             return params, opt_state, jnp.mean(losses)
 
         return jax.jit(epoch, donate_argnums=(0, 1))
@@ -151,13 +208,32 @@ class Trainer:
         key = jax.random.PRNGKey(self.cfg.seed if seed is None else seed)
         ikey, self._loop_key = jax.random.split(key)
         params = self.model.init(ikey)
+        # Warm start (NeuMF <- GMF/MLP, NAIS <- FISM) when configured.
+        from cleverrec_tpu.train.checkpoint import apply_warm_start
+        params = apply_warm_start(self.model.name, params, self.cfg)
         if self.mesh is not None:
             from cleverrec_tpu.parallel.sharding import shard_params
             params = shard_params(params, self.model.meta, self.mesh)
         opt_state = self.optimizer.init(params)
         return params, opt_state
 
+    def resume(self, path: str):
+        """Resume a run from a full train-state checkpoint."""
+        from cleverrec_tpu.train.checkpoint import load_checkpoint
+        params = self.model.init(jax.random.PRNGKey(0))
+        opt_state = self.optimizer.init(params)
+        template = {"params": params, "opt_state": opt_state,
+                    "epoch": jnp.asarray(0),
+                    "key": jax.random.PRNGKey(0)}
+        state = load_checkpoint(path, template)
+        self._loop_key = state["key"]
+        return state["params"], state["opt_state"], int(state["epoch"])
+
     def train_epoch(self, params, opt_state):
+        if self._pre_epoch_fn is not None:
+            # e.g. SoHRML's attentive-adjacency refresh
+            # (RankingRecommender.py:157-176, :403-405).
+            self.arrays.update(self._pre_epoch_fn(params, self.arrays))
         self._loop_key, ekey = jax.random.split(self._loop_key)
         params, opt_state, loss = self._epoch_fn(params, opt_state, ekey,
                                                  self.arrays)
@@ -166,15 +242,30 @@ class Trainer:
     def evaluate(self, params):
         return self.evaluator.evaluate(params, self.arrays)
 
-    def run(self, seed: int | None = None):
+    def run(self, seed: int | None = None, resume_from: str | None = None):
         """Full train/eval loop with best-NDCG@topk[0] tracking
-        (RankingRecommender.py:400-440)."""
+        (RankingRecommender.py:400-440).  With ``save.best=True`` the best
+        epoch's train state is checkpointed under saved_dir/<model> (the
+        reference's disabled save path, RankingRecommender.py:432-433,
+        made functional)."""
         log = self.logger.info if self.logger else (lambda *a: None)
-        params, opt_state = self.init_state(seed)
+        start_epoch = 1
+        if resume_from:
+            params, opt_state, done = self.resume(resume_from)
+            start_epoch = done + 1
+            log("resumed from %s at epoch %d", resume_from, done)
+        else:
+            params, opt_state = self.init_state(seed)
+        save_best = self.cfg.bool("save.best", False)
+        save_dir = None
+        if save_best:
+            import os
+            save_dir = os.path.join(self.cfg.str("saved_dir", "./saved_model"),
+                                    self.model.name)
         topk = self.cfg.topk
         best = {"epoch": 0, "ndcg": 0.0, "metrics": {}}
         interval = self.cfg.test_interval
-        for epoch in range(1, self.cfg.epoches + 1):
+        for epoch in range(start_epoch, self.cfg.epoches + 1):
             t1 = time.time()
             params, opt_state, loss = self.train_epoch(params, opt_state)
             log(" epoch %d\n  Training loss: %.4f, time: %.2fs",
@@ -190,6 +281,10 @@ class Trainer:
             if results[topk[0]][2] > best["ndcg"]:
                 best = {"epoch": epoch, "ndcg": results[topk[0]][2],
                         "metrics": results}
+                if save_dir:
+                    from cleverrec_tpu.train.checkpoint import save_checkpoint
+                    save_checkpoint(save_dir, params, opt_state, epoch,
+                                    self._loop_key)
         log("best_epoch: %d", best["epoch"])
         for k in topk:
             if k in best["metrics"]:

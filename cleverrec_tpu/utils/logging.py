@@ -29,6 +29,22 @@ def get_logger(log_dir: str | None, model: str) -> logging.Logger:
     return logger
 
 
+def enable_compilation_cache(path: str | None = None) -> None:
+    """Persistent XLA compilation cache — first compile of the scanned
+    epoch programs is minutes over the remote-compile tunnel; cached
+    reloads are seconds."""
+    import jax
+
+    path = path or os.path.join(os.path.expanduser("~"), ".cache",
+                                "cleverrec_jax_cache")
+    os.makedirs(path, exist_ok=True)
+    try:
+        jax.config.update("jax_compilation_cache_dir", path)
+        jax.config.update("jax_persistent_cache_min_compile_time_secs", 5)
+    except Exception:
+        pass  # older jax without these flags
+
+
 @contextlib.contextmanager
 def timer(text: str, logger=None):
     emit = logger.info if logger else print

@@ -47,6 +47,17 @@ MODEL_OVERRIDES = {
              "mem_size": "4", "atten_size": "4", "social": True},
     "SAMN_single": {"loss_func": "bpr", "reg1": "0.01", "reg2": "0.01",
                     "mem_size": "4", "atten_size": "4", "social": True},
+    "RML_DGATs": {"loss_func": "hinge", "margin": "0.25", "gamma": "0.05",
+                  "reg1": "0.01", "reg2": "0.001", "atten_size": "4",
+                  "att_type": "2", "mlp_type": "0", "max_i": "5",
+                  "max_s": "5", "train_batches": "4", "cml_like": "True",
+                  "social": True},
+    "SoHRML": {"loss_func": "hinge", "margin": "0.5", "gamma": "0.1",
+               "reg1": "0.01", "reg2": "0.001", "atten_size": "4",
+               "att_type": "2", "mlp_type": "0", "gat_layer_nums": "2",
+               "max_i": "0", "max_s": "0", "node_dropout": "0.3",
+               "message_dropout": "0.3", "train_batches": "4",
+               "adj_folds": "4", "cml_like": "True", "social": True},
 }
 
 

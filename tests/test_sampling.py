@@ -13,25 +13,31 @@ import pytest
 from cleverrec_tpu import sampling
 
 
-def _table(user_items, n_users, n_items, bitmap=True):
-    t = sampling.build_member_table(user_items, n_users, n_items,
-                                    bitmap_budget=(1 << 30) if bitmap else 0)
-    if bitmap:
-        assert t.bits is not None
-    else:
+def _table(user_items, n_users, n_items, mode="complement"):
+    t = sampling.build_member_table(
+        user_items, n_users, n_items,
+        bitmap_budget=(1 << 30) if mode != "rows" else 0,
+        complement_budget=(1 << 30) if mode == "complement" else 0)
+    if mode == "complement":
+        assert t.complement is not None
+    if mode == "rows":
         assert t.bits is None
-    return sampling.MemberTable(
-        rows=jnp.asarray(t.rows), lens=jnp.asarray(t.lens),
-        bits=None if t.bits is None else jnp.asarray(t.bits))
+    return jax.tree_util.tree_map(jnp.asarray, t)
 
 
-@pytest.fixture(params=[True, False], ids=["bitmap", "rows"])
-def use_bitmap(request):
+@pytest.fixture(params=["complement", "bitmap", "rows"])
+def table_mode(request):
     return request.param
 
 
+@pytest.fixture(params=["bitmap", "rows"])
+def use_bitmap(request):
+    return request.param == "bitmap"
+
+
 def test_member(use_bitmap):
-    t = _table({0: [1, 3, 5], 1: [2, 4]}, 2, 100, bitmap=use_bitmap)
+    t = _table({0: [1, 3, 5], 1: [2, 4]}, 2, 100,
+               mode="bitmap" if use_bitmap else "rows")
     e = jnp.asarray([0, 1], dtype=jnp.int32)
     assert sampling.member(t, e, jnp.asarray([3, 5])).tolist() == [True, False]
     assert sampling.member(t, e, jnp.asarray([0, 2])).tolist() == [False, True]
@@ -41,10 +47,10 @@ def test_member(use_bitmap):
     assert got.tolist() == [[True, False], [True, True]]
 
 
-def test_sample_not_in_avoids_seen(use_bitmap):
+def test_sample_not_in_avoids_seen(table_mode):
     n_items = 20
     user_items = {0: [0, 1, 2, 3], 1: list(range(15)), 2: [19]}
-    t = _table(user_items, 3, n_items, bitmap=use_bitmap)
+    t = _table(user_items, 3, n_items, mode=table_mode)
     u = jnp.asarray([0, 1, 2] * 50, dtype=jnp.int32)
     j = sampling.sample_not_in(jax.random.PRNGKey(0), t, u, n_items, u.shape)
     for uu, jj in zip(np.asarray(u), np.asarray(j)):
@@ -52,10 +58,10 @@ def test_sample_not_in_avoids_seen(use_bitmap):
         assert 0 <= jj < n_items
 
 
-def test_sample_not_in_2d(use_bitmap):
+def test_sample_not_in_2d(table_mode):
     n_items = 30
     user_items = {0: [5, 6, 7], 1: [0]}
-    t = _table(user_items, 2, n_items, bitmap=use_bitmap)
+    t = _table(user_items, 2, n_items, mode=table_mode)
     u = jnp.asarray([0, 1, 0, 1], dtype=jnp.int32)
     negs = np.asarray(sampling.sample_not_in(jax.random.PRNGKey(1), t, u,
                                              n_items, (4, 6)))
@@ -85,8 +91,8 @@ def test_bitmap_and_rows_paths_agree():
     user_items = {u: rng.choice(n_items, size=rng.integers(1, 50),
                                 replace=False).tolist()
                   for u in range(n_users)}
-    tb = _table(user_items, n_users, n_items, bitmap=True)
-    tr = _table(user_items, n_users, n_items, bitmap=False)
+    tb = _table(user_items, n_users, n_items, mode="bitmap")
+    tr = _table(user_items, n_users, n_items, mode="rows")
     e = jnp.asarray(rng.integers(0, n_users, 500), dtype=jnp.int32)
     q = jnp.asarray(rng.integers(0, n_items, 500), dtype=jnp.int32)
     np.testing.assert_array_equal(np.asarray(sampling.member(tb, e, q)),
