@@ -14,7 +14,7 @@ import numpy as np
 import optax
 
 from cleverrec_tpu.classic.base import InteractionData, topn_from_scores
-from cleverrec_tpu.sampling import MemberTable, build_member_table, _reject, member
+from cleverrec_tpu.sampling import build_member_table, member
 
 
 class LFM:
@@ -38,10 +38,7 @@ class LFM:
         seen_np = build_member_table(
             {u: data.train[u].indices.tolist() for u in range(data.user_nums)},
             data.user_nums, data.item_nums)
-        seen = MemberTable(rows=jnp.asarray(seen_np.rows),
-                           lens=jnp.asarray(seen_np.lens),
-                           bits=None if seen_np.bits is None
-                           else jnp.asarray(seen_np.bits))
+        seen = jax.tree_util.tree_map(jnp.asarray, seen_np)
         # Popularity-proportional negative sampling via the degree CDF
         # (the reference passes popularity weights to np.random.choice,
         # Basic/LFM.py:66).

@@ -10,6 +10,7 @@ from __future__ import annotations
 from cleverrec_tpu.config import Config
 from cleverrec_tpu.models.base import DataMeta, RecModel
 from cleverrec_tpu.models.bpr import BPR
+from cleverrec_tpu.models.gcn import LightGCN, NGCF
 from cleverrec_tpu.models.graph import RML_DGATs, SoHRML
 from cleverrec_tpu.models.itemsim import FISM, NAIS, NAISSingle
 from cleverrec_tpu.models.metric import CML, LRML, TransCF
@@ -26,7 +27,7 @@ def register(cls):
 
 for _cls in (BPR, GMF, MLP, NeuMF, CML, LRML, TransCF, FISM, NAIS,
              NAISSingle, SBPR, CUNE_BPR, SAMN, SAMNSingle, RML_DGATs,
-             SoHRML):
+             SoHRML, LightGCN, NGCF):
     register(_cls)
 
 

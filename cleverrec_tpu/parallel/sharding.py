@@ -23,7 +23,7 @@ from typing import Any
 import jax
 import jax.numpy as jnp
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
-from jax.experimental.shard_map import shard_map
+from jax import shard_map
 
 
 def _is_embedding_table(x, meta) -> bool:
@@ -92,7 +92,7 @@ def row_sharded_gather(table: jax.Array, ids: jax.Array, mesh: Mesh,
     return shard_map(
         local, mesh=mesh,
         in_specs=(P(axis, None), P()),
-        out_specs=P(),
+        out_specs=P(), check_vma=False,
     )(table, ids)
 
 

@@ -163,14 +163,13 @@ def sample_not_in(key: Array, table: MemberTable, e: Array, n_range: int,
         n_un = jnp.maximum(n_range - table.lens[e], 1)     # [B]
         r = jax.random.randint(key, shape, 0, jnp.iinfo(jnp.int32).max,
                                dtype=jnp.int32)
+        # POINT gathers (complement[e, idx]) — never complement[e], which
+        # would materialize [B, id_range] rows per step.
         if len(shape) == 2:
             idx = r % n_un[:, None]
-        else:
-            idx = r % n_un
-        rows = table.complement[e]                         # [B, id_range]
-        if len(shape) == 2:
-            return jnp.take_along_axis(rows, idx, axis=1)
-        return jnp.take_along_axis(rows, idx[:, None], axis=1)[:, 0]
+            return table.complement[e[:, None], idx]
+        idx = r % n_un
+        return table.complement[e, idx]
     return _reject(key, e, n_range, shape,
                    lambda q: member(table, e, q))
 

@@ -56,13 +56,10 @@ class Trainer:
         self.n_pairs = int(len(pos_u))
 
         # One dict of device arrays shared by samplers, losses and eval.
-        seen = self.dd.seen
         arrays: dict[str, Any] = {
             "pos_u": jnp.asarray(pos_u),
             "pos_i": jnp.asarray(pos_i),
-            "seen": sampling.MemberTable(
-                rows=jnp.asarray(seen.rows), lens=jnp.asarray(seen.lens),
-                bits=None if seen.bits is None else jnp.asarray(seen.bits)),
+            "seen": jax.tree_util.tree_map(jnp.asarray, self.dd.seen),
         }
         if self.dd.friends_padded is not None:
             arrays["friends_padded"] = jnp.asarray(self.dd.friends_padded)
@@ -142,7 +139,9 @@ class Trainer:
             def step(carry, xs):
                 params, opt_state = carry
                 rows, w, k = xs
-                batch = constrain(self._build_batch(k, rows, w, arrays))
+                sk, dk = jax.random.split(k)
+                batch = constrain(self._build_batch(sk, rows, w, arrays))
+                batch["dropout_key"] = dk
                 loss, grads = jax.value_and_grad(model.loss)(params, batch,
                                                              arrays)
                 updates, opt_state = optimizer.update(grads, opt_state, params)

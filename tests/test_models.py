@@ -52,6 +52,10 @@ MODEL_OVERRIDES = {
                   "att_type": "2", "mlp_type": "0", "max_i": "5",
                   "max_s": "5", "train_batches": "4", "cml_like": "True",
                   "social": True},
+    "LightGCN": {"is_pairwise": "True", "loss_func": "bpr", "reg": "0.0001",
+                 "n_layers": "2"},
+    "NGCF": {"is_pairwise": "True", "loss_func": "bpr", "reg": "0.0001",
+             "n_layers": "2", "message_dropout": "0.1"},
     "SoHRML": {"loss_func": "hinge", "margin": "0.5", "gamma": "0.1",
                "reg1": "0.01", "reg2": "0.001", "atten_size": "4",
                "att_type": "2", "mlp_type": "0", "gat_layer_nums": "2",
