@@ -52,13 +52,15 @@ def main():
     trainer = Trainer(model, data, cfg)
     params, opt_state = trainer.init_state()
 
-    # Warmup (compile).
+    # Warmup (compile): single epoch + the multi-epoch program + eval.
     params, opt_state, _ = trainer.train_epoch(params, opt_state)
+    params, opt_state, _ = trainer.train_epochs(params, opt_state,
+                                                TIMED_EPOCHS)
     trainer.evaluate(params)
 
     t0 = time.time()
-    for _ in range(TIMED_EPOCHS):
-        params, opt_state, _ = trainer.train_epoch(params, opt_state)
+    params, opt_state, _ = trainer.train_epochs(params, opt_state,
+                                                TIMED_EPOCHS)
     train_dt = time.time() - t0
     examples = trainer._epoch_rows * TIMED_EPOCHS
     examples_per_s = examples / train_dt

@@ -19,3 +19,5 @@ from cleverrec_tpu.classic.temporal import (  # noqa: F401
     RecentPopular, SessionGraph, TimeItemCF, TimeUserCF)
 from cleverrec_tpu.classic.rating_knn import (  # noqa: F401
     BiasSVD, FunkSVD, RatingItemCF, RatingUserCF)
+from cleverrec_tpu.classic.rating_mf import (  # noqa: F401
+    SLIM, SlopeOne, SVDpp, TrustSVD)

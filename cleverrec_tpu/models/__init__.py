@@ -10,6 +10,8 @@ from __future__ import annotations
 from cleverrec_tpu.config import Config
 from cleverrec_tpu.models.base import DataMeta, RecModel
 from cleverrec_tpu.models.bpr import BPR
+from cleverrec_tpu.models.diffnet import DiffNet, DiffNetPlusPlus, LR_GCCF
+from cleverrec_tpu.models.extra import DMF, EATNN, SML, WMF
 from cleverrec_tpu.models.gcn import LightGCN, NGCF
 from cleverrec_tpu.models.graph import RML_DGATs, SoHRML
 from cleverrec_tpu.models.itemsim import FISM, NAIS, NAISSingle
@@ -27,7 +29,8 @@ def register(cls):
 
 for _cls in (BPR, GMF, MLP, NeuMF, CML, LRML, TransCF, FISM, NAIS,
              NAISSingle, SBPR, CUNE_BPR, SAMN, SAMNSingle, RML_DGATs,
-             SoHRML, LightGCN, NGCF):
+             SoHRML, LightGCN, NGCF, DiffNet, DiffNetPlusPlus,
+             LR_GCCF, WMF, DMF, SML, EATNN):
     register(_cls)
 
 

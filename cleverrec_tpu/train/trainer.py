@@ -82,6 +82,7 @@ class Trainer:
             self._epoch_fn = self._build_epoch_fn()
         self._pre_epoch_fn = (jax.jit(model.pre_epoch)
                               if hasattr(model, "pre_epoch") else None)
+        self._multi_epoch_fns: dict[int, Any] = {}
         self.evaluator = Evaluator(model, self.dd, cfg)
 
     # -- epoch construction ----------------------------------------------
@@ -153,6 +154,7 @@ class Trainer:
                 step, (params, opt_state), (perm, valid, step_keys))
             return params, opt_state, jnp.mean(losses)
 
+        self._epoch_body = epoch
         return jax.jit(epoch, donate_argnums=(0, 1))
 
     def _build_dual_epoch_fn(self):
@@ -238,6 +240,40 @@ class Trainer:
                                                  self.arrays)
         return params, opt_state, float(loss)
 
+    def train_epochs(self, params, opt_state, n_epochs: int):
+        """Run n epochs in ONE device call (scan over epochs) — amortizes
+        the per-dispatch latency when eval runs every test.interval > 1
+        epochs.  Not available for models with a host-side pre-epoch hook.
+        Returns (params, opt_state, losses[n]).
+        """
+        if self._pre_epoch_fn is not None or not hasattr(self, "_epoch_body"):
+            losses = []
+            for _ in range(n_epochs):
+                params, opt_state, loss = self.train_epoch(params, opt_state)
+                losses.append(loss)
+            return params, opt_state, losses
+        fn = self._multi_epoch_fns.get(n_epochs)
+        if fn is None:
+            body = self._epoch_body
+
+            def multi(params, opt_state, key, arrays):
+                keys = jax.random.split(key, n_epochs)
+
+                def one(carry, k):
+                    p, o = carry
+                    p, o, loss = body(p, o, k, arrays)
+                    return (p, o), loss
+
+                (params, opt_state), losses = jax.lax.scan(
+                    one, (params, opt_state), keys)
+                return params, opt_state, losses
+
+            fn = jax.jit(multi, donate_argnums=(0, 1))
+            self._multi_epoch_fns[n_epochs] = fn
+        self._loop_key, ekey = jax.random.split(self._loop_key)
+        params, opt_state, losses = fn(params, opt_state, ekey, self.arrays)
+        return params, opt_state, [float(x) for x in losses]
+
     def evaluate(self, params):
         return self.evaluator.evaluate(params, self.arrays)
 
@@ -264,11 +300,23 @@ class Trainer:
         topk = self.cfg.topk
         best = {"epoch": 0, "ndcg": 0.0, "metrics": {}}
         interval = self.cfg.test_interval
-        for epoch in range(start_epoch, self.cfg.epoches + 1):
+        epoch = start_epoch - 1
+        while epoch < self.cfg.epoches:
+            # Advance to the next eval point in ONE device call when the
+            # model allows it (amortizes dispatch for test.interval > 1).
+            next_eval = min(((epoch // interval) + 1) * interval,
+                            self.cfg.epoches)
+            block = next_eval - epoch
             t1 = time.time()
-            params, opt_state, loss = self.train_epoch(params, opt_state)
-            log(" epoch %d\n  Training loss: %.4f, time: %.2fs",
-                epoch, loss, time.time() - t1)
+            if block > 1:
+                params, opt_state, losses = self.train_epochs(
+                    params, opt_state, block)
+                loss = losses[-1]
+            else:
+                params, opt_state, loss = self.train_epoch(params, opt_state)
+            epoch = next_eval
+            log(" epoch %d\n  Training loss: %.4f, time: %.2fs (%d epochs)",
+                epoch, loss, time.time() - t1, block)
             if epoch % interval:
                 continue
             t2 = time.time()

@@ -136,3 +136,39 @@ def test_rating_models(cls, kw):
     rmse = float(np.sqrt(np.mean((t[:, 2] - pred) ** 2)))
     # Global-mean predictor RMSE on this data is ~0.9; models must beat it.
     assert rmse < 0.85, (cls.__name__, rmse)
+
+
+@pytest.mark.parametrize("cls,kw", [
+    (__import__("cleverrec_tpu.classic", fromlist=["SVDpp"]).SVDpp,
+     {"factors": 8, "epochs": 25, "lr": 0.02}),
+    (__import__("cleverrec_tpu.classic", fromlist=["SlopeOne"]).SlopeOne, {}),
+], ids=["svdpp", "slopeone"])
+def test_rating_mf_models(cls, kw):
+    train, test, n_users, n_items = _rating_triples()
+    model = cls(**kw).fit(train, n_users, n_items)
+    t = np.asarray(test)
+    pred = model.predict(t[:, 0].astype(int), t[:, 1].astype(int))
+    rmse = float(np.sqrt(np.mean((t[:, 2] - pred) ** 2)))
+    assert rmse < 0.85, (cls.__name__, rmse)
+
+
+def test_trustsvd():
+    from cleverrec_tpu.classic import TrustSVD
+    train, test, n_users, n_items = _rating_triples()
+    rng = np.random.default_rng(2)
+    trust = [(u, int(v)) for u in range(n_users)
+             for v in rng.choice(n_users, 3, replace=False) if v != u]
+    model = TrustSVD(factors=8, epochs=25, lr=0.02).fit(
+        train, n_users, n_items, trust_pairs=trust)
+    t = np.asarray(test)
+    pred = model.predict(t[:, 0].astype(int), t[:, 1].astype(int))
+    rmse = float(np.sqrt(np.mean((t[:, 2] - pred) ** 2)))
+    assert rmse < 0.9, rmse
+
+
+def test_slim(blocky):
+    from cleverrec_tpu.classic import SLIM
+    data, _ = blocky
+    model = SLIM().fit(data)
+    metrics = evaluate_topn(model, data, n=10)
+    assert metrics["precision"] > 2 * _floor(data), metrics

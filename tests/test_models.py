@@ -54,6 +54,20 @@ MODEL_OVERRIDES = {
                   "social": True},
     "LightGCN": {"is_pairwise": "True", "loss_func": "bpr", "reg": "0.0001",
                  "n_layers": "2"},
+    "LR_GCCF": {"is_pairwise": "True", "loss_func": "bpr", "reg": "0.0001",
+                "n_layers": "2"},
+    "DiffNet": {"is_pairwise": "True", "loss_func": "bpr", "reg": "0.001",
+                "n_layers": "2", "social": True},
+    "DiffNetPlusPlus": {"is_pairwise": "True", "loss_func": "bpr",
+                        "reg": "0.001", "n_layers": "2", "social": True},
+    "WMF": {"is_pairwise": "False", "loss_func": "square", "reg": "0.001",
+            "alpha": "5.0"},
+    "DMF": {"is_pairwise": "False", "loss_func": "cross_entropy",
+            "reg": "0.0001", "layers": "[8,8]"},
+    "SML": {"is_pairwise": "True", "loss_func": "hinge", "reg": "0.01",
+            "cml_like": "True"},
+    "EATNN": {"is_pairwise": "True", "loss_func": "bpr", "reg": "0.001",
+              "social_weight": "0.1", "social": True},
     "NGCF": {"is_pairwise": "True", "loss_func": "bpr", "reg": "0.0001",
              "n_layers": "2", "message_dropout": "0.1"},
     "SoHRML": {"loss_func": "hinge", "margin": "0.5", "gamma": "0.1",
