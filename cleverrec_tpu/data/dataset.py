@@ -66,8 +66,20 @@ def _read_interactions(cfg: Config) -> pd.DataFrame:
     names = {"UI": ["u_id", "i_id"],
              "UIR": ["u_id", "i_id", "rating"],
              "UIRT": ["u_id", "i_id", "rating", "time"]}[fmt]
-    df = pd.read_csv(path, sep=sep, header=0, names=names,
-                     usecols=list(range(len(names))), engine="python")
+    # Native mmapped parser first (single-byte separators, numeric ids);
+    # pandas handles everything else.  Both skip the first line, matching
+    # the reference's header=0 read (RankingPreprocess.py:21-22).
+    df = None
+    if len(sep) == 1:
+        from cleverrec_tpu.data import fastcsv
+        cols = fastcsv.read_columns(path, sep, len(names))
+        if cols is not None:
+            df = pd.DataFrame({n: c for n, c in zip(names, cols)})
+            df["u_id"] = df["u_id"].astype(np.int64)
+            df["i_id"] = df["i_id"].astype(np.int64)
+    if df is None:
+        df = pd.read_csv(path, sep=sep, header=0, names=names,
+                         usecols=list(range(len(names))), engine="python")
     if fmt == "UIRT":
         df["time"] = df["time"].astype(np.int64)
     return df

@@ -83,6 +83,7 @@ class Trainer:
         self._pre_epoch_fn = (jax.jit(model.pre_epoch)
                               if hasattr(model, "pre_epoch") else None)
         self._multi_epoch_fns: dict[int, Any] = {}
+        self._profiled = False
         self.evaluator = Evaluator(model, self.dd, cfg)
 
     # -- epoch construction ----------------------------------------------
@@ -308,12 +309,30 @@ class Trainer:
                             self.cfg.epoches)
             block = next_eval - epoch
             t1 = time.time()
-            if block > 1:
-                params, opt_state, losses = self.train_epochs(
-                    params, opt_state, block)
-                loss = losses[-1]
+            # Optional profiler capture (SURVEY.md section 5.1 rebuild item):
+            # set profile.dir to trace the SECOND block (first is compile).
+            profile_dir = self.cfg.get("profile.dir")
+            do_trace = profile_dir and epoch > 0 and not self._profiled
+            if do_trace:
+                import jax.profiler
+                ctx = jax.profiler.trace(str(profile_dir))
+                self._profiled = True
             else:
-                params, opt_state, loss = self.train_epoch(params, opt_state)
+                ctx = None
+            try:
+                if ctx is not None:
+                    ctx.__enter__()
+                if block > 1:
+                    params, opt_state, losses = self.train_epochs(
+                        params, opt_state, block)
+                    loss = losses[-1]
+                else:
+                    params, opt_state, loss = self.train_epoch(params,
+                                                               opt_state)
+            finally:
+                if ctx is not None:
+                    ctx.__exit__(None, None, None)
+                    log("  profiler trace written to %s", profile_dir)
             epoch = next_eval
             log(" epoch %d\n  Training loss: %.4f, time: %.2fs (%d epochs)",
                 epoch, loss, time.time() - t1, block)
