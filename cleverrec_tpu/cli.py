@@ -31,10 +31,19 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--set", action="append", default=[], metavar="K=V",
                    help="config override, repeatable")
     p.add_argument("--list-models", action="store_true")
+    p.add_argument("--mesh", default=None, metavar="DxM",
+                   help="device mesh shape, e.g. 4x2 = 4-way data x "
+                        "2-way model parallel (default: single device)")
+    p.add_argument("--distributed", action="store_true",
+                   help="call jax.distributed.initialize() for multi-host "
+                        "runs (env-configured coordinator)")
+    p.add_argument("--resume", default=None, metavar="CKPT",
+                   help="resume from a train-state checkpoint directory")
     return p
 
 
-def run_experiment(cfg: Config, logger=None):
+def run_experiment(cfg: Config, logger=None, mesh_shape=None,
+                   resume_from=None):
     """Load data, build model + trainer, run the full loop."""
     import numpy as np
 
@@ -55,11 +64,18 @@ def run_experiment(cfg: Config, logger=None):
     from cleverrec_tpu.data import load_ranking_data
     from cleverrec_tpu.train import Trainer
 
+    mesh = None
+    if mesh_shape:
+        from cleverrec_tpu.parallel.mesh import make_mesh
+        n_data, n_model = (int(x) for x in mesh_shape.lower().split("x"))
+        mesh = make_mesh(n_data, n_model)
+        logger.info("mesh: data=%d x model=%d", n_data, n_model)
+
     rng = np.random.default_rng(cfg.seed)
     data = load_ranking_data(cfg, rng=rng, logger=logger)
     model = make_model(cfg, DataMeta(data.user_nums, data.item_nums))
-    trainer = Trainer(model, data, cfg, logger=logger)
-    return trainer.run()
+    trainer = Trainer(model, data, cfg, logger=logger, mesh=mesh)
+    return trainer.run(resume_from=resume_from)
 
 
 def main(argv=None):
@@ -77,8 +93,11 @@ def main(argv=None):
             return 2
         k, v = kv.split("=", 1)
         overrides[k] = v
+    if args.distributed:
+        import jax
+        jax.distributed.initialize()
     cfg = Config.from_properties(args.config, args.conf_dir, overrides)
-    run_experiment(cfg)
+    run_experiment(cfg, mesh_shape=args.mesh, resume_from=args.resume)
     return 0
 
 

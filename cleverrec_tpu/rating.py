@@ -61,6 +61,51 @@ class FM:
                                    + l2_loss(params["vif"])), y_pre)
 
 
+class FFM(FM):
+    """Field-aware Factorization Machine (Juan et al., RecSys'16).
+
+    The reference's FFM.py is truncated after its parameter block and
+    never defines inference or training (SURVEY.md section 2.2) — this is
+    the working model its name promises.  Each feature owns one latent
+    vector PER FIELD; with libFM input the field of a column is its
+    position: y = w0 + sum_i w_i x_i +
+    sum_{a<b} <v[x_a, field_b], v[x_b, field_a]> x_a x_b.
+    """
+
+    name = "FFM"
+
+    def __init__(self, cfg: Config, feature_nums: int, n_fields: int):
+        super().__init__(cfg, feature_nums)
+        self.n_fields = n_fields
+
+    def init(self, key):
+        k1, k2 = jax.random.split(key)
+        f = self.feature_nums + 1  # pad row
+        return {
+            "w0": jnp.zeros(()),
+            "wi": init_param(k1, self.initializer, (f,)),
+            "vif": self.initializer(
+                k2, (f, self.n_fields * self.embed_size)).reshape(
+                    f, self.n_fields, self.embed_size),
+        }
+
+    def predict(self, params, x_idx, x_val):
+        wi = params["wi"][x_idx] * x_val                   # [B, F]
+        v = params["vif"][x_idx]                          # [B, F, fields, d]
+        out = params["w0"] + jnp.sum(wi, axis=1)
+        nf = x_idx.shape[1]
+        for a in range(nf):
+            for b in range(a + 1, nf):
+                fa = min(a, self.n_fields - 1)
+                fb = min(b, self.n_fields - 1)
+                inter = jnp.sum(v[:, a, fb, :] * v[:, b, fa, :], axis=1)
+                out = out + inter * x_val[:, a] * x_val[:, b]
+        return out
+
+
+_RATING_MODELS = {"FM": FM, "FFM": FFM}
+
+
 class FMTrainer:
     def __init__(self, model: FM, data: RatingData, cfg: Config, logger=None):
         self.model = model
@@ -153,6 +198,13 @@ class FMTrainer:
 
 def run_rating(cfg: Config, logger=None):
     data = load_rating_data(cfg)
-    model = FM(cfg, data.feature_nums)
+    name = cfg.recommender
+    if name == "FFM":
+        model = FFM(cfg, data.feature_nums, n_fields=data.x_idx_tr.shape[1])
+    elif name == "FM":
+        model = FM(cfg, data.feature_nums)
+    else:
+        raise KeyError(f"unknown rating model {name!r}; "
+                       f"available: {sorted(_RATING_MODELS)}")
     trainer = FMTrainer(model, data, cfg, logger=logger)
     return trainer.run()

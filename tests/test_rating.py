@@ -60,3 +60,35 @@ def test_fm_learns_biases(libfm_dataset):
     best = FMTrainer(model, data, cfg).run()
     # Bias-only structure with sigma=0.1 noise: FM should reach RMSE < 0.5.
     assert best["rmse"] < 0.5, best
+
+
+def test_ffm_learns(libfm_dataset):
+    cfg = _cfg(libfm_dataset).with_overrides(recommender="FFM")
+    from cleverrec_tpu.rating import run_rating
+    best = run_rating(cfg)
+    assert best["rmse"] < 0.6, best
+
+
+def test_fm_convert_roundtrip(tmp_path):
+    """fm_to_libfm analog: UIRT csv -> libFM files -> FM trains."""
+    import pandas as pd
+    from cleverrec_tpu.data.fm_convert import interactions_to_libfm
+    from cleverrec_tpu.data.libfm import load_rating_data
+    rng = np.random.default_rng(0)
+    rows = []
+    for u in range(25):
+        for i in rng.choice(40, 10, replace=False):
+            rows.append((u, i, float(rng.integers(1, 6))))
+    df = pd.DataFrame(rows, columns=["u_id", "i_id", "rating"])
+    ds = tmp_path / "conv"
+    ds.mkdir()
+    n_tr, n_t = interactions_to_libfm(df, str(ds / "conv.train.libfm"),
+                                      str(ds / "conv.test.libfm"),
+                                      test_size=0.2, seed=1)
+    assert n_tr + n_t == len(df)
+    cfg = _cfg(str(tmp_path)).with_overrides(**{"data.dataset": "conv"})
+    data = load_rating_data(cfg)
+    assert data.feature_nums == 25 + 40
+    assert data.x_idx_tr.shape == (n_tr, 2)
+    # Item feature ids are offset past the user block.
+    assert data.x_idx_tr.max() < 65
