@@ -39,8 +39,17 @@ class Evaluator:
         self.batch_size_t = cfg.test_batch_size
         self.candidate_eval = device_data.cand is not None
         jk = jit_kwargs or {}
+        # Fused Pallas full-catalog path: opt-in via eval.fused_kernel for
+        # models exposing a (user_vecs, item_table, bias) decomposition,
+        # when the per-user seen bitmaps exist.
+        self._use_fused = (not self.candidate_eval
+                           and cfg.bool("eval.fused_kernel", False)
+                           and hasattr(model, "dot_decomposition")
+                           and device_data.seen.bits is not None)
         if self.candidate_eval:
             self._rank_fn = jax.jit(self._rank_candidates, **jk)
+        elif self._use_fused:
+            self._rank_fn = jax.jit(self._rank_full_fused, **jk)
         else:
             self._rank_fn = jax.jit(self._rank_full, **jk)
 
@@ -67,6 +76,23 @@ class Evaluator:
         _, items = jax.lax.top_k(scores, self.kmax)
         return items
 
+    def _rank_full_fused(self, params, aux, u, seen_bits):
+        """Pallas path for dot-decomposable models: one fused
+        score+bitmap-mask kernel, then top_k."""
+        from cleverrec_tpu.ops.pallas_scores import fused_dot_topk_scores
+        u_vecs, table, bias = self.model.dot_decomposition(params, u, aux)
+        interpret = jax.default_backend() != "tpu"
+        scores = fused_dot_topk_scores(u_vecs, table, seen_bits,
+                                       interpret=interpret)
+        if bias is not None:
+            # Bias after masking keeps masked slots at -3e38 (bias is
+            # bounded); ranking unaffected.
+            scores = scores + bias[None, :]
+        if self.model.cml_like:
+            scores = -scores
+        _, items = jax.lax.top_k(scores, self.kmax)
+        return items
+
     # -- host driver ------------------------------------------------------
     def evaluate(self, params, aux) -> dict[int, tuple[float, float, float]]:
         """Returns {K: (mean HR, mean MRR, mean NDCG)} over all test users."""
@@ -86,6 +112,9 @@ class Evaluator:
                 items = self._rank_fn(params, aux, u,
                                       jnp.asarray(dd.cand[sel]),
                                       jnp.asarray(dd.cand_mask[sel]))
+            elif self._use_fused:
+                items = self._rank_fn(params, aux, u,
+                                      jnp.asarray(dd.seen.bits[dd.test_users[sel]]))
             else:
                 items = self._rank_fn(params, aux, u,
                                       jnp.asarray(dd.seen.rows[dd.test_users[sel]]))

@@ -48,3 +48,8 @@ class BPR(RecModel):
     def score_all(self, params: Params, u, aux: Aux):
         return jnp.dot(params["P"][u], params["Q"].T,
                        preferred_element_type=jnp.float32)
+
+    def dot_decomposition(self, params: Params, u, aux: Aux):
+        """(user_vecs, item_table, item_bias|None) — enables the fused
+        Pallas score+mask eval kernel (ops/pallas_scores.py)."""
+        return params["P"][u], params["Q"], None

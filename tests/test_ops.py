@@ -83,3 +83,33 @@ def test_fused_kernel_topk_excludes_seen():
     _, top = jax.lax.top_k(scores, 10)
     for r in range(b):
         assert not (set(np.asarray(top[r]).tolist()) & seen_sets[r])
+
+
+def test_fused_eval_matches_standard(tmp_path):
+    """Full-catalog eval via the Pallas kernel == the XLA path."""
+    import numpy as np
+    from cleverrec_tpu.data import load_ranking_data
+    from cleverrec_tpu.models import make_model
+    from cleverrec_tpu.models.base import DataMeta
+    from cleverrec_tpu.train import Trainer
+    from tests.conftest import base_config, make_toy_interactions
+    ds = tmp_path / "toy"
+    ds.mkdir()
+    make_toy_interactions(ds / "ratings.csv")
+    ov = {"data.split_way": "rs", "test.neg_samples": "0", "epoches": "1",
+          "batch_size": "64", "embed_size": "16", "lr": "0.05",
+          "is_pairwise": "True", "loss_func": "bpr", "reg": "0.01"}
+    toy = {"root": str(tmp_path), "name": "toy"}
+    cfg_std = base_config(toy, **ov)
+    cfg_fused = base_config(toy, **{**ov, "eval.fused_kernel": "True"})
+    data = load_ranking_data(cfg_std)
+    model = make_model(cfg_std, DataMeta(data.user_nums, data.item_nums))
+    t_std = Trainer(model, data, cfg_std)
+    t_fused = Trainer(model, data, cfg_fused)
+    assert t_fused.evaluator._use_fused
+    params, opt = t_std.init_state()
+    params, opt, _ = t_std.train_epoch(params, opt)
+    r_std = t_std.evaluate(params)
+    r_fused = t_fused.evaluator.evaluate(params, t_std.arrays)
+    for k in r_std:
+        assert r_fused[k] == pytest.approx(r_std[k], abs=1e-9), k
