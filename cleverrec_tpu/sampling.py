@@ -174,6 +174,34 @@ def sample_not_in(key: Array, table: MemberTable, e: Array, n_range: int,
                    lambda q: member(table, e, q))
 
 
+def sample_not_in_popular(key: Array, table: MemberTable, e: Array,
+                          pop_cdf: Array, shape: tuple[int, ...]) -> Array:
+    """Popularity-proportional negatives avoiding entity e's set.
+
+    pop_cdf: [id_range] cumulative item-popularity distribution.  Draws
+    TRIES candidates by CDF inversion and keeps the first unseen (the
+    popularity-biased analog of ``sample_not_in``; used when
+    ``neg_sampling=popularity`` — see Chen et al. 2017 on sampling
+    strategies for implicit CF)."""
+    uni = jax.random.uniform(key, shape + (TRIES,))
+    cand = jnp.searchsorted(pop_cdf, uni.reshape(-1)).reshape(
+        uni.shape).astype(jnp.int32)
+    cand = jnp.clip(cand, 0, pop_cdf.shape[0] - 1)
+    if len(shape) == 2:
+        b, k = shape
+        bad = member(table, e, cand.reshape(b, k * TRIES)).reshape(cand.shape)
+    else:
+        bad = member(table, e, cand)
+    first = jnp.argmax(~bad, axis=-1)
+    return jnp.take_along_axis(cand, first[..., None], axis=-1)[..., 0]
+
+
+def _draw_negatives(key, seen, u, item_nums, shape, pop_cdf=None):
+    if pop_cdf is not None:
+        return sample_not_in_popular(key, seen, u, pop_cdf, shape)
+    return sample_not_in(key, seen, u, item_nums, shape)
+
+
 def epoch_permutation(key: Array, epoch_rows: int, padded_rows: int) -> tuple[Array, Array]:
     """Shuffled row ids for one epoch with weight-0 padding.
 
@@ -190,18 +218,18 @@ def epoch_permutation(key: Array, epoch_rows: int, padded_rows: int) -> tuple[Ar
 # dict batch.  All are shape-static and run inside the scanned train step.
 
 def pairwise_batch(key, rows, valid, pos_u, pos_i, seen: MemberTable,
-                   item_nums, neg_ratio):
+                   item_nums, neg_ratio, pop_cdf=None):
     """(u, i, j) rows: pair p repeated neg_ratio times (sampler.py:46-74)."""
     n = pos_u.shape[0]
     p = (rows % (n * neg_ratio)) // neg_ratio
     u = pos_u[p]
     i = pos_i[p]
-    j = sample_not_in(key, seen, u, item_nums, u.shape)
+    j = _draw_negatives(key, seen, u, item_nums, u.shape, pop_cdf)
     return {"u": u, "i": i, "j": j, "w": valid}
 
 
 def pointwise_batch(key, rows, valid, pos_u, pos_i, seen: MemberTable,
-                    item_nums, neg_ratio):
+                    item_nums, neg_ratio, pop_cdf=None):
     """(u, i, y) rows: 1 positive + neg_ratio negatives per pair
     (sampler.py:10-43)."""
     n = pos_u.shape[0]
@@ -211,20 +239,21 @@ def pointwise_batch(key, rows, valid, pos_u, pos_i, seen: MemberTable,
     is_pos = (r % grp) == 0
     u = pos_u[p]
     i_pos = pos_i[p]
-    j = sample_not_in(key, seen, u, item_nums, u.shape)
+    j = _draw_negatives(key, seen, u, item_nums, u.shape, pop_cdf)
     i = jnp.where(is_pos, i_pos, j)
     y = is_pos.astype(jnp.float32)
     return {"u": u, "i": i, "y": y, "w": valid}
 
 
 def cml_batch(key, rows, valid, pos_u, pos_i, seen: MemberTable, item_nums,
-              neg_ratio):
+              neg_ratio, pop_cdf=None):
     """(u, i, [K negatives]) rows — one row per pair (sampler.py:77-99)."""
     n = pos_u.shape[0]
     p = rows % n
     u = pos_u[p]
     i = pos_i[p]
-    negs = sample_not_in(key, seen, u, item_nums, (u.shape[0], neg_ratio))
+    negs = _draw_negatives(key, seen, u, item_nums, (u.shape[0], neg_ratio),
+                           pop_cdf)
     return {"u": u, "i": i, "negs": negs, "w": valid}
 
 

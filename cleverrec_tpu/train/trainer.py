@@ -63,6 +63,14 @@ class Trainer:
         }
         if self.dd.friends_padded is not None:
             arrays["friends_padded"] = jnp.asarray(self.dd.friends_padded)
+        # Optional popularity-proportional negatives (neg_sampling config;
+        # the reference is uniform-only).
+        if cfg.str("neg_sampling", "uniform") == "popularity":
+            import numpy as np
+            deg = np.zeros(self.dd.item_nums, np.float64)
+            np.add.at(deg, self.dd.pos_i, 1.0)
+            arrays["pop_cdf"] = jnp.asarray(
+                np.cumsum(deg) / max(deg.sum(), 1.0), dtype=jnp.float32)
         for k, v in model_aux.items():
             arrays[k] = jax.tree_util.tree_map(jnp.asarray, v)
         self.arrays = arrays
@@ -102,12 +110,13 @@ class Trainer:
         item_nums = self.dd.item_nums
         common = (key, rows, valid, arrays["pos_u"], arrays["pos_i"],
                   arrays["seen"], item_nums, self.neg_ratio)
+        cdf = arrays.get("pop_cdf")
         if s == "pairwise":
-            return sampling.pairwise_batch(*common)
+            return sampling.pairwise_batch(*common, pop_cdf=cdf)
         if s == "pointwise":
-            return sampling.pointwise_batch(*common)
+            return sampling.pointwise_batch(*common, pop_cdf=cdf)
         if s == "cml":
-            return sampling.cml_batch(*common)
+            return sampling.cml_batch(*common, pop_cdf=cdf)
         if s == "sbpr":
             return sampling.sbpr_batch(*common, arrays["spu"],
                                        arrays["spu_suk"])

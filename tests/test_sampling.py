@@ -149,3 +149,17 @@ def test_cml_batch():
     negs = np.asarray(b["negs"])
     assert negs.shape == (2, 4)
     assert 5 not in negs[0] and 6 not in negs[1]
+
+
+def test_popularity_sampler_biased_and_unseen():
+    # Item popularity 0..9 heavily skewed toward high ids.
+    deg = np.arange(1, 11, dtype=np.float64) ** 3
+    cdf = jnp.asarray(np.cumsum(deg) / deg.sum(), dtype=jnp.float32)
+    t = _table({0: [9]}, 1, 10)   # most popular item is seen
+    u = jnp.zeros(20000, dtype=jnp.int32)
+    j = np.asarray(sampling.sample_not_in_popular(
+        jax.random.PRNGKey(0), t, u, cdf, u.shape))
+    assert 9 not in j
+    counts = np.bincount(j, minlength=10)
+    # Popularity-biased: item 8 drawn far more than item 1.
+    assert counts[8] > 10 * max(counts[1], 1)
