@@ -52,8 +52,8 @@ def main():
     trainer = Trainer(model, data, cfg)
     params, opt_state = trainer.init_state()
 
-    # Warmup (compile): single epoch + the multi-epoch program + eval.
-    params, opt_state, _ = trainer.train_epoch(params, opt_state)
+    # Warmup (compiles ONLY the multi-epoch program + eval; the persistent
+    # compilation cache makes repeat bench runs start fast).
     params, opt_state, _ = trainer.train_epochs(params, opt_state,
                                                 TIMED_EPOCHS)
     trainer.evaluate(params)

@@ -60,8 +60,11 @@ class Evaluator:
             scores = -scores          # ascending distance == descending score
         scores = jnp.where(mask, scores, -jnp.inf)
         k = min(self.kmax, cand.shape[1])
-        _, idx = jax.lax.top_k(scores, k)
-        return jnp.take_along_axis(cand, idx, axis=1)
+        v, idx = jax.lax.top_k(scores, k)
+        items = jnp.take_along_axis(cand, idx, axis=1)
+        # Slots beyond the valid candidates (k > |candidates|) must not
+        # leak arbitrary ids into the metrics (PAD_ITEM is ignored there).
+        return jnp.where(jnp.isfinite(v), items, PAD_ITEM)
 
     def _rank_full(self, params, aux, u, seen_rows):
         scores = self.model.score_all(params, u, aux)      # [B, I]
@@ -73,8 +76,10 @@ class Evaluator:
         seen = jnp.zeros((b, item_nums + 1), dtype=bool)
         seen = seen.at[jnp.arange(b)[:, None], seen_rows].set(True)[:, :item_nums]
         scores = jnp.where(seen, -jnp.inf, scores)
-        _, items = jax.lax.top_k(scores, self.kmax)
-        return items
+        v, items = jax.lax.top_k(scores, self.kmax)
+        # A user with fewer than kmax unseen items must not surface seen
+        # ones (the reference's rank-time skip can't either).
+        return jnp.where(jnp.isfinite(v), items, PAD_ITEM)
 
     def _rank_full_fused(self, params, aux, u, seen_bits):
         """Pallas path for dot-decomposable models: one fused
@@ -90,8 +95,9 @@ class Evaluator:
             scores = scores + bias[None, :]
         if self.model.cml_like:
             scores = -scores
-        _, items = jax.lax.top_k(scores, self.kmax)
-        return items
+        v, items = jax.lax.top_k(scores, self.kmax)
+        # Kernel masks with a finite -3e38 sentinel; same PAD guard.
+        return jnp.where(v > -1e37, items, PAD_ITEM)
 
     # -- host driver ------------------------------------------------------
     def evaluate(self, params, aux) -> dict[int, tuple[float, float, float]]:

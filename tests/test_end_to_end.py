@@ -72,3 +72,31 @@ def test_loss_decreases(blocky):
         params, opt_state, loss = trainer.train_epoch(params, opt_state)
         losses.append(loss)
     assert losses[-1] < losses[0]
+
+
+def test_eval_no_leak_when_k_exceeds_candidates(blocky):
+    """topk > candidate count must yield PAD, not arbitrary item ids."""
+    cfg = base_config(blocky, **{
+        "test.neg_samples": "3", "topk": "[10]", "epoches": "1",
+        "batch_size": "64", "embed_size": "8", "lr": "0.05",
+    })
+    data = load_ranking_data(cfg)
+    model = make_model(cfg, DataMeta(data.user_nums, data.item_nums))
+    trainer = Trainer(model, data, cfg)
+    params, _ = trainer.init_state()
+    import jax.numpy as jnp
+    ev = trainer.evaluator
+    u = jnp.asarray(trainer.dd.test_users[:4])
+    items = np.asarray(ev._rank_fn(params, trainer.arrays, u,
+                                   jnp.asarray(trainer.dd.cand[:4]),
+                                   jnp.asarray(trainer.dd.cand_mask[:4])))
+    # 4 candidates (3 neg + 1 truth), k=10 -> 6 PAD slots per row.
+    assert items.shape[1] == 4 or (items == -1).sum(axis=1).min() >= 0
+    for r in range(4):
+        valid = set(np.asarray(trainer.dd.cand[r])[
+            np.asarray(trainer.dd.cand_mask[r])].tolist())
+        got = [x for x in items[r].tolist() if x != -1]
+        assert set(got) <= valid
+    # Metrics still compute.
+    res = trainer.evaluate(params)
+    assert 0 <= res[10][0] <= 1
