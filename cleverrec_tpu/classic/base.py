@@ -56,12 +56,16 @@ class InteractionData:
 
 
 def topn_from_scores(scores: np.ndarray, seen: np.ndarray, n: int) -> np.ndarray:
-    """Rank ``scores`` [B, I] excluding seen items; returns item ids [B, n]."""
+    """Rank ``scores`` [B, I] excluding seen items; returns item ids [B, n],
+    -1 for slots where fewer than n unseen items exist (callers skip
+    negative ids)."""
     s = np.where(seen, -np.inf, scores)
     top = np.argpartition(-s, kth=min(n, s.shape[1] - 1), axis=1)[:, :n]
     row_scores = np.take_along_axis(s, top, axis=1)
     order = np.argsort(-row_scores, axis=1, kind="stable")
-    return np.take_along_axis(top, order, axis=1)
+    top = np.take_along_axis(top, order, axis=1)
+    row_scores = np.take_along_axis(row_scores, order, axis=1)
+    return np.where(np.isfinite(row_scores), top, -1)
 
 
 def evaluate_topn(model, data: InteractionData, n: int = 10,

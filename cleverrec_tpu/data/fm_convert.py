@@ -55,9 +55,12 @@ def convert_dataset(root_dir: str, dataset: str, file_name: str, sep: str,
     """CLI-friendly wrapper: reads a UIR(T) file and writes
     <dataset>.train.libfm / <dataset>.test.libfm next to it."""
     path = os.path.join(root_dir, dataset, file_name)
-    df = pd.read_csv(path, sep=sep, header=0,
-                     names=["u_id", "i_id", "rating", "time"],
-                     usecols=[0, 1, 2], engine="python")
+    with open(path) as f:
+        f.readline()
+        n_fields = len(f.readline().rstrip("\r\n").split(sep))
+    names = ["u_id", "i_id", "rating", "time"][: max(min(n_fields, 4), 3)]
+    df = pd.read_csv(path, sep=sep, header=0, names=names,
+                     usecols=list(range(len(names))), engine="python")
     out_dir = out_dir or os.path.join(root_dir, dataset)
     out_train = os.path.join(out_dir, f"{dataset}.train.libfm")
     out_test = os.path.join(out_dir, f"{dataset}.test.libfm")

@@ -86,6 +86,11 @@ class Evaluator:
         score+bitmap-mask kernel, then top_k."""
         from cleverrec_tpu.ops.pallas_scores import fused_dot_topk_scores
         u_vecs, table, bias = self.model.dot_decomposition(params, u, aux)
+        if self.model.cml_like:
+            # Negate INSIDE the dot (-u).q so the kernel's -3e38 seen mask
+            # stays the worst score; never negate after masking.
+            u_vecs = -u_vecs
+            bias = None if bias is None else -bias
         interpret = jax.default_backend() != "tpu"
         scores = fused_dot_topk_scores(u_vecs, table, seen_bits,
                                        interpret=interpret)
@@ -93,8 +98,6 @@ class Evaluator:
             # Bias after masking keeps masked slots at -3e38 (bias is
             # bounded); ranking unaffected.
             scores = scores + bias[None, :]
-        if self.model.cml_like:
-            scores = -scores
         v, items = jax.lax.top_k(scores, self.kmax)
         # Kernel masks with a finite -3e38 sentinel; same PAD guard.
         return jnp.where(v > -1e37, items, PAD_ITEM)

@@ -205,10 +205,14 @@ class EATNN(RecModel):
     def build_aux(self, device_data, data) -> dict:
         if data.user_friends is None:
             raise ValueError("EATNN requires social_file")
-        from cleverrec_tpu.models.graph import _social_arrays
-        sf_u, sf_v, friends_tbl = _social_arrays(data.user_friends,
-                                                 self.meta.user_nums)
-        return {"sf_u_e": sf_u, "sf_v_e": sf_v}
+        import numpy as np
+        sf_u, sf_v = [], []
+        for u, friends in data.user_friends.items():
+            for v in friends:
+                sf_u.append(u)
+                sf_v.append(v)
+        return {"sf_u_e": np.asarray(sf_u, np.int32),
+                "sf_v_e": np.asarray(sf_v, np.int32)}
 
     def init(self, key) -> Params:
         d = self.embed_size

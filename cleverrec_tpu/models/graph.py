@@ -57,6 +57,13 @@ def _social_arrays(user_friends, user_nums):
     return (np.asarray(sf_u, np.int32), np.asarray(sf_v, np.int32), tbl)
 
 
+def _uniform_row_values(rows, n_rows) -> np.ndarray:
+    """Per-edge 1/deg(row): the uniform row-softmax over an edge list."""
+    deg = np.zeros(n_rows)
+    np.add.at(deg, rows, 1.0)
+    return (1.0 / np.maximum(deg[rows], 1.0)).astype(np.float32)
+
+
 def _sample_fixed_neighbors(sets: dict[int, list[int]], n_entities: int,
                             width: int, sentinel: int,
                             rng: np.random.Generator) -> np.ndarray:
@@ -307,10 +314,11 @@ class SoHRML(_DualDomainBase):
             "adj_i_col": np.asarray(cols_i, np.int32),
             "adj_s_row": np.asarray(rows_s, np.int32),
             "adj_s_col": np.asarray(cols_s, np.int32),
-            # Attention values refreshed per epoch (pre_epoch); start with
-            # uniform row-softmax equivalents (zeros -> softmax uniform).
-            "att_i": np.zeros(len(rows_i), np.float32),
-            "att_s": np.zeros(len(rows_s), np.float32),
+            # Attention values refreshed per epoch (pre_epoch); start at
+            # the true uniform row-softmax (1/row-degree) so scoring a
+            # freshly-initialized model is already well-defined.
+            "att_i": _uniform_row_values(rows_i, U + I),
+            "att_s": _uniform_row_values(rows_s, U),
             "sf_u": sf_u, "sf_v": sf_v,
         }
 

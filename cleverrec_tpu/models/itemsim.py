@@ -103,9 +103,6 @@ class NAIS(RecModel):
     name = "NAIS"
     sampler = "pointwise"
 
-    # Histories are processed in fixed chunks so [B, chunk, d] stays small.
-    HIST_CHUNK = 256
-
     def __init__(self, cfg, meta):
         super().__init__(cfg, meta)
         cfg.require("embed_size", "atten_size", "reg", "beta")

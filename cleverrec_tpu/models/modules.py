@@ -6,9 +6,10 @@ Segment-sum neighborhood aggregation replaces the reference's per-batch
 (u, i) pair list is the same math with sequential memory traffic and no
 sparse-format bookkeeping.
 
-Masked history attention (NAIS-style) is computed in a numerically-stable
-streaming form over fixed-size history chunks so peak memory stays
-O(B * chunk * d) instead of O(B * H * d) for the longest histories.
+Masked history attention (NAIS-style) is computed in one numerically-stable
+pass over the padded history; peak memory is O(B * H * d), so callers
+bound B by the history width (NAIS shrinks its eval chunk sizes,
+models/itemsim.py SCORE_ALL_CHUNK).
 """
 
 from __future__ import annotations

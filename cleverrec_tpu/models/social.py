@@ -44,7 +44,10 @@ class _SocialTripleBase(RecModel):
 
     # Subclasses fill self._spu/self._suk in build_aux.
     def _social_aux(self, device_data, spu, suk):
-        t = build_member_table(spu, self.meta.user_nums, self.meta.item_nums)
+        # SPu tables are only membership-TESTED (the sbpr negative rejects
+        # against seen UNION SPu); skip the unused complement allocation.
+        t = build_member_table(spu, self.meta.user_nums, self.meta.item_nums,
+                               complement_budget=0)
         suk_arr = np.zeros_like(t.rows, dtype=np.float32)
         for u, counts in suk.items():
             suk_arr[u, : len(counts)] = counts

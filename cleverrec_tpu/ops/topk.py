@@ -38,10 +38,10 @@ def streaming_topk(score_chunk_fn: Callable[[Array], Array], item_nums: int,
     seen/invalid items must be -inf).  Returns (values, ids) [B, k].
     """
     n_chunks = -(-item_nums // chunk)
-    padded = n_chunks * chunk
-    first = score_chunk_fn(jnp.arange(chunk, dtype=jnp.int32))
-    b = first.shape[0]
-    neg = jnp.full((b, k), -jnp.inf, first.dtype)
+    out_shape = jax.eval_shape(score_chunk_fn,
+                               jax.ShapeDtypeStruct((chunk,), jnp.int32))
+    b = out_shape.shape[0]
+    neg = jnp.full((b, k), -jnp.inf, out_shape.dtype)
     zero_ids = jnp.zeros((b, k), jnp.int32)
 
     def body(carry, c_idx):

@@ -66,7 +66,11 @@ class Trainer:
         # Optional popularity-proportional negatives (neg_sampling config;
         # the reference is uniform-only).
         if cfg.str("neg_sampling", "uniform") == "popularity":
-            import numpy as np
+            if model.sampler in ("sbpr", "samn"):
+                raise ValueError(
+                    "neg_sampling=popularity is not supported for the "
+                    f"{model.sampler!r} protocol (its negatives have "
+                    "social-exclusion semantics); use uniform")
             deg = np.zeros(self.dd.item_nums, np.float64)
             np.add.at(deg, self.dd.pos_i, 1.0)
             arrays["pop_cdf"] = jnp.asarray(
@@ -188,7 +192,8 @@ class Trainer:
             perm_s, valid_s = sampling.epoch_permutation(ks, m_s, steps * b_s)
             batch_i = sampling.pairwise_batch(
                 kbi, perm_i, valid_i, arrays["pos_u"], arrays["pos_i"],
-                arrays["seen"], item_nums, neg_ratio)
+                arrays["seen"], item_nums, neg_ratio,
+                pop_cdf=arrays.get("pop_cdf"))
             batch_s = sampling.social_pairwise_batch(
                 kbs, perm_s, valid_s, arrays["sf_u"], arrays["sf_v"],
                 arrays["friends_tbl"], user_nums, neg_ratio)
@@ -232,6 +237,9 @@ class Trainer:
         """Resume a run from a full train-state checkpoint."""
         from cleverrec_tpu.train.checkpoint import load_checkpoint
         params = self.model.init(jax.random.PRNGKey(0))
+        if self.mesh is not None:
+            from cleverrec_tpu.parallel.sharding import shard_params
+            params = shard_params(params, self.model.meta, self.mesh)
         opt_state = self.optimizer.init(params)
         template = {"params": params, "opt_state": opt_state,
                     "epoch": jnp.asarray(0),
