@@ -81,3 +81,30 @@ def test_resume_roundtrip(toy_dataset, tmp_path):
     np.testing.assert_allclose(np.asarray(p2["P"]), np.asarray(params["P"]))
     p3, o3, loss = trainer.train_epoch(p2, o2)
     assert np.isfinite(loss)
+
+
+def test_nais_warm_start_from_fism(toy_dataset, tmp_path):
+    _, _, fism_params, _ = _train(
+        "FISM", toy_dataset, tmp_path,
+        {"is_pairwise": "True", "loss_func": "bpr", "reg": "0.001",
+         "reg_bias": "0.001", "alpha": "0.4", "fism_like": "True"})
+    path = save_checkpoint(str(tmp_path / "fism"), fism_params)
+    cfg = base_config(toy_dataset, **{
+        "recommender": "NAIS", "is_pairwise": "False",
+        "loss_func": "cross_entropy", "reg": "0.001", "atten_size": "4",
+        "beta": "0.5", "atten_type": "prod", "epoches": "1",
+        "batch_size": "64", "embed_size": "8", "fism_pretrain": path})
+    from cleverrec_tpu.data import load_ranking_data
+    from cleverrec_tpu.models import make_model
+    from cleverrec_tpu.models.base import DataMeta
+    from cleverrec_tpu.train import Trainer
+    data = load_ranking_data(cfg)
+    model = make_model(cfg, DataMeta(data.user_nums, data.item_nums))
+    trainer = Trainer(model, data, cfg)
+    params, opt_state = trainer.init_state()
+    np.testing.assert_allclose(np.asarray(params["P"]),
+                               np.asarray(fism_params["P"]))
+    np.testing.assert_allclose(np.asarray(params["bias"]),
+                               np.asarray(fism_params["b"]))
+    _, _, loss = trainer.train_epoch(params, opt_state)
+    assert np.isfinite(loss)

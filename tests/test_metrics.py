@@ -96,3 +96,36 @@ def test_rmse_mae():
     rmse, mae = rmse_mae([1.0, 2.0, 3.0], [1.5, 2.0, 2.0])
     assert mae == pytest.approx((0.5 + 0.0 + 1.0) / 3)
     assert rmse == pytest.approx(np.sqrt((0.25 + 0.0 + 1.0) / 3))
+
+
+def test_standard_mrr_flag_through_evaluator(tmp_path):
+    """metrics.standard_mrr switches the evaluator to first-hit MRR."""
+    from cleverrec_tpu.data import load_ranking_data
+    from cleverrec_tpu.models import make_model
+    from cleverrec_tpu.models.base import DataMeta
+    from cleverrec_tpu.train import Trainer
+    from tests.conftest import base_config, make_toy_interactions
+    ds = tmp_path / "toy"
+    ds.mkdir()
+    make_toy_interactions(ds / "ratings.csv")
+    toy = {"root": str(tmp_path), "name": "toy"}
+    ov = {"data.split_way": "rs", "test.neg_samples": "0", "epoches": "1",
+          "batch_size": "64", "embed_size": "8", "lr": "0.05",
+          "is_pairwise": "True", "loss_func": "bpr", "reg": "0.01"}
+    cfg_ref = base_config(toy, **ov)
+    cfg_std = base_config(toy, **{**ov, "metrics.standard_mrr": "True"})
+    data = load_ranking_data(cfg_ref)
+    model = make_model(cfg_ref, DataMeta(data.user_nums, data.item_nums))
+    tr = Trainer(model, data, cfg_ref)
+    params, opt = tr.init_state()
+    params, _, _ = tr.train_epoch(params, opt)
+    r_ref = tr.evaluate(params)
+    tr_std = Trainer(model, data, cfg_std)
+    r_std = tr_std.evaluator.evaluate(params, tr.arrays)
+    # Same HR/NDCG; reference "MRR" (sum of reciprocal ranks over all test
+    # items) >= standard first-hit MRR, strictly greater with multi-item
+    # test sets.
+    for k in r_ref:
+        assert r_std[k][0] == pytest.approx(r_ref[k][0])
+        assert r_std[k][2] == pytest.approx(r_ref[k][2])
+        assert r_std[k][1] <= r_ref[k][1] + 1e-9
