@@ -255,6 +255,33 @@ class RML_DGATs(_DualDomainBase):
 
     SCORE_ALL_CHUNK = 512
 
+    def score_candidates(self, params: Params, u, cand, aux: Aux):
+        """Candidate scoring with the USER-side GAT computed once per user
+        (the default flattened path recomputes it per candidate)."""
+        P, Q = params["P"], params["Q"]
+        U, I = self.meta.user_nums, self.meta.item_nums
+        b, c = cand.shape
+        un_i = self._gat(params, aux["user_nbrs_i"], u, P[u], I, Q, False)
+        cc = 16
+        n_chunks = -(-c // cc)
+        pad = n_chunks * cc - c
+        cand_p = jnp.pad(cand, ((0, 0), (0, pad)))
+        chunks = jnp.moveaxis(cand_p.reshape(b, n_chunks, cc), 1, 0)
+
+        def one(c_chunk):                               # [B, cc]
+            flat = c_chunk.reshape(-1)
+            in_ = self._gat(params, aux["item_nbrs"], flat, Q[flat], U, P,
+                            False)                      # [B*cc, d]
+            un_rep = jnp.repeat(un_i, cc, axis=0)
+            r = self._relation(params, un_rep, in_)
+            pu = jnp.repeat(P[u], cc, axis=0)
+            d = jnp.sum(jnp.square(pu + r - Q[flat]), axis=1)
+            return d.reshape(b, cc)
+
+        out = jax.lax.map(one, chunks)
+        out = jnp.moveaxis(out, 0, 1).reshape(b, n_chunks * cc)
+        return out[:, :c]
+
 
 class SoHRML(_DualDomainBase):
     name = "SoHRML"

@@ -148,3 +148,19 @@ def test_cml_ranks_ascending(toy_dataset, toy_social_dataset):
         want = c[np.argsort(s, kind="stable")][: items.shape[1]]
         # Distances unique in practice; compare sets of top items.
         assert set(items[r].tolist()) == set(want.tolist())
+
+
+def test_rml_dgats_score_candidates_matches_pairs(toy_dataset,
+                                                  toy_social_dataset):
+    cfg, data, model = _setup("RML_DGATs", toy_dataset, toy_social_dataset)
+    trainer = Trainer(model, data, cfg)
+    params, _ = trainer.init_state()
+    dd = trainer.dd
+    u = jnp.asarray(dd.test_users[:6])
+    cand = jnp.asarray(dd.cand[:6])
+    fast = model.score_candidates(params, u, cand, trainer.arrays)
+    b, c = cand.shape
+    slow = model.score_pairs(params, jnp.repeat(u, c), cand.reshape(-1),
+                             trainer.arrays).reshape(b, c)
+    np.testing.assert_allclose(np.asarray(fast), np.asarray(slow),
+                               rtol=3e-4, atol=3e-5)
