@@ -39,6 +39,10 @@ def build_parser() -> argparse.ArgumentParser:
                         "runs (env-configured coordinator)")
     p.add_argument("--resume", default=None, metavar="CKPT",
                    help="resume from a train-state checkpoint directory")
+    p.add_argument("--tune", action="store_true",
+                   help="grid-search list-valued keys (embed_size/reg/"
+                        "neg_ratio, the main_tuning.py axes) instead of a "
+                        "single run")
     return p
 
 
@@ -97,6 +101,11 @@ def main(argv=None):
         import jax
         jax.distributed.initialize()
     cfg = Config.from_properties(args.config, args.conf_dir, overrides)
+    if args.tune:
+        from cleverrec_tpu.tuning import run_grid
+        logger = get_logger(cfg.get("log.dir"), cfg.recommender + "_tune")
+        run_grid(cfg, logger=logger)
+        return 0
     run_experiment(cfg, mesh_shape=args.mesh, resume_from=args.resume)
     return 0
 

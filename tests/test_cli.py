@@ -82,3 +82,14 @@ stddev=0.01
 """)
     # --model swaps the recommender; the drifted reg_gmf key aliases to reg.
     assert main(["--config", props, "--model", "GMF"]) == 0
+
+
+def test_cli_tune(tmp_path):
+    ds = tmp_path / "data" / "toycli"
+    ds.mkdir(parents=True)
+    make_toy_interactions(ds / "ratings.csv")
+    props = _write_props(tmp_path, str(tmp_path / "data"))
+    # List-valued embed_size becomes a grid axis under --tune.
+    rc = main(["--config", props, "--tune", "--set", "embed_size=[4,8]",
+               "--set", "epoches=1"])
+    assert rc == 0
