@@ -18,8 +18,8 @@ from cleverrec_tpu.sampling import build_member_table, member
 
 
 class LFM:
-    def __init__(self, factors: int = 64, lr: float = 0.05,
-                 reg: float = 0.001, neg_ratio: int = 3, iters: int = 15,
+    def __init__(self, factors: int = 64, lr: float = 0.01,
+                 reg: float = 1e-5, neg_ratio: int = 3, iters: int = 30,
                  batch: int = 8192, seed: int = 0):
         self.f = factors
         self.lr = lr
