@@ -92,13 +92,16 @@ class Evaluator:
             u_vecs = -u_vecs
             bias = None if bias is None else -bias
         interpret = jax.default_backend() != "tpu"
-        scores = fused_dot_topk_scores(u_vecs, table, seen_bits,
-                                       interpret=interpret)
+        scores, item_map = fused_dot_topk_scores(u_vecs, table, seen_bits,
+                                                 interpret=interpret)
         if bias is not None:
             # Bias after masking keeps masked slots at -3e38 (bias is
-            # bounded); ranking unaffected.
-            scores = scores + bias[None, :]
-        v, items = jax.lax.top_k(scores, self.kmax)
+            # bounded); ranking unaffected.  Scores are in the kernel's
+            # permuted column order, so permute the bias to match.
+            scores = scores + jnp.pad(bias, (0, item_map.shape[0]
+                                             - bias.shape[0]))[item_map][None, :]
+        v, idx = jax.lax.top_k(scores, self.kmax)
+        items = item_map[idx]
         # Kernel masks with a finite -3e38 sentinel; same PAD guard.
         return jnp.where(v > -1e37, items, PAD_ITEM)
 

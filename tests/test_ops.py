@@ -57,12 +57,17 @@ def test_fused_dot_kernel_matches_reference():
         seen[r, s] = True
         np.bitwise_or.at(bits[r], s >> 5, np.uint32(1) << (s & 31))
 
-    got = fused_dot_topk_scores(jnp.asarray(u), jnp.asarray(q),
-                                jnp.asarray(bits), block_b=8, block_i=64,
-                                interpret=True)
+    got_perm, item_map = fused_dot_topk_scores(
+        jnp.asarray(u), jnp.asarray(q), jnp.asarray(bits), block_b=8,
+        interpret=True)
+    # Undo the kernel's column permutation, drop padded columns.
+    imap = np.asarray(item_map)
+    got = np.empty((b, imap.shape[0]), np.float32)
+    got[:, imap] = np.asarray(got_perm)
+    got = got[:, :i]
     want = u @ q.T
     want[seen] = -3.0e38
-    np.testing.assert_allclose(np.asarray(got), want, rtol=2e-5, atol=2e-5)
+    np.testing.assert_allclose(got, want, rtol=2e-5, atol=2e-5)
 
 
 def test_fused_kernel_topk_excludes_seen():
@@ -77,10 +82,11 @@ def test_fused_kernel_topk_excludes_seen():
         s = rng.choice(i, size=30, replace=False)
         seen_sets.append(set(int(x) for x in s))
         np.bitwise_or.at(bits[r], s >> 5, np.uint32(1) << (s & 31))
-    scores = fused_dot_topk_scores(jnp.asarray(u), jnp.asarray(q),
-                                   jnp.asarray(bits), block_b=4, block_i=32,
-                                   interpret=True)
-    _, top = jax.lax.top_k(scores, 10)
+    scores, item_map = fused_dot_topk_scores(jnp.asarray(u), jnp.asarray(q),
+                                             jnp.asarray(bits), block_b=4,
+                                             interpret=True)
+    _, idx = jax.lax.top_k(scores, 10)
+    top = item_map[idx]
     for r in range(b):
         assert not (set(np.asarray(top[r]).tolist()) & seen_sets[r])
 
