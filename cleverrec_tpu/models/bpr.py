@@ -8,7 +8,6 @@ full-catalog prediction = U_batch @ Q^T.
 
 from __future__ import annotations
 
-import jax
 import jax.numpy as jnp
 
 from cleverrec_tpu.common import l2_loss, pairwise_loss

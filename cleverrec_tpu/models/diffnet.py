@@ -22,9 +22,9 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-from cleverrec_tpu.common import bpr_loss, init_param, l2_loss, pairwise_loss
+from cleverrec_tpu.common import init_param, l2_loss, pairwise_loss
 from cleverrec_tpu.models.base import Aux, Params, RecModel
-from cleverrec_tpu.models.gcn import LightGCN, _bipartite_edges
+from cleverrec_tpu.models.gcn import LightGCN
 
 
 def _mean_edges(pairs_a, pairs_b, n_a):

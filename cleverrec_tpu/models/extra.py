@@ -27,10 +27,8 @@ from __future__ import annotations
 import jax
 import jax.numpy as jnp
 
-from cleverrec_tpu.common import (bpr_loss, hinge_loss, init_param, l2_loss,
-                                  pairwise_loss, sigmoid_xent_loss)
+from cleverrec_tpu.common import init_param, l2_loss, pairwise_loss
 from cleverrec_tpu.models.base import Aux, Params, RecModel
-from cleverrec_tpu.models.ncf import mlp_tower
 
 
 class WMF(RecModel):

@@ -28,7 +28,7 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-from cleverrec_tpu.common import clip_rows_by_norm, hinge_loss, l2_loss, pairwise_loss
+from cleverrec_tpu.common import clip_rows_by_norm, hinge_loss, l2_loss
 from cleverrec_tpu.models.base import Aux, Params, RecModel
 from cleverrec_tpu.models.modules import segment_mean_embeddings
 

@@ -26,7 +26,7 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-from cleverrec_tpu.common import bpr_loss, init_param, l2_loss, pairwise_loss
+from cleverrec_tpu.common import bpr_loss, l2_loss, pairwise_loss
 from cleverrec_tpu.models.base import Aux, Params, RecModel
 from cleverrec_tpu.sampling import MemberTable, build_member_table
 

@@ -15,7 +15,6 @@ from __future__ import annotations
 
 import jax
 import jax.numpy as jnp
-import numpy as np
 
 
 def build_retrieval_fn(model, params, arrays, device_data, k: int = 10,

@@ -15,7 +15,6 @@ loss averaged over the number of batches (RankingRecommender.py:61).
 from __future__ import annotations
 
 import time
-from functools import partial
 from typing import Any
 
 import jax
