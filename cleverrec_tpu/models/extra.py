@@ -66,6 +66,9 @@ class WMF(RecModel):
         return jnp.dot(params["P"][u], params["Q"].T,
                        preferred_element_type=jnp.float32)
 
+    def dot_decomposition(self, params: Params, u, aux: Aux):
+        return params["P"][u], params["Q"], None
+
 
 class DMF(RecModel):
     name = "DMF"
@@ -269,3 +272,6 @@ class EATNN(RecModel):
     def score_all(self, params: Params, u, aux: Aux):
         uv = self._user_vec(params, u, "item")
         return jnp.dot(uv, params["Q"].T, preferred_element_type=jnp.float32)
+
+    def dot_decomposition(self, params: Params, u, aux: Aux):
+        return self._user_vec(params, u, "item"), params["Q"], None

@@ -99,6 +99,10 @@ class LightGCN(RecModel):
         u_g, i_g = self._propagate(params, aux)
         return jnp.dot(u_g[u], i_g.T, preferred_element_type=jnp.float32)
 
+    def dot_decomposition(self, params: Params, u, aux: Aux):
+        u_g, i_g = self._propagate(params, aux)
+        return u_g[u], i_g, None
+
 
 class NGCF(RecModel):
     name = "NGCF"

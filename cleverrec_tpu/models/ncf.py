@@ -71,6 +71,12 @@ class GMF(RecModel):
         return jax.nn.sigmoid(jnp.dot(uh, params["Q"].T,
                                       preferred_element_type=jnp.float32))
 
+    def dot_decomposition(self, params: Params, u, aux: Aux):
+        """Fused-eval form: sigmoid is monotonic, so ranking the raw
+        logits (P[u] (.) h) . Q equals ranking the reference's sigmoid
+        scores."""
+        return params["P"][u] * params["h_gmf"], params["Q"], None
+
 
 class MLP(RecModel):
     name = "MLP"

@@ -95,6 +95,9 @@ class _SocialTripleBase(RecModel):
         return jnp.dot(params["P"][u], params["Q"].T,
                        preferred_element_type=jnp.float32)
 
+    def dot_decomposition(self, params: Params, u, aux: Aux):
+        return params["P"][u], params["Q"], None
+
 
 class SBPR(_SocialTripleBase):
     name = "SBPR"
@@ -241,6 +244,10 @@ class SAMN(RecModel):
         return (jnp.dot(uv, params["Q"].T,
                         preferred_element_type=jnp.float32)
                 + params["i_b"][None, :])
+
+    def dot_decomposition(self, params: Params, u, aux: Aux):
+        friends = aux["friends_padded"][u]
+        return self._user_vec(params, u, friends), params["Q"], params["i_b"]
 
 
 class SAMNSingle(SAMN):

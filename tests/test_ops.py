@@ -119,3 +119,41 @@ def test_fused_eval_matches_standard(tmp_path):
     r_fused = t_fused.evaluator.evaluate(params, t_std.arrays)
     for k in r_std:
         assert r_fused[k] == pytest.approx(r_std[k], abs=1e-9), k
+
+
+@pytest.mark.parametrize("name,ov", [
+    ("GMF", {"is_pairwise": "False", "loss_func": "cross_entropy",
+             "reg": "0.01"}),
+    ("WMF", {"is_pairwise": "False", "loss_func": "square", "reg": "0.001",
+             "alpha": "5.0"}),
+    ("LightGCN", {"is_pairwise": "True", "loss_func": "bpr",
+                  "reg": "0.0001", "n_layers": "2"}),
+])
+def test_fused_eval_matches_standard_other_models(tmp_path, name, ov):
+    import numpy as np
+    from cleverrec_tpu.data import load_ranking_data
+    from cleverrec_tpu.models import make_model
+    from cleverrec_tpu.models.base import DataMeta
+    from cleverrec_tpu.train import Trainer
+    from tests.conftest import base_config, make_toy_interactions
+    ds = tmp_path / "toy"
+    ds.mkdir()
+    make_toy_interactions(ds / "ratings.csv")
+    base = {"data.split_way": "rs", "test.neg_samples": "0", "epoches": "1",
+            "batch_size": "64", "embed_size": "16", "lr": "0.05",
+            "recommender": name}
+    base.update(ov)
+    toy = {"root": str(tmp_path), "name": "toy"}
+    cfg_std = base_config(toy, **base)
+    cfg_fused = base_config(toy, **{**base, "eval.fused_kernel": "True"})
+    data = load_ranking_data(cfg_std)
+    model = make_model(cfg_std, DataMeta(data.user_nums, data.item_nums))
+    t_std = Trainer(model, data, cfg_std)
+    t_fused = Trainer(model, data, cfg_fused)
+    assert t_fused.evaluator._use_fused
+    params, opt = t_std.init_state()
+    params, opt, _ = t_std.train_epoch(params, opt)
+    r_std = t_std.evaluate(params)
+    r_fused = t_fused.evaluator.evaluate(params, t_std.arrays)
+    for k in r_std:
+        assert r_fused[k] == pytest.approx(r_std[k], abs=1e-9), (name, k)
