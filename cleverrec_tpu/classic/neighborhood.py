@@ -9,11 +9,13 @@ Vectorized sparse-matrix forms of the reference's dict-of-dict loops:
 - ItemCF (Basic/ItemCF.py:43-100): C = A^T W A (W = I or 'iuf' =
   diag(1/log(1+user degree))), "Harry Potter" popularity penalty
   s(i, j) = c / (deg_i^(1-alpha) * deg_j^alpha), optional row max-norm;
-  score(u, j) = sum over u's items i of s(i, j) using each item's top-K
-  list.  (The reference's rank-time variant re-selects the K most similar
-  items *not seen by u* per user; we use its documented fixed top-K
-  alternative — Basic/ItemCF.py:88-93 — which is user-independent and
-  vectorizes.)
+  score(u, j) = sum over u's items i of s(i, j).  Two neighbor-selection
+  variants, both from the reference: the default ``rank_time_topk=True``
+  reproduces its primary path (Basic/ItemCF.py:80-87 "方式1": per user,
+  walk each seen item's neighbors in descending similarity, skipping the
+  user's seen items, until K unseen neighbors are collected);
+  ``rank_time_topk=False`` is its documented fixed top-K alternative
+  (Basic/ItemCF.py:88-93 "方式2"), user-independent and fully vectorized.
 - ContentKNN (Basic/ContentKNN.py): item-item cosine over a content
   (genre/keyword) feature matrix instead of co-occurrence.
 """
@@ -81,11 +83,13 @@ class UserCF:
 
 class ItemCF:
     def __init__(self, k: int = 10, sim_type: str = "cosine",
-                 alpha: float = 0.5, normalize: bool = False):
+                 alpha: float = 0.5, normalize: bool = False,
+                 rank_time_topk: bool = False):
         self.k = k
         self.sim_type = sim_type
         self.alpha = alpha
         self.normalize = normalize
+        self.rank_time_topk = rank_time_topk
 
     def fit(self, data: InteractionData):
         self.data = data
@@ -104,17 +108,44 @@ class ItemCF:
         denom = (np.power(di[c.row], 1.0 - self.alpha)
                  * np.power(di[c.col], self.alpha))
         sim = sp.csr_matrix((c.data / denom, (c.row, c.col)), shape=c.shape)
-        sim = _topk_sparsify(sim, self.k)
         if self.normalize:
             row_max = sim.max(axis=1).toarray().ravel()
             inv = sp.diags(1.0 / np.maximum(row_max, 1e-12))
             sim = (inv @ sim).tocsr()
-        self.sim_k = sim
+        if self.rank_time_topk:
+            # Reference primary path needs each item's FULL neighbor list
+            # sorted by similarity descending (k unseen neighbors are
+            # re-selected per user at rank time, Basic/ItemCF.py:80-87).
+            self._nbr_ids, self._nbr_vals = [], []
+            for r in range(sim.shape[0]):
+                lo, hi = sim.indptr[r], sim.indptr[r + 1]
+                order = np.argsort(-sim.data[lo:hi], kind="stable")
+                self._nbr_ids.append(sim.indices[lo:hi][order])
+                self._nbr_vals.append(sim.data[lo:hi][order])
+            self.sim_k = None
+        else:
+            self.sim_k = _topk_sparsify(sim, self.k)
         return self
 
     def recommend(self, users, n: int) -> np.ndarray:
-        scores = (self.data.train[users] @ self.sim_k).toarray()
-        return topn_from_scores(scores, self.data.seen_mask(users), n)
+        users = np.asarray(users)
+        seen_mask = self.data.seen_mask(users)
+        if not self.rank_time_topk:
+            scores = (self.data.train[users] @ self.sim_k).toarray()
+            return topn_from_scores(scores, seen_mask, n)
+        # Rank-time re-selection: per (user, seen item i), accumulate the
+        # first k unseen neighbors of i (descending similarity).
+        train = self.data.train.tocsr()
+        scores = np.zeros((len(users), train.shape[1]))
+        for r, u in enumerate(users):
+            seen_u = seen_mask[r]
+            for i in train[u].indices:
+                ids, vals = self._nbr_ids[i], self._nbr_vals[i]
+                unseen = ~seen_u[ids]
+                # First k unseen positions in sorted order.
+                keep = unseen & (np.cumsum(unseen) <= self.k)
+                np.add.at(scores[r], ids[keep], vals[keep])
+        return topn_from_scores(scores, seen_mask, n)
 
 
 class ContentKNN(ItemCF):

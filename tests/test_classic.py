@@ -62,6 +62,54 @@ def test_classic_beats_random(blocky, model_fn):
     assert 0 < metrics["coverage"] <= 1
 
 
+def test_itemcf_rank_time_topk(blocky):
+    """The rank-time variant (reference's primary path, Basic/ItemCF.py:
+    80-87) must match a literal dict-loop oracle of that algorithm."""
+    data, _ = blocky
+    model = ItemCF(k=5, rank_time_topk=True).fit(data)
+    metrics = evaluate_topn(model, data, n=10)
+    assert metrics["precision"] > 2 * _floor(data), metrics
+
+    # Oracle: per user, per seen item i, walk i's neighbors sorted by
+    # similarity desc, skip seen, take first k, sum similarities.
+    train = data.train.tocsr()
+    # Rebuild the *unsparsified* similarity the same way fit does.
+    import scipy.sparse as sp
+    a = data.train
+    deg_i = np.asarray(a.sum(axis=0)).ravel()
+    c = (a.T @ a).tocsr()
+    c.setdiag(0)
+    c.eliminate_zeros()
+    c = c.tocoo()
+    di = np.maximum(deg_i, 1e-9)
+    sim = sp.csr_matrix(
+        (c.data / (np.power(di[c.row], 0.5) * np.power(di[c.col], 0.5)),
+         (c.row, c.col)), shape=c.shape).tocsr()
+    users = np.arange(6)
+    got = model.recommend(users, 10)
+    for r, u in enumerate(users):
+        seen = set(train[u].indices.tolist())
+        scores = {}
+        for i in train[u].indices:
+            lo, hi = sim.indptr[i], sim.indptr[i + 1]
+            nbrs = sorted(zip(sim.data[lo:hi], sim.indices[lo:hi]),
+                          key=lambda t: -t[0])
+            k_count = 0
+            for s, j in nbrs:
+                if k_count >= 5:
+                    break
+                if j not in seen:
+                    scores[j] = scores.get(j, 0.0) + s
+                    k_count += 1
+        want = [j for j, _ in sorted(scores.items(),
+                                     key=lambda t: (-t[1], t[0]))][:10]
+        got_row = [x for x in got[r].tolist() if x >= 0]
+        # Score sets must match (ties can reorder within equal scores).
+        want_scores = sorted(round(scores[j], 9) for j in want)
+        got_scores = sorted(round(scores[j], 9) for j in got_row)
+        assert got_scores == want_scores
+
+
 def test_content_knn(blocky):
     data, _ = blocky
     # Content features matching the planted block structure.

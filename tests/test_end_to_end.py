@@ -90,13 +90,19 @@ def test_eval_no_leak_when_k_exceeds_candidates(blocky):
     items = np.asarray(ev._rank_fn(params, trainer.arrays, u,
                                    jnp.asarray(trainer.dd.cand[:4]),
                                    jnp.asarray(trainer.dd.cand_mask[:4])))
-    # 4 candidates (3 neg + 1 truth), k=10 -> 6 PAD slots per row.
-    assert items.shape[1] == 4 or (items == -1).sum(axis=1).min() >= 0
+    # 4 candidates (3 neg + 1 truth), kmax=10 -> ranker truncates to
+    # min(kmax, width) columns; every valid candidate must surface and any
+    # PAD slots must sit at the tail.
+    assert items.shape[1] == min(10, trainer.dd.cand.shape[1])
     for r in range(4):
         valid = set(np.asarray(trainer.dd.cand[r])[
             np.asarray(trainer.dd.cand_mask[r])].tolist())
-        got = [x for x in items[r].tolist() if x != -1]
+        row = items[r].tolist()
+        got = [x for x in row if x != -1]
         assert set(got) <= valid
+        assert len(got) == min(items.shape[1], len(valid))
+        # PAD (-1) only after the last real item.
+        assert row[:len(got)] == got
     # Metrics still compute.
     res = trainer.evaluate(params)
     assert 0 <= res[10][0] <= 1
