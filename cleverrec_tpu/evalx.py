@@ -12,9 +12,20 @@ Protocol parity with the reference evaluator (RankingRecommender.py:198-299):
   reference's Python "skip seen while collecting" loop,
 - ``cml_like`` distance models rank ascending (:222-225, :285-288).
 
-Everything device-side is fixed-shape: test users are processed in padded
-batches; one ``lax.top_k`` per batch replaces the reference's per-user
-``np.argsort`` over the whole catalog.
+TPU-native structure: the WHOLE evaluation is one jitted device program —
+a ``lax.scan`` over padded user batches where each step ranks and reduces
+straight to per-K metric sums (the reference's HR/MRR/NDCG formulas,
+utils/metrics.py:9-19, re-derived in jnp).  The host receives one tiny
+[n_K, 3] array per eval instead of per-batch score matrices.
+
+Full-catalog backends, picked at construction:
+
+- ``full_fused``: Pallas fused score+bitmap-mask kernel for models with a
+  ``dot_decomposition`` (default ON on TPU; ``eval.fused_kernel`` forces),
+- ``full_sharded``: item axis sharded over the mesh 'model' axis — each
+  shard scores + top-Ks its item slice, one all_gather merges
+  (ops/topk.sharded_topk_scores); used whenever a mesh is present,
+- ``full``: plain XLA matmul + mask + top_k.
 """
 
 from __future__ import annotations
@@ -30,28 +41,43 @@ from cleverrec_tpu.metrics import PAD_ITEM, ranking_metrics_topks
 
 
 class Evaluator:
-    def __init__(self, model, device_data: DeviceData, cfg, jit_kwargs=None):
+    def __init__(self, model, device_data: DeviceData, cfg, jit_kwargs=None,
+                 mesh=None):
         self.model = model
         self.dd = device_data
         self.cfg = cfg
+        self.mesh = mesh
         self.topk = cfg.topk
         self.kmax = max(self.topk)
         self.batch_size_t = cfg.test_batch_size
         self.candidate_eval = device_data.cand is not None
-        jk = jit_kwargs or {}
-        # Fused Pallas full-catalog path: opt-in via eval.fused_kernel for
-        # models exposing a (user_vecs, item_table, bias) decomposition,
-        # when the per-user seen bitmaps exist.
-        self._use_fused = (not self.candidate_eval
-                           and cfg.bool("eval.fused_kernel", False)
-                           and hasattr(model, "dot_decomposition")
-                           and device_data.seen.bits is not None)
+        self.standard_mrr = cfg.bool("metrics.standard_mrr", False)
+        self._jk = jit_kwargs or {}
+        # Fused Pallas full-catalog path for models exposing a
+        # (user_vecs, item_table, bias) decomposition: default ON on the
+        # TPU backend (eval.fused_kernel overrides either way).
+        fused_ok = (not self.candidate_eval
+                    and hasattr(model, "dot_decomposition")
+                    and device_data.seen.bits is not None)
+        fused_default = jax.default_backend() == "tpu"
+        self._use_fused = (fused_ok and mesh is None
+                           and cfg.bool("eval.fused_kernel", fused_default))
         if self.candidate_eval:
-            self._rank_fn = jax.jit(self._rank_candidates, **jk)
+            self.mode = "candidate"
+        elif mesh is not None:
+            self.mode = "full_sharded"
         elif self._use_fused:
-            self._rank_fn = jax.jit(self._rank_full_fused, **jk)
+            self.mode = "full_fused"
         else:
-            self._rank_fn = jax.jit(self._rank_full, **jk)
+            self.mode = "full"
+        self._rank_fn = jax.jit({
+            "candidate": self._rank_candidates,
+            "full": self._rank_full,
+            "full_fused": self._rank_full_fused,
+            "full_sharded": self._rank_full_sharded,
+        }[self.mode], **self._jk)
+        self._batches = self._build_batches()
+        self._eval_fn = jax.jit(self._device_eval, **self._jk)
 
     # -- device-side rankers ---------------------------------------------
     def _rank_candidates(self, params, aux, u, cand, mask):
@@ -66,7 +92,7 @@ class Evaluator:
         # leak arbitrary ids into the metrics (PAD_ITEM is ignored there).
         return jnp.where(jnp.isfinite(v), items, PAD_ITEM)
 
-    def _rank_full(self, params, aux, u, seen_rows):
+    def _masked_full_scores(self, params, aux, u, seen_rows):
         scores = self.model.score_all(params, u, aux)      # [B, I]
         if self.model.cml_like:
             scores = -scores
@@ -75,10 +101,29 @@ class Evaluator:
         # lands in the spill column and is sliced off).
         seen = jnp.zeros((b, item_nums + 1), dtype=bool)
         seen = seen.at[jnp.arange(b)[:, None], seen_rows].set(True)[:, :item_nums]
-        scores = jnp.where(seen, -jnp.inf, scores)
+        return jnp.where(seen, -jnp.inf, scores)
+
+    def _rank_full(self, params, aux, u, seen_rows):
+        scores = self._masked_full_scores(params, aux, u, seen_rows)
         v, items = jax.lax.top_k(scores, self.kmax)
         # A user with fewer than kmax unseen items must not surface seen
         # ones (the reference's rank-time skip can't either).
+        return jnp.where(jnp.isfinite(v), items, PAD_ITEM)
+
+    def _rank_full_sharded(self, params, aux, u, seen_rows):
+        """Item-axis-sharded ranking: scores constrained to
+        P(None, 'model'), per-shard top-K + all_gather merge."""
+        from jax.sharding import NamedSharding, PartitionSpec as P
+        from cleverrec_tpu.ops import topk as topk_ops
+        scores = self._masked_full_scores(params, aux, u, seen_rows)
+        n_shards = self.mesh.shape["model"]
+        pad = (-scores.shape[1]) % n_shards
+        if pad:
+            scores = jnp.pad(scores, ((0, 0), (0, pad)),
+                             constant_values=-jnp.inf)
+        scores = jax.lax.with_sharding_constraint(
+            scores, NamedSharding(self.mesh, P(None, "model")))
+        v, items = topk_ops.sharded_topk_scores(scores, self.kmax, self.mesh)
         return jnp.where(jnp.isfinite(v), items, PAD_ITEM)
 
     def _rank_full_fused(self, params, aux, u, seen_bits):
@@ -105,36 +150,127 @@ class Evaluator:
         # Kernel masks with a finite -3e38 sentinel; same PAD guard.
         return jnp.where(v > -1e37, items, PAD_ITEM)
 
-    # -- host driver ------------------------------------------------------
-    def evaluate(self, params, aux) -> dict[int, tuple[float, float, float]]:
-        """Returns {K: (mean HR, mean MRR, mean NDCG)} over all test users."""
+    # -- one-call device evaluation --------------------------------------
+    def _build_batches(self):
+        """Stack the whole test set into [n_batches, bt, ...] device arrays
+        (built once; row_w zeroes the wrapped pad rows)."""
         dd = self.dd
         t = len(dd.test_users)
         bt = self.batch_size_t
-        n_batches = cdiv(t, bt)
-        padded = n_batches * bt
-        order = np.arange(padded) % t                      # pad wraps around
-        rec_all = np.empty((padded, min(self.kmax,
-                                        dd.cand.shape[1] if self.candidate_eval
-                                        else self.kmax)), dtype=np.int32)
-        for bidx in range(n_batches):
-            sel = order[bidx * bt: (bidx + 1) * bt]
-            u = jnp.asarray(dd.test_users[sel])
-            if self.candidate_eval:
-                items = self._rank_fn(params, aux, u,
-                                      jnp.asarray(dd.cand[sel]),
-                                      jnp.asarray(dd.cand_mask[sel]))
-            elif self._use_fused:
-                items = self._rank_fn(params, aux, u,
-                                      jnp.asarray(dd.seen.bits[dd.test_users[sel]]))
-            else:
-                items = self._rank_fn(params, aux, u,
-                                      jnp.asarray(dd.seen.rows[dd.test_users[sel]]))
-            rec_all[bidx * bt: (bidx + 1) * bt] = np.asarray(items)
-        rec_all = rec_all[:t]
+        nb = cdiv(t, bt)
+        padded = nb * bt
+        order = np.arange(padded) % t                     # pad wraps around
+        row_w = (np.arange(padded) < t).astype(np.float32)
+        users = dd.test_users[order]
+        out = {
+            "u": jnp.asarray(users.reshape(nb, bt)),
+            "row_w": jnp.asarray(row_w.reshape(nb, bt)),
+            "real": jnp.asarray(dd.real_padded[order].reshape(
+                nb, bt, dd.real_padded.shape[1])),
+        }
+        if self.candidate_eval:
+            out["cand"] = jnp.asarray(dd.cand[order].reshape(
+                nb, bt, dd.cand.shape[1]))
+            out["mask"] = jnp.asarray(dd.cand_mask[order].reshape(
+                nb, bt, dd.cand.shape[1]))
+        elif self.mode == "full_fused":
+            bits = dd.seen.bits[users]
+            out["bits"] = jnp.asarray(bits.reshape(nb, bt, bits.shape[1]))
+        else:
+            rows = dd.seen.rows[users]
+            out["rows"] = jnp.asarray(rows.reshape(nb, bt, rows.shape[1]))
+        return out
 
+    def _metric_sums(self, rec, real, row_w):
+        """Per-K (HR, MRR, NDCG) sums over a batch — jnp re-derivation of
+        metrics.ranking_metrics (reference utils/metrics.py:9-19)."""
+        valid = real != PAD_ITEM                          # [b, T]
+        n_real = valid.sum(axis=1)
+        n_real_safe = jnp.maximum(n_real, 1)
+        matches = ((real[:, :, None] == rec[:, None, :])
+                   & valid[:, :, None]
+                   & (rec != PAD_ITEM)[:, None, :])       # [b, T, kmax]
+        found = matches.any(axis=2)
+        rank = jnp.where(found, jnp.argmax(matches, axis=2), self.kmax)
+        slot = jnp.arange(real.shape[1], dtype=jnp.float32)
+        idcg = jnp.maximum(jnp.where(valid, 1.0 / jnp.log2(slot + 2.0),
+                                     0.0).sum(axis=1), 1e-12)
+        w = row_w * (n_real > 0)
+        per_k = []
+        for k in self.topk:
+            hit_k = found & (rank < k)
+            hits = hit_k.sum(axis=1).astype(jnp.float32)
+            hr = hits / jnp.minimum(k, n_real_safe)
+            if self.standard_mrr:
+                best = jnp.where(hit_k, rank, self.kmax).min(axis=1)
+                mrr = jnp.where(best < k, 1.0 / (best + 1.0), 0.0)
+            else:
+                mrr = jnp.where(hit_k, 1.0 / (rank + 1.0), 0.0).sum(axis=1)
+            dcg = jnp.where(hit_k, 1.0 / jnp.log2(rank + 2.0),
+                            0.0).sum(axis=1)
+            ndcg = dcg / idcg
+            per_k.append(jnp.stack([jnp.sum(hr * w), jnp.sum(mrr * w),
+                                    jnp.sum(ndcg * w)]))
+        return jnp.stack(per_k)                           # [n_K, 3]
+
+    def _device_eval(self, params, aux, batches):
+        def step(acc, b):
+            if self.candidate_eval:
+                rec = self._rank_candidates(params, aux, b["u"], b["cand"],
+                                            b["mask"])
+            elif self.mode == "full_fused":
+                rec = self._rank_full_fused(params, aux, b["u"], b["bits"])
+            elif self.mode == "full_sharded":
+                rec = self._rank_full_sharded(params, aux, b["u"], b["rows"])
+            else:
+                rec = self._rank_full(params, aux, b["u"], b["rows"])
+            return acc + self._metric_sums(rec, b["real"], b["row_w"]), None
+
+        init = jnp.zeros((len(self.topk), 3), jnp.float32)
+        if self._batches["u"].shape[0] == 1:
+            # Single batch: skip the scan wrapper entirely.
+            sums, _ = step(init, {k: v[0] for k, v in batches.items()})
+        else:
+            sums, _ = jax.lax.scan(step, init, batches)
+        return sums
+
+    # -- host driver ------------------------------------------------------
+    def recommend_topk(self, params, aux) -> np.ndarray:
+        """Top-K item lists for all test users (host-side, in test-user
+        order) — the ranker output the metrics consume; also the serving/
+        inspection surface."""
+        dd = self.dd
+        t = len(dd.test_users)
+        b = self._batches
+        outs = []
+        for bidx in range(b["u"].shape[0]):
+            if self.candidate_eval:
+                items = self._rank_fn(params, aux, b["u"][bidx],
+                                      b["cand"][bidx], b["mask"][bidx])
+            elif self.mode == "full_fused":
+                items = self._rank_fn(params, aux, b["u"][bidx],
+                                      b["bits"][bidx])
+            else:
+                items = self._rank_fn(params, aux, b["u"][bidx],
+                                      b["rows"][bidx])
+            outs.append(np.asarray(items))
+        return np.concatenate(outs, axis=0)[:t]
+
+    def evaluate_host(self, params, aux):
+        """Host-metrics path (numpy formulas) — the cross-check oracle for
+        the on-device reduction; also used when eval.host_metrics is set."""
+        dd = self.dd
+        rec_all = self.recommend_topk(params, aux)
         per_k = ranking_metrics_topks(dd.real_padded, rec_all, self.topk,
-                                      standard_mrr=self.cfg.bool(
-                                          "metrics.standard_mrr", False))
+                                      standard_mrr=self.standard_mrr)
         return {k: (float(hr.mean()), float(mrr.mean()), float(ndcg.mean()))
                 for k, (hr, mrr, ndcg) in per_k.items()}
+
+    def evaluate(self, params, aux) -> dict[int, tuple[float, float, float]]:
+        """Returns {K: (mean HR, mean MRR, mean NDCG)} over all test users."""
+        if self.cfg.bool("eval.host_metrics", False):
+            return self.evaluate_host(params, aux)
+        sums = np.asarray(self._eval_fn(params, aux, self._batches))
+        t = len(self.dd.test_users)
+        return {k: tuple(float(x) / t for x in sums[idx])
+                for idx, k in enumerate(self.topk)}

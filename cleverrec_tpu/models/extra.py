@@ -191,6 +191,13 @@ class SML(RecModel):
         return (jnp.sum(jnp.square(ue), axis=1, keepdims=True)
                 - 2.0 * cross + jnp.sum(jnp.square(q), axis=1)[None, :])
 
+    def dot_decomposition(self, params: Params, u, aux: Aux):
+        """||u - q||^2 minus the per-user constant, as (-2u).q + ||q||^2
+        (see CML.dot_decomposition)."""
+        ue = params["P"][u]
+        q = params["Q"]
+        return -2.0 * ue, q, jnp.sum(jnp.square(q), axis=1)
+
 
 class EATNN(RecModel):
     name = "EATNN"

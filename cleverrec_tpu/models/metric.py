@@ -90,6 +90,14 @@ class CML(RecModel):
         return (jnp.sum(jnp.square(ue), axis=1, keepdims=True)
                 - 2.0 * cross + jnp.sum(jnp.square(q), axis=1)[None, :])
 
+    def dot_decomposition(self, params: Params, u, aux: Aux):
+        """Distance as dot+bias (up to the ranking-irrelevant per-user
+        ||u||^2 term): ||u - q||^2 - ||u||^2 = (-2u).q + ||q||^2 — enables
+        the fused Pallas eval kernel for the metric-learning family."""
+        ue = clip_rows_by_norm(params["P"][u])
+        q = params["Q"]
+        return -2.0 * ue, q, jnp.sum(jnp.square(q), axis=1)
+
 
 class LRML(RecModel):
     name = "LRML"

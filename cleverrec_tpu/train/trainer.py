@@ -95,7 +95,7 @@ class Trainer:
                               if hasattr(model, "pre_epoch") else None)
         self._multi_epoch_fns: dict[int, Any] = {}
         self._profiled = False
-        self.evaluator = Evaluator(model, self.dd, cfg)
+        self.evaluator = Evaluator(model, self.dd, cfg, mesh=mesh)
 
     # -- epoch construction ----------------------------------------------
     def _rows_per_epoch(self) -> int:

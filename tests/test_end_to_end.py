@@ -106,3 +106,28 @@ def test_eval_no_leak_when_k_exceeds_candidates(blocky):
     # Metrics still compute.
     res = trainer.evaluate(params)
     assert 0 <= res[10][0] <= 1
+
+
+@pytest.mark.parametrize("ov", [
+    {"data.split_way": "loo", "test.neg_samples": "5"},
+    {"data.split_way": "rs", "test.neg_samples": "0"},
+    {"data.split_way": "rs", "test.neg_samples": "0",
+     "metrics.standard_mrr": "True"},
+], ids=["candidate", "full", "full-stdmrr"])
+def test_device_metrics_match_host(blocky, ov):
+    """The on-device metric reduction (evalx._metric_sums) must agree with
+    the numpy oracle (metrics.ranking_metrics) on both protocols."""
+    cfg = base_config(blocky, **{"epoches": "1", "batch_size": "64",
+                                 "embed_size": "8", "lr": "0.05",
+                                 "test.batch_size": "13",  # force wrap-pad
+                                 **ov})
+    data = load_ranking_data(cfg)
+    model = make_model(cfg, DataMeta(data.user_nums, data.item_nums))
+    trainer = Trainer(model, data, cfg)
+    params, opt = trainer.init_state()
+    params, opt, _ = trainer.train_epoch(params, opt)
+    dev = trainer.evaluate(params)
+    host = trainer.evaluator.evaluate_host(params, trainer.arrays)
+    for k in dev:
+        for got, want in zip(dev[k], host[k]):
+            assert got == pytest.approx(want, rel=2e-5, abs=2e-6), (k, ov)

@@ -128,4 +128,4 @@ def test_standard_mrr_flag_through_evaluator(tmp_path):
     for k in r_ref:
         assert r_std[k][0] == pytest.approx(r_ref[k][0])
         assert r_std[k][2] == pytest.approx(r_ref[k][2])
-        assert r_std[k][1] <= r_ref[k][1] + 1e-9
+        assert r_std[k][1] <= r_ref[k][1] + 1e-6

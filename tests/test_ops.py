@@ -128,6 +128,11 @@ def test_fused_eval_matches_standard(tmp_path):
              "alpha": "5.0"}),
     ("LightGCN", {"is_pairwise": "True", "loss_func": "bpr",
                   "reg": "0.0001", "n_layers": "2"}),
+    # cml family: distance decomposed as (-2u).q + ||q||^2 (the per-user
+    # ||u||^2 term cancels in ranking).
+    ("CML", {"is_pairwise": "True", "loss_func": "hinge", "margin": "0.5",
+             "reg": "0.01"}),
+    ("SML", {"is_pairwise": "True", "loss_func": "hinge", "reg": "0.01"}),
 ])
 def test_fused_eval_matches_standard_other_models(tmp_path, name, ov):
     import numpy as np

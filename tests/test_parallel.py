@@ -63,6 +63,34 @@ def test_sharded_params_actually_sharded(toy_dataset, mesh):
     assert spec[0] == "model", spec
 
 
+def test_mesh_evaluator_shards_item_axis(toy_dataset, mesh, monkeypatch):
+    """With a mesh, the Evaluator's full-catalog path must go through the
+    item-axis-sharded top-K merge (not replicated scoring) and agree with
+    the single-device result."""
+    from cleverrec_tpu.ops import topk as topk_ops
+    calls = {"n": 0}
+    orig = topk_ops.sharded_topk_scores
+
+    def counting(*a, **k):
+        calls["n"] += 1
+        return orig(*a, **k)
+
+    monkeypatch.setattr(topk_ops, "sharded_topk_scores", counting)
+    ov = {"data.split_way": "rs", "test.neg_samples": "0",
+          "eval.fused_kernel": "False"}
+    t_plain = _trainer(toy_dataset, **ov)
+    t_mesh = _trainer(toy_dataset, mesh=mesh, **ov)
+    assert t_mesh.evaluator.mode == "full_sharded"
+    assert t_plain.evaluator.mode == "full"
+    p0, o0 = t_plain.init_state()
+    p0, o0, _ = t_plain.train_epoch(p0, o0)
+    r_plain = t_plain.evaluate(p0)
+    r_mesh = t_mesh.evaluator.evaluate(p0, t_plain.arrays)
+    assert calls["n"] >= 1, "sharded top-k merge never traced"
+    for k in r_plain:
+        assert r_mesh[k] == pytest.approx(r_plain[k], abs=1e-5)
+
+
 def test_row_sharded_gather_matches_dense(mesh):
     rng = np.random.default_rng(0)
     table = jnp.asarray(rng.normal(size=(64, 16)).astype(np.float32))
