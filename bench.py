@@ -1,15 +1,24 @@
 #!/usr/bin/env python
 """Driver benchmark: BPR on ml-100k (loo, 99-neg eval) on the real chip.
 
-Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
+Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline", ...}.
 
 - value: steady-state training examples/s/chip (pairwise rows consumed per
-  second, compile excluded) for the reference BPR recipe (embed 128,
-  batch 6144, neg_ratio 4 — conf/BPR.properties values).
+  second) for the reference BPR recipe (embed 128, batch 6144, neg_ratio 4
+  — conf/BPR.properties values), measured as the MARGINAL epoch cost of a
+  multi-epoch device program (a 10-epoch call minus a 1-epoch call, so
+  dispatch/transfer latency of this tunneled chip is excluded but every
+  on-device cost — sampling, kernel, loss readback chain — is included).
 - vs_baseline: ratio against the measured TF1-semantics baseline
   (benchmarks/BASELINE_MEASURED.json, produced by
   benchmarks/baseline_tf1.py on this container's CPU — the reference
   publishes no numbers of its own, see BASELINE.md).
+- extra keys: eval_users_per_s (marginal chained one-call device eval),
+  mxu_tflops/mxu_pct_peak (roofline accounting for the fused epoch
+  kernel's one-hot matmul formulation: 12*B*(U_pad + 2*I_pad)*d flops per
+  step), hbm_gb_per_s (table state + index traffic; LOW by design — the
+  fused kernel keeps tables+Adam moments VMEM-resident, turning the
+  gather-bound workload compute-bound).
 """
 
 from __future__ import annotations
@@ -25,12 +34,18 @@ from cleverrec_tpu.config import Config  # noqa: E402
 from cleverrec_tpu.utils.logging import enable_compilation_cache  # noqa: E402
 
 enable_compilation_cache()
+import jax  # noqa: E402
+import jax.numpy as jnp  # noqa: E402
+import numpy as np  # noqa: E402
+
 from cleverrec_tpu.data import load_ranking_data  # noqa: E402
 from cleverrec_tpu.models import make_model  # noqa: E402
 from cleverrec_tpu.models.base import DataMeta  # noqa: E402
 from cleverrec_tpu.train import Trainer  # noqa: E402
 
-TIMED_EPOCHS = 3
+# Peak specs by device kind (conservative defaults = v5e).
+PEAKS = {"TPU v5e": (197e12, 819e9), "TPU v5 lite": (197e12, 819e9),
+         "TPU v4": (275e12, 1228e9), "TPU v6e": (918e12, 1640e9)}
 
 
 def main():
@@ -52,25 +67,69 @@ def main():
     trainer = Trainer(model, data, cfg)
     params, opt_state = trainer.init_state()
 
-    # Warmup (compiles ONLY the multi-epoch program + eval; the persistent
-    # compilation cache makes repeat bench runs start fast).
-    params, opt_state, _ = trainer.train_epochs(params, opt_state,
-                                                TIMED_EPOCHS)
+    # Warm both block sizes + eval.
+    params, opt_state, _ = trainer.train_epochs(params, opt_state, 1)
+    params, opt_state, _ = trainer.train_epochs(params, opt_state, 10)
     trainer.evaluate(params)
 
+    # Marginal epoch cost: 10-epoch call minus 1-epoch call (train_epochs
+    # runs the whole block as ONE device program; float(loss) syncs).
     t0 = time.time()
-    params, opt_state, _ = trainer.train_epochs(params, opt_state,
-                                                TIMED_EPOCHS)
-    train_dt = time.time() - t0
-    examples = trainer._epoch_rows * TIMED_EPOCHS
-    examples_per_s = examples / train_dt
+    params, opt_state, _ = trainer.train_epochs(params, opt_state, 1)
+    t_one = time.time() - t0
+    t0 = time.time()
+    params, opt_state, _ = trainer.train_epochs(params, opt_state, 10)
+    t_ten = time.time() - t0
+    per_epoch = max((t_ten - t_one) / 9, 1e-9)
+    examples_per_s = trainer._epoch_rows / per_epoch
+
+    # Marginal eval cost: chained device evals (each consumes the previous
+    # sums so execution is serialized), one real D2H at the end.
+    ev = trainer.evaluator
+    b = ev._batches
+    acc = jnp.zeros((len(ev.topk), 3), jnp.float32)
+
+    def run_evals(n):
+        nonlocal acc
+        t0 = time.time()
+        a = acc
+        for _ in range(n):
+            a = a + ev._eval_fn(params, trainer.arrays, b)
+        np.asarray(a)
+        return time.time() - t0
+
+    run_evals(1)
+    t2, t12 = run_evals(2), run_evals(12)
+    eval_per = max((t12 - t2) / 10, 1e-9)
+    eval_users_per_s = len(trainer.dd.test_users) / eval_per
+
+    # Roofline accounting for the fused epoch (one-hot matmul form):
+    # per step 6 matmuls of [*, B] x [*, d] over U_pad + 2*I_pad rows.
+    from cleverrec_tpu.ops.pallas_train import sentinel_dims
+    u_pad, i_pad = sentinel_dims(data.user_nums, data.item_nums)
+    steps = trainer.steps_per_epoch
+    bsz = trainer.batch_size
+    flops_epoch = steps * 12 * bsz * (u_pad + 2 * i_pad) * cfg.int(
+        "embed_size")
+    tflops = flops_epoch / per_epoch / 1e12
+    # HBM traffic/epoch: tables+moments in and out + streamed indices.
+    d = cfg.int("embed_size")
+    state_bytes = 2 * 4 * d * (3 * u_pad + 3 * i_pad)
+    idx_bytes = steps * bsz * 3 * 4
+    hbm_gbs = (state_bytes + idx_bytes) / per_epoch / 1e9
+    kind = jax.devices()[0].device_kind
+    peak_flops, peak_hbm = next(
+        (v for k, v in PEAKS.items() if k.lower() in kind.lower()),
+        (197e12, 819e9))
 
     baseline = None
     bl_path = os.path.join(os.path.dirname(os.path.abspath(__file__)),
                            "benchmarks", "BASELINE_MEASURED.json")
     if os.path.exists(bl_path):
         with open(bl_path) as f:
-            baseline = json.load(f).get("train_examples_per_s")
+            bl = json.load(f)
+            baseline = bl.get("train_examples_per_s")
+            eval_baseline = bl.get("eval_users_per_s")
 
     print(json.dumps({
         "metric": "train_examples_per_s_per_chip (BPR ml-100k loo)",
@@ -78,6 +137,15 @@ def main():
         "unit": "examples/s",
         "vs_baseline": (round(examples_per_s / baseline, 2)
                         if baseline else None),
+        "epoch_ms": round(per_epoch * 1e3, 3),
+        "eval_users_per_s": round(eval_users_per_s, 1),
+        "eval_vs_baseline": (round(eval_users_per_s / eval_baseline, 1)
+                             if eval_baseline else None),
+        "mxu_tflops": round(tflops, 1),
+        "mxu_pct_peak": round(100 * tflops * 1e12 / peak_flops, 1),
+        "hbm_gb_per_s": round(hbm_gbs, 2),
+        "hbm_pct_peak": round(100 * hbm_gbs * 1e9 / peak_hbm, 1),
+        "device": kind,
     }))
 
 

@@ -17,6 +17,9 @@ from cleverrec_tpu.models.base import Aux, Params, RecModel
 class BPR(RecModel):
     name = "BPR"
     sampler = "pairwise"
+    # Exact {P, Q} dot-product pairwise form: eligible for the
+    # VMEM-resident fused epoch kernel (ops/pallas_train.py).
+    supports_fused_epoch = True
 
     def __init__(self, cfg, meta):
         super().__init__(cfg, meta)

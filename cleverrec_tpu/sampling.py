@@ -213,6 +213,35 @@ def epoch_permutation(key: Array, epoch_rows: int, padded_rows: int) -> tuple[Ar
     return perm, valid
 
 
+def pairwise_epoch_tensors(key, rows_total: int, steps: int, b: int,
+                           pos_u, pos_i, seen: MemberTable, item_nums: int,
+                           neg_ratio: int, pop_cdf=None):
+    """The whole epoch's (u, i, j, w) as [steps, b] tensors.
+
+    Negatives are drawn in PAIR ORDER (row r belongs to pair r//neg_ratio)
+    *before* the shuffle, so the complement-table gather walks the table
+    near-sequentially (pos_u is grouped by user) instead of issuing
+    latency-bound random point gathers — measured 6ms -> <1ms per ml-100k
+    epoch on v5e.  The shuffle then permutes the three small row arrays.
+    Distributionally identical to per-step draws (each row's negative is
+    iid uniform over the user's unseen set) and the same layout the
+    reference materializes (utils/sampler.py:46-74).
+    """
+    padded = steps * b
+    pkey, jkey = jax.random.split(key)
+    perm, valid = epoch_permutation(pkey, rows_total, padded)
+    p_ord = (jnp.arange(rows_total, dtype=jnp.int32) // neg_ratio)
+    u_ord = pos_u[p_ord]
+    i_ord = pos_i[p_ord]
+    j_ord = _draw_negatives(jkey, seen, u_ord, item_nums, (rows_total,),
+                            pop_cdf)
+    r = jnp.minimum(perm, rows_total - 1)
+    return {"u": u_ord[r].reshape(steps, b),
+            "i": i_ord[r].reshape(steps, b),
+            "j": j_ord[r].reshape(steps, b),
+            "w": valid.reshape(steps, b)}
+
+
 # -- per-protocol batch builders -----------------------------------------
 # Each takes the device tables + this step's shuffled row ids and returns a
 # dict batch.  All are shape-static and run inside the scanned train step.
@@ -286,6 +315,33 @@ def sbpr_batch(key, rows, valid, pos_u, pos_i, seen: MemberTable, item_nums,
                 lambda q: member(seen, u, q) | member(spu, u, q))
     return {"u": u, "i": i, "k": k, "j": j,
             "suk": suk.astype(jnp.float32), "w": valid}
+
+
+def tbpr_batch(key, rows, valid, pos_u, pos_i, seen: MemberTable, item_nums,
+               neg_ratio, strong: MemberTable, weak: MemberTable):
+    """(u, i, strong-tie item s, weak-tie item t, negative j) rows for
+    TBPR's 4-level chain i > s > t > j (CIKM'16; see
+    models/social.py TBPR).  The caller restricts (pos_u, pos_i) to users
+    with BOTH tie classes non-empty; the negative is rejected against
+    seen(u) UNION strong(u) UNION weak(u)."""
+    n = pos_u.shape[0]
+    p = (rows % (n * neg_ratio)) // neg_ratio
+    u = pos_u[p]
+    i = pos_i[p]
+    s_key, t_key, j_key = jax.random.split(key, 3)
+
+    def draw_from(table, k):
+        raw = jax.random.randint(k, u.shape, 0, jnp.iinfo(jnp.int32).max,
+                                 dtype=jnp.int32)
+        sel = raw % jnp.maximum(table.lens[u], 1)
+        return jnp.take_along_axis(table.rows[u], sel[:, None], axis=1)[:, 0]
+
+    s = draw_from(strong, s_key)
+    t = draw_from(weak, t_key)
+    j = _reject(j_key, u, item_nums, u.shape,
+                lambda q: (member(seen, u, q) | member(strong, u, q)
+                           | member(weak, u, q)))
+    return {"u": u, "i": i, "s": s, "t": t, "j": j, "w": valid}
 
 
 def samn_batch(key, rows, valid, pos_u, pos_i, seen: MemberTable, item_nums,

@@ -65,7 +65,7 @@ class Trainer:
         # Optional popularity-proportional negatives (neg_sampling config;
         # the reference is uniform-only).
         if cfg.str("neg_sampling", "uniform") == "popularity":
-            if model.sampler in ("sbpr", "samn"):
+            if model.sampler in ("sbpr", "tbpr", "samn"):
                 raise ValueError(
                     "neg_sampling=popularity is not supported for the "
                     f"{model.sampler!r} protocol (its negatives have "
@@ -90,7 +90,10 @@ class Trainer:
         else:
             self._epoch_rows = self._rows_per_epoch()
             self.steps_per_epoch = cdiv(self._epoch_rows, self.batch_size)
-            self._epoch_fn = self._build_epoch_fn()
+            if self._fused_epoch_eligible():
+                self._epoch_fn = self._build_fused_epoch_fn()
+            else:
+                self._epoch_fn = self._build_epoch_fn()
         self._pre_epoch_fn = (jax.jit(model.pre_epoch)
                               if hasattr(model, "pre_epoch") else None)
         self._multi_epoch_fns: dict[int, Any] = {}
@@ -100,7 +103,7 @@ class Trainer:
     # -- epoch construction ----------------------------------------------
     def _rows_per_epoch(self) -> int:
         s = self.model.sampler
-        if s in ("pairwise", "sbpr", "samn"):
+        if s in ("pairwise", "sbpr", "tbpr", "samn"):
             return self.n_pairs * self.neg_ratio
         if s == "pointwise":
             return self.n_pairs * (1 + self.neg_ratio)
@@ -123,9 +126,83 @@ class Trainer:
         if s == "sbpr":
             return sampling.sbpr_batch(*common, arrays["spu"],
                                        arrays["spu_suk"])
+        if s == "tbpr":
+            return sampling.tbpr_batch(*common, arrays["tie_strong"],
+                                       arrays["tie_weak"])
         if s == "samn":
             return sampling.samn_batch(*common, arrays["friends_padded"])
         raise NotImplementedError(f"sampler {s!r}")
+
+    def _fused_epoch_eligible(self) -> bool:
+        """The VMEM-resident Pallas epoch applies to plain MF pairwise
+        models (BPR family) with Adam, single chip, tables small enough to
+        sit in VMEM alongside their Adam moments.  ``train.fused_kernel``
+        overrides either way (default: on for the TPU backend)."""
+        if not getattr(self.model, "supports_fused_epoch", False):
+            return False
+        if self.mesh is not None or self.cfg.optimizer != "Adam":
+            return False
+        on_tpu = jax.default_backend() == "tpu"
+        if not self.cfg.bool("train.fused_kernel", on_tpu):
+            return False
+        from cleverrec_tpu.ops.pallas_train import vmem_footprint_bytes
+        fits = vmem_footprint_bytes(
+            self.dd.user_nums, self.dd.item_nums,
+            self.model.embed_size, self.batch_size) < 13 * 2 ** 20
+        if not fits and self.logger:
+            self.logger.info("fused epoch kernel skipped: tables exceed "
+                             "the VMEM budget; using the scan path")
+        return fits
+
+    def _build_fused_epoch_fn(self):
+        """Whole-epoch Pallas program (ops/pallas_train.py): one vectorized
+        XLA sampling pass reproducing the scan path's exact key stream,
+        then the VMEM-resident kernel.  Same (params, opt_state, key,
+        arrays) -> (params, opt_state, mean_loss) contract."""
+        from cleverrec_tpu.ops.pallas_train import (LOG2, fused_bpr_epoch,
+                                                    sentinel_dims)
+        steps = self.steps_per_epoch
+        b = self.batch_size
+        rows_total = self._epoch_rows
+        padded = steps * b
+        n_sent = padded - rows_total
+        item_nums = self.dd.item_nums
+        neg_ratio = self.neg_ratio
+        u_pad, i_pad = sentinel_dims(self.dd.user_nums, item_nums)
+        lane_w = max(b // 8, 1)
+        blk = next((c for c in (1024, 512, 256, 128) if lane_w % c == 0),
+                   lane_w)
+        interpret = jax.default_backend() != "tpu"
+        lr, reg = self.cfg.lr, self.model.reg
+
+        def epoch(params, opt_state, key, arrays):
+            # Same key split as the scan path so both consume an identical
+            # sampling stream (pinned by tests/test_fused_train.py).
+            pkey, _ = jax.random.split(key)
+            batch = sampling.pairwise_epoch_tensors(
+                pkey, rows_total, steps, b, arrays["pos_u"], arrays["pos_i"],
+                arrays["seen"], item_nums, neg_ratio,
+                pop_cdf=arrays.get("pop_cdf"))
+            inval = batch["w"] == 0.0
+            u = jnp.where(inval, u_pad - 1, batch["u"]).astype(jnp.int32)
+            i = jnp.where(inval, i_pad - 1, batch["i"]).astype(jnp.int32)
+            j = jnp.where(inval, i_pad - 1, batch["j"]).astype(jnp.int32)
+            adam_st = opt_state[0]
+            p_n, q_n, mp, vp, mq, vq, loss = fused_bpr_epoch(
+                params["P"], params["Q"],
+                adam_st.mu["P"], adam_st.nu["P"],
+                adam_st.mu["Q"], adam_st.nu["Q"],
+                u, i, j, adam_st.count,
+                lr=lr, reg=reg, blk=blk, interpret=interpret)
+            new_st = adam_st._replace(count=adam_st.count + steps,
+                                      mu={"P": mp, "Q": mq},
+                                      nu={"P": vp, "Q": vq})
+            mean_loss = (loss - n_sent * LOG2) / steps
+            return ({"P": p_n, "Q": q_n}, (new_st,) + tuple(opt_state[1:]),
+                    mean_loss)
+
+        self._epoch_body = epoch
+        return jax.jit(epoch, donate_argnums=(0, 1))
 
     def _build_epoch_fn(self):
         steps = self.steps_per_epoch
@@ -140,21 +217,37 @@ class Trainer:
         else:
             constrain = lambda batch: batch  # noqa: E731
 
+        pairwise = self.model.sampler == "pairwise"
+
         def epoch(params, opt_state, key, arrays):
-            # Per-step in-scan sampling benchmarked FASTER than hoisting the
-            # whole epoch's sampling out of the scan (175ms vs 316ms per
-            # ml-100k BPR epoch on v5e) — the sampler fuses into the step.
+            # Pairwise epochs pre-materialize the whole epoch's sampled
+            # tensors in pair order (near-sequential complement gathers,
+            # see sampling.pairwise_epoch_tensors); other protocols sample
+            # per step inside the scan.
             pkey, skey = jax.random.split(key)
-            perm, valid = sampling.epoch_permutation(pkey, rows_total, padded)
-            perm = perm.reshape(steps, b)
-            valid = valid.reshape(steps, b)
             step_keys = jax.random.split(skey, steps)
+            if pairwise:
+                epoch_batch = sampling.pairwise_epoch_tensors(
+                    pkey, rows_total, steps, b, arrays["pos_u"],
+                    arrays["pos_i"], arrays["seen"], self.dd.item_nums,
+                    self.neg_ratio, pop_cdf=arrays.get("pop_cdf"))
+                xs = (epoch_batch, step_keys)
+            else:
+                perm, valid = sampling.epoch_permutation(pkey, rows_total,
+                                                         padded)
+                xs = ((perm.reshape(steps, b), valid.reshape(steps, b)),
+                      step_keys)
 
             def step(carry, xs):
                 params, opt_state = carry
-                rows, w, k = xs
+                payload, k = xs
                 sk, dk = jax.random.split(k)
-                batch = constrain(self._build_batch(sk, rows, w, arrays))
+                if pairwise:
+                    batch = dict(payload)
+                else:
+                    rows, w = payload
+                    batch = self._build_batch(sk, rows, w, arrays)
+                batch = constrain(batch)
                 batch["dropout_key"] = dk
                 loss, grads = jax.value_and_grad(model.loss)(params, batch,
                                                              arrays)
@@ -164,7 +257,7 @@ class Trainer:
                 return (params, opt_state), loss
 
             (params, opt_state), losses = jax.lax.scan(
-                step, (params, opt_state), (perm, valid, step_keys))
+                step, (params, opt_state), xs)
             return params, opt_state, jnp.mean(losses)
 
         self._epoch_body = epoch

@@ -1,0 +1,123 @@
+"""VMEM-resident fused training epoch (ops/pallas_train.py): numerics
+parity against the scan-based epoch, via interpret mode on CPU."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import optax
+import pytest
+
+from cleverrec_tpu.data import load_ranking_data
+from cleverrec_tpu.models import make_model
+from cleverrec_tpu.models.base import DataMeta
+from cleverrec_tpu.ops.pallas_train import (LOG2, fused_bpr_epoch,
+                                            sentinel_dims)
+from cleverrec_tpu.train import Trainer
+from tests.conftest import base_config
+
+
+def test_fused_epoch_matches_optax_oracle():
+    """Kernel vs a literal optax.adam step loop on random data, including
+    sentinel-encoded invalid rows."""
+    rng = np.random.default_rng(0)
+    u_n, i_n, d = 37, 53, 16
+    steps, b = 4, 64
+    lr, reg = 0.01, 0.02
+    u_pad, i_pad = sentinel_dims(u_n, i_n)
+    u = rng.integers(0, u_n, (steps, b)).astype(np.int32)
+    i = rng.integers(0, i_n, (steps, b)).astype(np.int32)
+    j = rng.integers(0, i_n, (steps, b)).astype(np.int32)
+    invalid = rng.random((steps, b)) < 0.15
+    u_s = np.where(invalid, u_pad - 1, u)
+    i_s = np.where(invalid, i_pad - 1, i)
+    j_s = np.where(invalid, i_pad - 1, j)
+    p0 = rng.normal(size=(u_n, d)).astype(np.float32) * 0.1
+    q0 = rng.normal(size=(i_n, d)).astype(np.float32) * 0.1
+
+    opt = optax.adam(lr, b1=0.9, b2=0.999, eps=1e-8)
+    params = {"P": jnp.asarray(p0), "Q": jnp.asarray(q0)}
+    state = opt.init(params)
+    w = (~invalid).astype(np.float32)
+
+    def loss_fn(params, ub, ib, jb, wb):
+        ue = params["P"][ub] * wb[:, None]
+        ie = params["Q"][ib] * wb[:, None]
+        je = params["Q"][jb] * wb[:, None]
+        diff = jnp.sum(ue * ie, 1) - jnp.sum(ue * je, 1)
+        l2 = lambda x: 0.5 * jnp.sum(x * x)  # noqa: E731
+        return (jnp.sum(-jax.nn.log_sigmoid(diff) * wb)
+                + reg * (l2(ue) + l2(ie) + l2(je)))
+
+    total = 0.0
+    for s in range(steps):
+        l, g = jax.value_and_grad(loss_fn)(params, u[s], i[s], j[s], w[s])
+        upd, state = opt.update(g, state, params)
+        params = optax.apply_updates(params, upd)
+        total += float(l)
+
+    zu = jnp.zeros((u_n, d), jnp.float32)
+    zi = jnp.zeros((i_n, d), jnp.float32)
+    outs = fused_bpr_epoch(jnp.asarray(p0), jnp.asarray(q0), zu, zu, zi, zi,
+                           jnp.asarray(u_s), jnp.asarray(i_s),
+                           jnp.asarray(j_s), jnp.asarray(0, jnp.int32),
+                           lr=lr, reg=reg, blk=8, interpret=True)
+    loss_corr = float(outs[6]) - int(invalid.sum()) * LOG2
+    assert loss_corr == pytest.approx(total, rel=1e-5)
+    np.testing.assert_allclose(np.asarray(outs[0]), np.asarray(params["P"]),
+                               rtol=2e-4, atol=2e-6)
+    np.testing.assert_allclose(np.asarray(outs[1]), np.asarray(params["Q"]),
+                               rtol=2e-4, atol=2e-6)
+    np.testing.assert_allclose(np.asarray(outs[2]),
+                               np.asarray(state[0].mu["P"]),
+                               rtol=2e-4, atol=2e-7)
+
+
+def test_fused_trainer_matches_scan_trainer(toy_dataset):
+    """Trainer with train.fused_kernel=True reproduces the scan epoch's
+    numerics (identical sampling key stream by construction)."""
+    ov = {"epoches": "2", "batch_size": "64", "embed_size": "16",
+          "lr": "0.05", "neg_ratio": "2", "is_pairwise": "True",
+          "loss_func": "bpr", "reg": "0.01"}
+    cfg_scan = base_config(toy_dataset, **ov,
+                           **{"train.fused_kernel": "False"})
+    cfg_fused = base_config(toy_dataset, **ov,
+                            **{"train.fused_kernel": "True"})
+    data = load_ranking_data(cfg_scan)
+    model = make_model(cfg_scan, DataMeta(data.user_nums, data.item_nums))
+    t_scan = Trainer(model, data, cfg_scan)
+    t_fused = Trainer(model, data, cfg_fused)
+    assert t_fused._epoch_fn is not t_scan._epoch_fn
+    p0, o0 = t_scan.init_state()
+    p1, o1 = t_fused.init_state()
+    for _ in range(3):
+        p0, o0, l0 = t_scan.train_epoch(p0, o0)
+        p1, o1, l1 = t_fused.train_epoch(p1, o1)
+        assert l1 == pytest.approx(l0, rel=1e-4), (l0, l1)
+    np.testing.assert_allclose(np.asarray(p1["P"]), np.asarray(p0["P"]),
+                               rtol=1e-3, atol=1e-5)
+    np.testing.assert_allclose(np.asarray(p1["Q"]), np.asarray(p0["Q"]),
+                               rtol=1e-3, atol=1e-5)
+    # Adam state advanced identically.
+    assert int(o1[0].count) == int(o0[0].count)
+    # Eval metrics agree.
+    r0 = t_scan.evaluate(p0)
+    r1 = t_fused.evaluate(p1)
+    for k in r0:
+        assert r1[k] == pytest.approx(r0[k], abs=2e-4)
+
+
+def test_fused_trainer_multi_epoch_block(toy_dataset):
+    """train_epochs (scan over epochs) works over the fused epoch body."""
+    ov = {"epoches": "4", "batch_size": "64", "embed_size": "16",
+          "lr": "0.05", "neg_ratio": "2", "is_pairwise": "True",
+          "loss_func": "bpr", "reg": "0.01",
+          "train.fused_kernel": "True"}
+    cfg = base_config(toy_dataset, **ov)
+    data = load_ranking_data(cfg)
+    model = make_model(cfg, DataMeta(data.user_nums, data.item_nums))
+    tr = Trainer(model, data, cfg)
+    params, opt = tr.init_state()
+    params, opt, losses = tr.train_epochs(params, opt, 3)
+    assert len(losses) == 3
+    assert losses[-1] < losses[0]
+    assert int(opt[0].count) == 3 * tr.steps_per_epoch
