@@ -194,3 +194,60 @@ def build_cune_friends(ui_train: dict[int, list[int]], user_nums: int,
                for r in range(len(active))}
     spu, suk = build_spu(ui_train, friends)
     return friends, spu, suk
+
+
+def build_tie_partitioned_spu(ui_train: dict[int, list[int]],
+                              user_friends: dict[int, list[int]],
+                              strong_ratio: float = 0.5):
+    """TBPR's strong/weak-tie item sets (CIKM'16 "Social recommendation
+    with strong and weak ties"; the reference advertises the model in
+    README.md:17 but model/ranking/TBPR.py is empty).
+
+    Tie strength t(u, v) = Jaccard overlap of the two users' friend
+    neighborhoods (the paper's common-neighborhood measure).  A GLOBAL
+    threshold at the (1 - strong_ratio) quantile of all positive tie
+    strengths splits ties into strong/weak (the paper sweeps this split
+    percentage; ``strong_ratio`` is the config knob, default 0.5).  Ties
+    with zero overlap are always weak.
+
+    Returns ({u: sorted strong-tie items}, {u: sorted weak-tie items}) —
+    each is the union of that tie class's friends' train items minus the
+    user's own; items reachable through BOTH classes count as strong
+    (the stronger evidence level).
+    """
+    friend_sets = {u: set(fs) for u, fs in user_friends.items()}
+    item_sets = {u: set(it) for u, it in ui_train.items()}
+
+    strengths = {}
+    all_pos = []
+    for u, fs in user_friends.items():
+        nu = friend_sets.get(u, set())
+        for v in fs:
+            nv = friend_sets.get(v, set())
+            union = len(nu | nv)
+            t = (len(nu & nv) / union) if union else 0.0
+            strengths[(u, v)] = t
+            if t > 0:
+                all_pos.append(t)
+    thresh = (float(np.quantile(np.asarray(all_pos), 1.0 - strong_ratio))
+              if all_pos else np.inf)
+
+    strong_items: dict[int, list[int]] = {}
+    weak_items: dict[int, list[int]] = {}
+    for u, fs in user_friends.items():
+        own = item_sets.get(u, set())
+        s_set: set[int] = set()
+        w_set: set[int] = set()
+        for v in fs:
+            items = item_sets.get(v)
+            if not items:
+                continue
+            t = strengths[(u, v)]
+            dst = s_set if (t > 0 and t >= thresh) else w_set
+            dst |= (items - own)
+        w_set -= s_set      # both-class items count as strong
+        if s_set:
+            strong_items[u] = sorted(s_set)
+        if w_set:
+            weak_items[u] = sorted(w_set)
+    return strong_items, weak_items

@@ -17,7 +17,8 @@ from cleverrec_tpu.models.graph import RML_DGATs, SoHRML
 from cleverrec_tpu.models.itemsim import FISM, NAIS, NAISSingle
 from cleverrec_tpu.models.metric import CML, LRML, TransCF
 from cleverrec_tpu.models.ncf import GMF, MLP, NeuMF
-from cleverrec_tpu.models.social import CUNE_BPR, SAMN, SAMNSingle, SBPR
+from cleverrec_tpu.models.social import (CUNE_BPR, SAMN, SAMNSingle, SBPR,
+                                         TBPR)
 
 _REGISTRY: dict[str, type] = {}
 
@@ -28,7 +29,7 @@ def register(cls):
 
 
 for _cls in (BPR, GMF, MLP, NeuMF, CML, LRML, TransCF, FISM, NAIS,
-             NAISSingle, SBPR, CUNE_BPR, SAMN, SAMNSingle, RML_DGATs,
+             NAISSingle, SBPR, TBPR, CUNE_BPR, SAMN, SAMNSingle, RML_DGATs,
              SoHRML, LightGCN, NGCF, DiffNet, DiffNetPlusPlus,
              LR_GCCF, WMF, DMF, SML, EATNN):
     register(_cls)

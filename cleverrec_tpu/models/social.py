@@ -121,6 +121,70 @@ class SBPR(_SocialTripleBase):
         return main + self.reg * self._reg_terms(params, batch, w)
 
 
+class TBPR(_SocialTripleBase):
+    """TBPR: Social recommendation with strong and weak ties (CIKM 2016).
+
+    Advertised by the reference (README.md:17) but model/ranking/TBPR.py
+    is 0 bytes — this is a fresh implementation from the paper.  Ties are
+    partitioned by neighborhood-overlap strength (data/social.py
+    build_tie_partitioned_spu, ``strong_ratio`` knob); items consumed by
+    strong vs weak ties form intermediate preference levels in a 4-level
+    BPR chain:
+
+        L = bpr(x_ui - x_us) + bpr(x_us - x_ut) + bpr(x_ut - x_uj) + reg
+
+    with x(u, m) = <P[u], Q[m]> + bias[m] (the SBPR-family score form)
+    over users that have BOTH tie classes (analogous to the reference's
+    SBPR restriction to users with social positives).
+    """
+
+    name = "TBPR"
+    sampler = "tbpr"
+
+    def build_aux(self, device_data, data) -> dict:
+        from cleverrec_tpu.data.social import build_tie_partitioned_spu
+        if data.user_friends is None:
+            raise ValueError("TBPR requires social_file")
+        strong, weak = build_tie_partitioned_spu(
+            data.ui_train, data.user_friends,
+            self.cfg.float("strong_ratio", 0.5))
+        meta = self.meta
+        t_s = build_member_table(strong, meta.user_nums, meta.item_nums,
+                                 complement_budget=0)
+        t_w = build_member_table(weak, meta.user_nums, meta.item_nums,
+                                 complement_budget=0)
+        has = np.zeros(meta.user_nums, bool)
+        both = set(strong) & set(weak)
+        has[list(both)] = True
+        keep = has[device_data.pos_u]
+        self._pos_u = device_data.pos_u[keep]
+        self._pos_i = device_data.pos_i[keep]
+        strip = lambda t: MemberTable(rows=t.rows, lens=t.lens,  # noqa: E731
+                                      bits=t.bits)
+        return {"tie_strong": strip(t_s), "tie_weak": strip(t_w)}
+
+    def _reg_terms(self, params, batch, w):
+        wc = w[:, None]
+        terms = l2_loss(params["P"][batch["u"]] * wc)
+        for key in ("i", "s", "t", "j"):
+            idx = batch[key]
+            terms += l2_loss(params["Q"][idx] * wc)
+            terms += l2_loss(params["bias"][idx] * w)
+        return terms
+
+    def loss(self, params: Params, batch, aux: Aux):
+        w = batch["w"]
+        ue = params["P"][batch["u"]]
+        x_ui = self._x(params, ue, batch["i"])
+        x_us = self._x(params, ue, batch["s"])
+        x_ut = self._x(params, ue, batch["t"])
+        x_uj = self._x(params, ue, batch["j"])
+        main = (bpr_loss(x_ui - x_us, weight=w)
+                + bpr_loss(x_us - x_ut, weight=w)
+                + bpr_loss(x_ut - x_uj, weight=w))
+        return main + self.reg * self._reg_terms(params, batch, w)
+
+
 class CUNE_BPR(_SocialTripleBase):
     name = "CUNE_BPR"
 

@@ -144,3 +144,57 @@ def test_lrml_distance_matches_hand_computed(rngs):
     r = att @ M
     want = np.sum((P[u] + r - Q[i]) ** 2, axis=1)
     assert got[0] == pytest.approx(want[0], rel=1e-5)
+
+
+def test_tbpr_loss_matches_hand_computed(rngs):
+    """TBPR 4-level chain: bpr(x_ui-x_us) + bpr(x_us-x_ut) +
+    bpr(x_ut-x_uj) + reg*l2 with x = <P[u],Q[m]> + bias[m]."""
+    nrng, key = rngs
+    meta = DataMeta(6, 9)
+    model = make_model(_cfg("TBPR", reg="0.03", embed_size="4"), meta)
+    params = model.init(key)
+    params["bias"] = jnp.asarray(
+        nrng.normal(size=meta.item_nums + 1).astype(np.float32))
+    P = np.asarray(params["P"])
+    Q = np.asarray(params["Q"])
+    bias = np.asarray(params["bias"])
+    u = np.array([0, 2, 5], np.int32)
+    i = np.array([1, 3, 8], np.int32)
+    s = np.array([2, 4, 0], np.int32)
+    t = np.array([5, 6, 2], np.int32)
+    j = np.array([7, 0, 4], np.int32)
+    w = np.ones(3, np.float32)
+    batch = {k: jnp.asarray(v) for k, v in
+             {"u": u, "i": i, "s": s, "t": t, "j": j, "w": w}.items()}
+    got = float(model.loss(params, batch, {}))
+
+    def x(uu, mm):
+        return np.sum(P[uu] * Q[mm], axis=1) + bias[mm]
+
+    main = (np.sum(-np.log(_sigmoid(x(u, i) - x(u, s))))
+            + np.sum(-np.log(_sigmoid(x(u, s) - x(u, t))))
+            + np.sum(-np.log(_sigmoid(x(u, t) - x(u, j)))))
+    l2 = 0.5 * (np.sum(P[u] ** 2)
+                + sum(np.sum(Q[m] ** 2) + np.sum(bias[m] ** 2)
+                      for m in (i, s, t, j)))
+    want = main + 0.03 * l2
+    assert got == pytest.approx(want, rel=1e-5)
+
+
+def test_tbpr_tie_partition():
+    """Strong/weak partition invariants: disjoint, exclude own items,
+    union == friends' items minus own."""
+    from cleverrec_tpu.data.social import build_spu, build_tie_partitioned_spu
+    rng = np.random.default_rng(3)
+    ui = {u: sorted(set(rng.integers(0, 20, 6).tolist()))
+          for u in range(12)}
+    friends = {u: [v for v in rng.choice(12, 4, replace=False).tolist()
+                   if v != u] for u in range(12)}
+    strong, weak = build_tie_partitioned_spu(ui, friends, 0.5)
+    spu, _ = build_spu(ui, friends)
+    for u in set(strong) | set(weak):
+        s = set(strong.get(u, []))
+        w = set(weak.get(u, []))
+        assert not (s & w)
+        assert not (s | w) & set(ui.get(u, []))
+        assert (s | w) == set(spu.get(u, []))

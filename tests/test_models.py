@@ -40,6 +40,8 @@ MODEL_OVERRIDES = {
                     "reg": "0.001", "atten_size": "4", "beta": "0.5",
                     "atten_type": "concat"},
     "SBPR": {"loss_func": "bpr", "reg": "0.05", "social": True},
+    "TBPR": {"loss_func": "bpr", "reg": "0.05", "strong_ratio": "0.5",
+             "social": True},
     "CUNE_BPR": {"loss_func": "bpr", "reg": "0.01", "walk_count": "2",
                  "walk_length": "4", "walk_dim": "8", "window_size": "2",
                  "topk_f": "3"},
