@@ -109,7 +109,9 @@ def main():
     u_pad, i_pad = sentinel_dims(data.user_nums, data.item_nums)
     steps = trainer.steps_per_epoch
     bsz = trainer.batch_size
-    flops_epoch = steps * 12 * bsz * (u_pad + 2 * i_pad) * cfg.int(
+    # 6 MXU matmuls per block: u gather+scatter (2 x 2*B*u_pad*d) and
+    # i/j gathers+scatters (4 x 2*B*i_pad*d).
+    flops_epoch = steps * 4 * bsz * (u_pad + 2 * i_pad) * cfg.int(
         "embed_size")
     tflops = flops_epoch / per_epoch / 1e12
     # HBM traffic/epoch: tables+moments in and out + streamed indices.

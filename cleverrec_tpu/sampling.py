@@ -213,33 +213,59 @@ def epoch_permutation(key: Array, epoch_rows: int, padded_rows: int) -> tuple[Ar
     return perm, valid
 
 
-def pairwise_epoch_tensors(key, rows_total: int, steps: int, b: int,
-                           pos_u, pos_i, seen: MemberTable, item_nums: int,
-                           neg_ratio: int, pop_cdf=None):
+def pairwise_epoch_static(pos_u: np.ndarray, pos_i: np.ndarray,
+                          lens: np.ndarray, item_nums: int, padded: int,
+                          neg_ratio: int):
+    """Host-side per-RUN constants for ``pairwise_epoch_tensors``: the
+    epoch's rows in PAIR ORDER (pair p occupies rows p*neg_ratio ..),
+    padded to the step grid.  Computing these once kills three of the
+    four per-epoch XLA gathers (TPU gathers cost ~8ns/element regardless
+    of table size — profiled: they dominated the sampling pass)."""
+    rows_total = len(pos_u) * neg_ratio
+    u = np.zeros(padded, np.int32)
+    i = np.zeros(padded, np.int32)
+    u[:rows_total] = np.repeat(pos_u, neg_ratio)
+    i[:rows_total] = np.repeat(pos_i, neg_ratio)
+    # Valid complement-row prefix = number of UNSEEN items.
+    n_un = np.ones(padded, np.int32)
+    n_un[:rows_total] = np.maximum(
+        item_nums - np.asarray(lens)[u[:rows_total]], 1)
+    w = np.zeros(padded, np.float32)
+    w[:rows_total] = 1.0
+    return {"ord_u": u, "ord_i": i, "ord_nun": n_un, "ord_w": w}
+
+
+def pairwise_epoch_tensors(key, static: dict, seen: MemberTable,
+                           item_nums: int, steps: int, b: int,
+                           pop_cdf=None):
     """The whole epoch's (u, i, j, w) as [steps, b] tensors.
 
-    Negatives are drawn in PAIR ORDER (row r belongs to pair r//neg_ratio)
-    *before* the shuffle, so the complement-table gather walks the table
-    near-sequentially (pos_u is grouped by user) instead of issuing
-    latency-bound random point gathers — measured 6ms -> <1ms per ml-100k
-    epoch on v5e.  The shuffle then permutes the three small row arrays.
-    Distributionally identical to per-step draws (each row's negative is
-    iid uniform over the user's unseen set) and the same layout the
-    reference materializes (utils/sampler.py:46-74).
+    Device work per epoch is exactly: one randint, one modulo, ONE gather
+    (the exact complement-table negative draw), and one multi-operand
+    ``lax.sort`` that shuffles (u, i, j, w) together — replacing the
+    permutation + three row gathers of the naive layout (every XLA TPU
+    gather costs ~8ns/element, so gather count is THE sampling cost).
+    Distributionally identical to per-step draws and the same epoch
+    layout the reference materializes (utils/sampler.py:46-74).
     """
     padded = steps * b
-    pkey, jkey = jax.random.split(key)
-    perm, valid = epoch_permutation(pkey, rows_total, padded)
-    p_ord = (jnp.arange(rows_total, dtype=jnp.int32) // neg_ratio)
-    u_ord = pos_u[p_ord]
-    i_ord = pos_i[p_ord]
-    j_ord = _draw_negatives(jkey, seen, u_ord, item_nums, (rows_total,),
-                            pop_cdf)
-    r = jnp.minimum(perm, rows_total - 1)
-    return {"u": u_ord[r].reshape(steps, b),
-            "i": i_ord[r].reshape(steps, b),
-            "j": j_ord[r].reshape(steps, b),
-            "w": valid.reshape(steps, b)}
+    jkey, skey = jax.random.split(key)
+    u = static["ord_u"]
+    if seen.complement is not None and pop_cdf is None:
+        r = jax.random.randint(jkey, (padded,), 0,
+                               jnp.iinfo(jnp.int32).max, dtype=jnp.int32)
+        idx = r % static["ord_nun"]
+        flat = seen.complement.reshape(-1)
+        j = flat[u * seen.complement.shape[1] + idx]
+    else:
+        j = _draw_negatives(jkey, seen, u, item_nums, (padded,), pop_cdf)
+    keys = jax.random.bits(skey, (padded,), jnp.uint32)
+    _, u_s, i_s, j_s, w_s = jax.lax.sort(
+        (keys, u, static["ord_i"], j, static["ord_w"]), num_keys=1)
+    return {"u": u_s.reshape(steps, b),
+            "i": i_s.reshape(steps, b),
+            "j": j_s.reshape(steps, b),
+            "w": w_s.reshape(steps, b)}
 
 
 # -- per-protocol batch builders -----------------------------------------

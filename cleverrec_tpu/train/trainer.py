@@ -76,6 +76,15 @@ class Trainer:
                 np.cumsum(deg) / max(deg.sum(), 1.0), dtype=jnp.float32)
         for k, v in model_aux.items():
             arrays[k] = jax.tree_util.tree_map(jnp.asarray, v)
+        if model.sampler == "pairwise":
+            # Static pair-order epoch layout (kills three per-epoch
+            # gathers; see sampling.pairwise_epoch_static).
+            padded = cdiv(self.n_pairs * cfg.neg_ratio,
+                          cfg.batch_size) * cfg.batch_size
+            arrays["pairwise_static"] = jax.tree_util.tree_map(
+                jnp.asarray, sampling.pairwise_epoch_static(
+                    pos_u, pos_i, self.dd.seen.lens, self.dd.item_nums,
+                    padded, cfg.neg_ratio))
         self.arrays = arrays
 
         self.optimizer = make_optimizer(cfg.optimizer, cfg.lr)
@@ -180,9 +189,8 @@ class Trainer:
             # sampling stream (pinned by tests/test_fused_train.py).
             pkey, _ = jax.random.split(key)
             batch = sampling.pairwise_epoch_tensors(
-                pkey, rows_total, steps, b, arrays["pos_u"], arrays["pos_i"],
-                arrays["seen"], item_nums, neg_ratio,
-                pop_cdf=arrays.get("pop_cdf"))
+                pkey, arrays["pairwise_static"], arrays["seen"], item_nums,
+                steps, b, pop_cdf=arrays.get("pop_cdf"))
             inval = batch["w"] == 0.0
             u = jnp.where(inval, u_pad - 1, batch["u"]).astype(jnp.int32)
             i = jnp.where(inval, i_pad - 1, batch["i"]).astype(jnp.int32)
@@ -228,9 +236,9 @@ class Trainer:
             step_keys = jax.random.split(skey, steps)
             if pairwise:
                 epoch_batch = sampling.pairwise_epoch_tensors(
-                    pkey, rows_total, steps, b, arrays["pos_u"],
-                    arrays["pos_i"], arrays["seen"], self.dd.item_nums,
-                    self.neg_ratio, pop_cdf=arrays.get("pop_cdf"))
+                    pkey, arrays["pairwise_static"], arrays["seen"],
+                    self.dd.item_nums, steps, b,
+                    pop_cdf=arrays.get("pop_cdf"))
                 xs = (epoch_batch, step_keys)
             else:
                 perm, valid = sampling.epoch_permutation(pkey, rows_total,
@@ -382,7 +390,10 @@ class Trainer:
             self._multi_epoch_fns[n_epochs] = fn
         self._loop_key, ekey = jax.random.split(self._loop_key)
         params, opt_state, losses = fn(params, opt_state, ekey, self.arrays)
-        return params, opt_state, [float(x) for x in losses]
+        # ONE device->host fetch for the whole block (a per-element float()
+        # loop costs a full transfer round trip PER epoch on tunneled
+        # backends).
+        return params, opt_state, np.asarray(losses).tolist()
 
     def evaluate(self, params):
         return self.evaluator.evaluate(params, self.arrays)

@@ -163,3 +163,41 @@ def test_popularity_sampler_biased_and_unseen():
     counts = np.bincount(j, minlength=10)
     # Popularity-biased: item 8 drawn far more than item 1.
     assert counts[8] > 10 * max(counts[1], 1)
+
+
+def test_pairwise_epoch_tensors_negatives_exact_and_uniform():
+    """Epoch-tensor negatives: never seen, every pair appears neg_ratio
+    times, and draws cover the FULL unseen range (regression: a biased
+    complement-prefix length once restricted negatives to low item ids)."""
+    rng = np.random.default_rng(0)
+    n_users, n_items, neg_ratio = 8, 60, 4
+    user_items = {u: sorted(rng.choice(n_items, size=10,
+                                       replace=False).tolist())
+                  for u in range(n_users)}
+    pos_u = np.repeat(np.arange(n_users, dtype=np.int32), 10)
+    pos_i = np.concatenate([np.asarray(user_items[u], np.int32)
+                            for u in range(n_users)])
+    t = sampling.build_member_table(user_items, n_users, n_items)
+    assert t.complement is not None
+    steps, b = 10, 40  # padded=400, rows_total=320
+    static = jax.tree_util.tree_map(jnp.asarray, sampling.pairwise_epoch_static(
+        pos_u, pos_i, t.lens, n_items, steps * b, neg_ratio))
+    t_dev = jax.tree_util.tree_map(
+        lambda x: jnp.asarray(x) if x is not None else None, t)
+    batch = sampling.pairwise_epoch_tensors(jax.random.PRNGKey(0), static,
+                                            t_dev, n_items, steps, b)
+    u = np.asarray(batch["u"]).ravel()
+    i = np.asarray(batch["i"]).ravel()
+    j = np.asarray(batch["j"]).ravel()
+    w = np.asarray(batch["w"]).ravel()
+    assert w.sum() == len(pos_u) * neg_ratio
+    # Multiset of valid (u, i) rows = pairs x neg_ratio.
+    from collections import Counter
+    got = Counter(zip(u[w > 0].tolist(), i[w > 0].tolist()))
+    assert all(c == neg_ratio for c in got.values())
+    assert len(got) == len(pos_u)
+    # Negatives unseen and spanning the range (with 50 unseen per user and
+    # 320 draws, the top quartile of item ids must be hit).
+    for uu, jj in zip(u[w > 0], j[w > 0]):
+        assert int(jj) not in user_items[int(uu)]
+    assert (j[w > 0] >= 3 * n_items // 4).sum() > 0
