@@ -23,6 +23,9 @@ import numpy as np
 sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
 
 from cleverrec_tpu.config import Config  # noqa: E402
+from cleverrec_tpu.utils.logging import enable_compilation_cache  # noqa: E402
+
+enable_compilation_cache()
 from cleverrec_tpu.data import load_ranking_data  # noqa: E402
 from cleverrec_tpu.metrics import pad_lists, ranking_metrics_topks  # noqa: E402
 
@@ -132,7 +135,14 @@ def main():
 
     t0 = time.time()
     ours = run_ours(cfg, data)
-    t_ours = time.time() - t0
+    t_ours_cold = time.time() - t0
+    # Second identical run: jit caches are warm, so this is the honest
+    # steady-state end-to-end wall (compile excluded) — the number a user
+    # with a persistent compilation cache sees on every run after the
+    # first.
+    t0 = time.time()
+    ours_warm = run_ours(cfg, data)
+    t_ours_warm = time.time() - t0
     t0 = time.time()
     tf1 = run_tf1(data, epochs)
     t_tf1 = time.time() - t0
@@ -144,7 +154,9 @@ def main():
                    "reg": REG},
         "best_tf1": {str(k): v for k, v in tf1.items()},
         "best_ours": {str(k): list(v) for k, v in ours.items()},
-        "wall_s": {"tf1_cpu": t_tf1, "ours_tpu": t_ours},
+        "best_ours_warm": {str(k): list(v) for k, v in ours_warm.items()},
+        "wall_s": {"tf1_cpu": t_tf1, "ours_tpu_cold": t_ours_cold,
+                   "ours_tpu_warm": t_ours_warm},
     }
     path = os.path.join(os.path.dirname(__file__), "PARITY_BPR.json")
     with open(path, "w") as f:

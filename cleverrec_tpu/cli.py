@@ -61,19 +61,19 @@ def run_experiment(cfg: Config, logger=None, mesh_shape=None,
     logger.info("=" * 80)
     logger.info("Current model: %s", cfg.recommender)
 
-    if cfg.model_type == "rating":
-        from cleverrec_tpu.rating import run_rating
-        return run_rating(cfg, logger)
-
-    from cleverrec_tpu.data import load_ranking_data
-    from cleverrec_tpu.train import Trainer
-
     mesh = None
     if mesh_shape:
         from cleverrec_tpu.parallel.mesh import make_mesh
         n_data, n_model = (int(x) for x in mesh_shape.lower().split("x"))
         mesh = make_mesh(n_data, n_model)
         logger.info("mesh: data=%d x model=%d", n_data, n_model)
+
+    if cfg.model_type == "rating":
+        from cleverrec_tpu.rating import run_rating
+        return run_rating(cfg, logger, mesh=mesh)
+
+    from cleverrec_tpu.data import load_ranking_data
+    from cleverrec_tpu.train import Trainer
 
     rng = np.random.default_rng(cfg.seed)
     data = load_ranking_data(cfg, rng=rng, logger=logger)

@@ -38,17 +38,25 @@ def _is_embedding_table(x, meta) -> bool:
     return n in cards
 
 
+def _rowshardable(x, meta, mesh: Mesh) -> bool:
+    """Row-shard only when the leading dim divides over the model axis;
+    odd-sized tables (e.g. sentinel-row +1 tables) stay replicated —
+    GSPMD requires divisibility and these are the rare small cases."""
+    return (_is_embedding_table(x, meta)
+            and x.shape[0] % mesh.shape["model"] == 0)
+
+
 def shard_params(params: Any, meta, mesh: Mesh) -> Any:
     """device_put params with row-sharded tables, replicated leaves."""
     def place(x):
-        spec = P("model", None) if _is_embedding_table(x, meta) else P()
+        spec = P("model", None) if _rowshardable(x, meta, mesh) else P()
         return jax.device_put(x, NamedSharding(mesh, spec))
     return jax.tree_util.tree_map(place, params)
 
 
 def param_sharding_tree(params: Any, meta, mesh: Mesh) -> Any:
     def spec(x):
-        s = P("model", None) if _is_embedding_table(x, meta) else P()
+        s = P("model", None) if _rowshardable(x, meta, mesh) else P()
         return NamedSharding(mesh, s)
     return jax.tree_util.tree_map(spec, params)
 

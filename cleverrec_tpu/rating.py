@@ -37,14 +37,21 @@ class FM:
         self.feature_nums = feature_nums
         self.initializer = make_initializer(cfg.init_method, cfg.stddev)
 
+    def _table_rows(self) -> int:
+        """feature_nums + 1 pad row, rounded up to a multiple of 8 so the
+        tables row-shard over small mesh 'model' axes; extra rows are
+        zero and never addressed (x_idx <= feature_nums)."""
+        f = self.feature_nums + 1
+        return ((f + 7) // 8) * 8
+
     def init(self, key):
         k1, k2 = jax.random.split(key)
-        f = self.feature_nums + 1  # pad row
-        return {
-            "w0": jnp.zeros(()),
-            "wi": init_param(k1, self.initializer, (f,)),
-            "vif": init_param(k2, self.initializer, (f, self.embed_size)),
-        }
+        f = self._table_rows()
+        live = self.feature_nums + 1
+        wi = init_param(k1, self.initializer, (f,)).at[live:].set(0.0)
+        vif = init_param(k2, self.initializer,
+                         (f, self.embed_size)).at[live:].set(0.0)
+        return {"w0": jnp.zeros(()), "wi": wi, "vif": vif}
 
     def predict(self, params, x_idx, x_val):
         wi = params["wi"][x_idx] * x_val                     # [B, F]
@@ -80,14 +87,13 @@ class FFM(FM):
 
     def init(self, key):
         k1, k2 = jax.random.split(key)
-        f = self.feature_nums + 1  # pad row
-        return {
-            "w0": jnp.zeros(()),
-            "wi": init_param(k1, self.initializer, (f,)),
-            "vif": self.initializer(
-                k2, (f, self.n_fields * self.embed_size)).reshape(
-                    f, self.n_fields, self.embed_size),
-        }
+        f = self._table_rows()
+        live = self.feature_nums + 1
+        wi = init_param(k1, self.initializer, (f,)).at[live:].set(0.0)
+        vif = self.initializer(
+            k2, (f, self.n_fields * self.embed_size)).reshape(
+                f, self.n_fields, self.embed_size).at[live:].set(0.0)
+        return {"w0": jnp.zeros(()), "wi": wi, "vif": vif}
 
     def predict(self, params, x_idx, x_val):
         wi = params["wi"][x_idx] * x_val                   # [B, F]
@@ -107,11 +113,13 @@ _RATING_MODELS = {"FM": FM, "FFM": FFM}
 
 
 class FMTrainer:
-    def __init__(self, model: FM, data: RatingData, cfg: Config, logger=None):
+    def __init__(self, model: FM, data: RatingData, cfg: Config, logger=None,
+                 mesh=None):
         self.model = model
         self.data = data
         self.cfg = cfg
         self.logger = logger
+        self.mesh = mesh  # ('data','model') Mesh: dp batches + row-sharded
         self.optimizer = make_optimizer(cfg.optimizer, cfg.lr)
         self.batch_size = cfg.batch_size
         n = len(data.y_tr)
@@ -130,6 +138,15 @@ class FMTrainer:
         padded = steps * b
         model = self.model
         optimizer = self.optimizer
+        if self.mesh is not None:
+            from jax.sharding import NamedSharding, PartitionSpec as P
+
+            def constrain(x):
+                return jax.lax.with_sharding_constraint(
+                    x, NamedSharding(self.mesh,
+                                     P(*(("data",) + (None,) * (x.ndim - 1)))))
+        else:
+            constrain = lambda x: x  # noqa: E731
 
         def epoch(params, opt_state, key, xi, xv, y):
             perm = jax.random.permutation(key, padded)
@@ -141,8 +158,11 @@ class FMTrainer:
             def step(carry, xs):
                 params, opt_state = carry
                 rows, wt = xs
+                xib = constrain(xi[rows])
+                xvb = constrain(xv[rows])
+                yb = constrain(y[rows])
                 (loss, y_pre), grads = jax.value_and_grad(
-                    lambda p: model.loss(p, xi[rows], xv[rows], y[rows], wt),
+                    lambda p: model.loss(p, xib, xvb, yb, wt),
                     has_aux=True)(params)
                 updates, opt_state = optimizer.update(grads, opt_state, params)
                 params = optax.apply_updates(params, updates)
@@ -159,6 +179,20 @@ class FMTrainer:
         key = jax.random.PRNGKey(self.cfg.seed if seed is None else seed)
         ikey, loop_key = jax.random.split(key)
         params = self.model.init(ikey)
+        if self.mesh is not None:
+            # Feature tables row-sharded over 'model' (when divisible),
+            # scalars replicated — same GSPMD tier as the ranking Trainer.
+            from jax.sharding import NamedSharding, PartitionSpec as P
+            n_model = self.mesh.shape["model"]
+
+            def place(x):
+                if x.ndim >= 1 and x.shape[0] % n_model == 0:
+                    spec = P(*(("model",) + (None,) * (x.ndim - 1)))
+                else:
+                    spec = P()
+                return jax.device_put(x, NamedSharding(self.mesh, spec))
+
+            params = jax.tree_util.tree_map(place, params)
         opt_state = self.optimizer.init(params)
         best = {"rmse": float("inf"), "mae": None, "epoch": 0}
         for epoch in range(1, self.cfg.epoches + 1):
@@ -196,7 +230,7 @@ class FMTrainer:
         return rmse_mae(self.data.y_t, y_pre)
 
 
-def run_rating(cfg: Config, logger=None):
+def run_rating(cfg: Config, logger=None, mesh=None):
     data = load_rating_data(cfg)
     name = cfg.recommender
     if name == "FFM":
@@ -206,5 +240,5 @@ def run_rating(cfg: Config, logger=None):
     else:
         raise KeyError(f"unknown rating model {name!r}; "
                        f"available: {sorted(_RATING_MODELS)}")
-    trainer = FMTrainer(model, data, cfg, logger=logger)
+    trainer = FMTrainer(model, data, cfg, logger=logger, mesh=mesh)
     return trainer.run()

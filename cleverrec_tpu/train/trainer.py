@@ -359,9 +359,13 @@ class Trainer:
         return params, opt_state, float(loss)
 
     def train_epochs(self, params, opt_state, n_epochs: int):
-        """Run n epochs in ONE device call (scan over epochs) — amortizes
-        the per-dispatch latency when eval runs every test.interval > 1
-        epochs.  Not available for models with a host-side pre-epoch hook.
+        """Run n epochs in device-side blocks (scan over epochs) —
+        amortizes the per-dispatch latency when eval runs every
+        test.interval > 1 epochs.  Blocks are split into POWER-OF-TWO
+        sizes (<= 32) so the set of compiled multi-epoch programs is
+        bounded regardless of irregular intervals/resume points (each
+        whole-epoch-scan compile costs minutes on a cold cache).  Not
+        available for models with a host-side pre-epoch hook.
         Returns (params, opt_state, losses[n]).
         """
         if self._pre_epoch_fn is not None or not hasattr(self, "_epoch_body"):
@@ -370,6 +374,17 @@ class Trainer:
                 params, opt_state, loss = self.train_epoch(params, opt_state)
                 losses.append(loss)
             return params, opt_state, losses
+        losses: list[float] = []
+        remaining = n_epochs
+        while remaining > 0:
+            block = min(1 << (remaining.bit_length() - 1), 32)
+            params, opt_state, block_losses = self._train_block(
+                params, opt_state, block)
+            losses.extend(block_losses)
+            remaining -= block
+        return params, opt_state, losses
+
+    def _train_block(self, params, opt_state, n_epochs: int):
         fn = self._multi_epoch_fns.get(n_epochs)
         if fn is None:
             body = self._epoch_body

@@ -63,6 +63,62 @@ def test_sharded_params_actually_sharded(toy_dataset, mesh):
     assert spec[0] == "model", spec
 
 
+# The models whose segment-sums / attention / dual-domain epochs are most
+# likely to mis-shard (VERDICT round-1 item 6).  Each trains 2 epochs on
+# the mesh and unsharded; numerics must agree (same program, same RNG).
+HARD_MODELS = {
+    "LightGCN": {"is_pairwise": "True", "loss_func": "bpr",
+                 "reg": "0.0001", "n_layers": "2"},
+    "SAMN": {"loss_func": "bpr", "reg1": "0.01", "reg2": "0.01",
+             "mem_size": "4", "atten_size": "4", "social": True},
+    "SoHRML": {"loss_func": "hinge", "margin": "0.5", "gamma": "0.1",
+               "reg1": "0.01", "reg2": "0.001", "atten_size": "4",
+               "att_type": "2", "mlp_type": "0", "gat_layer_nums": "2",
+               "max_i": "0", "max_s": "0", "node_dropout": "0.0",
+               "message_dropout": "0.0", "train_batches": "4",
+               "adj_folds": "4", "cml_like": "True", "social": True},
+    "RML_DGATs": {"loss_func": "hinge", "margin": "0.25", "gamma": "0.05",
+                  "reg1": "0.01", "reg2": "0.001", "atten_size": "4",
+                  "att_type": "2", "mlp_type": "0", "max_i": "5",
+                  "max_s": "5", "train_batches": "4", "cml_like": "True",
+                  "social": True},
+}
+
+
+@pytest.mark.parametrize("name", sorted(HARD_MODELS))
+def test_sharded_hard_models_match_single_device(name, toy_dataset,
+                                                 toy_social_dataset, mesh):
+    """sharded == unsharded numerics for segment-sum graph models, SAMN's
+    attention, and the dual-domain (item+social) epoch."""
+    spec = dict(HARD_MODELS[name])
+    social = spec.pop("social", False)
+    ov = {"recommender": name, "epoches": "2", "batch_size": "64",
+          "embed_size": "8", "lr": "0.05", "neg_ratio": "2",
+          "test.neg_samples": "10", **spec}
+    if social:
+        ov["social_file"] = "trusts.csv"
+    toy = toy_social_dataset if social else toy_dataset
+    cfg = base_config(toy, **ov)
+    data = load_ranking_data(cfg)
+    model = make_model(cfg, DataMeta(data.user_nums, data.item_nums))
+    t_plain = Trainer(model, data, cfg)
+    t_mesh = Trainer(model, data, cfg, mesh=mesh)
+    p0, o0 = t_plain.init_state()
+    p1, o1 = t_mesh.init_state()
+    for _ in range(2):
+        p0, o0, l0 = t_plain.train_epoch(p0, o0)
+        p1, o1, l1 = t_mesh.train_epoch(p1, o1)
+        assert l1 == pytest.approx(l0, rel=2e-4), (name, l0, l1)
+    for leaf0, leaf1 in zip(jax.tree_util.tree_leaves(p0),
+                            jax.tree_util.tree_leaves(p1)):
+        np.testing.assert_allclose(np.asarray(leaf1), np.asarray(leaf0),
+                                   rtol=2e-4, atol=2e-5)
+    r0 = t_plain.evaluate(p0)
+    r1 = t_mesh.evaluate(p1)
+    for k in r0:
+        assert r1[k] == pytest.approx(r0[k], abs=1e-5), (name, k)
+
+
 def test_mesh_evaluator_shards_item_axis(toy_dataset, mesh, monkeypatch):
     """With a mesh, the Evaluator's full-catalog path must go through the
     item-axis-sharded top-K merge (not replicated scoring) and agree with

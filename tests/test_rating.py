@@ -92,3 +92,29 @@ def test_fm_convert_roundtrip(tmp_path):
     assert data.x_idx_tr.shape == (n_tr, 2)
     # Item feature ids are offset past the user block.
     assert data.x_idx_tr.max() < 65
+
+
+def test_fm_mesh_matches_single_device(libfm_dataset):
+    """FM under a ('data','model') mesh == unsharded numerics (VERDICT
+    round-1 item 9: the rating pipeline gets the same mesh tier)."""
+    import jax
+    import numpy as np
+    from cleverrec_tpu.parallel.mesh import make_mesh
+    from cleverrec_tpu.rating import FM, FMTrainer
+
+    cfg = _cfg(libfm_dataset).with_overrides(epoches="2")
+    data = load_rating_data(cfg)
+    mesh = make_mesh(4, 2)
+    m = FM(cfg, data.feature_nums)
+    t0 = FMTrainer(m, data, cfg)
+    t1 = FMTrainer(m, data, cfg, mesh=mesh)
+    b0 = t0.run()
+    b1 = t1.run()
+    assert b1["rmse"] == pytest.approx(b0["rmse"], rel=1e-4)
+    assert b1["epoch"] == b0["epoch"]
+    for l0, l1 in zip(jax.tree_util.tree_leaves(t0.params),
+                      jax.tree_util.tree_leaves(t1.params)):
+        np.testing.assert_allclose(np.asarray(l1), np.asarray(l0),
+                                   rtol=2e-4, atol=2e-5)
+    # The feature tables are actually sharded on the mesh run.
+    assert "model" in t1.params["vif"].sharding.spec
