@@ -102,6 +102,9 @@ class FISM(RecModel):
 class NAIS(RecModel):
     name = "NAIS"
     sampler = "pointwise"
+    # Attention cost scales with history width: train with per-width
+    # bucketed epochs (Trainer._build_bucketed_epochs).
+    history_bucketing = True
 
     def __init__(self, cfg, meta):
         super().__init__(cfg, meta)
@@ -169,6 +172,47 @@ class NAIS(RecModel):
     def score_pairs(self, params: Params, u, i, aux: Aux):
         s, _, _ = self._scores(params, aux, u, i)
         return s
+
+    # Targets per (user, chunk) group in the grouped training layout.
+    TARGET_CHUNK = 32
+
+    def loss_grouped(self, params: Params, batch, aux: Aux):
+        """User-grouped pointwise loss: batch rows are (user, target-chunk)
+        GROUPS — ``gu`` [G] users, ``gt``/``gy``/``gw`` [G, T] targets/
+        labels/weights.  Each (group, target) cell is exactly one
+        pointwise row of the flat protocol (same math as ``loss``), but
+        the history embedding is gathered ONCE PER GROUP instead of once
+        per row — the flat layout's P[hist] gather (~8ns/index on this
+        chip) dominated NAIS training.  Mirrors the reference's
+        one-user-per-step batching (RankingRecommender.py:64-87)."""
+        u = batch["gu"]
+        seen = aux["seen"]
+        hist = seen.rows[u]                                  # [G, H]
+        mask = hist < self.meta.item_nums
+        pe = params["P"][hist]                               # [G, H, d]
+        tgt = batch["gt"]
+        qi = params["Q"][tgt]                                # [G, T, d]
+        if self.atten_type == "concat":
+            g, t = tgt.shape
+            h = hist.shape[1]
+            joint = jnp.concatenate(
+                [jnp.broadcast_to(pe[:, None], (g, t, h, pe.shape[-1])),
+                 jnp.broadcast_to(qi[:, :, None, :],
+                                  (g, t, h, qi.shape[-1]))], axis=-1)
+        else:
+            joint = pe[:, None, :, :] * qi[:, :, None, :]    # [G, T, H, d]
+        logits = (jax.nn.relu(joint @ params["W"] + params["b"])
+                  @ params["h"])                             # [G, T, H]
+        att = jax.vmap(masked_history_attention,
+                       in_axes=(None, None, 1, None),
+                       out_axes=1)(pe, mask, logits, self.beta)  # [G, T, d]
+        s = jnp.sum(att * qi, axis=-1) + params["bias"][tgt]
+        w = batch["gw"]
+        wc = w[..., None]
+        ib = params["bias"][tgt]
+        return (sigmoid_xent_loss(batch["gy"], s, weight=w)
+                + self.reg * (l2_loss(att * wc) + l2_loss(qi * wc)
+                              + l2_loss(ib * w)))
 
     SCORE_ALL_CHUNK = 16  # [B, chunk, H, d] peak — keep chunk small
 

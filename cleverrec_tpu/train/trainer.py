@@ -99,8 +99,14 @@ class Trainer:
         else:
             self._epoch_rows = self._rows_per_epoch()
             self.steps_per_epoch = cdiv(self._epoch_rows, self.batch_size)
+            self._bucket_plan = None
             if self._fused_epoch_eligible():
                 self._epoch_fn = self._build_fused_epoch_fn()
+            elif (getattr(model, "history_bucketing", False)
+                  and model.sampler == "pointwise"
+                  and cfg.bool("train.bucketed_histories", True)):
+                self._bucket_plan = self._build_bucketed_epochs()
+                self._epoch_fn = None
             else:
                 self._epoch_fn = self._build_epoch_fn()
         self._pre_epoch_fn = (jax.jit(model.pre_epoch)
@@ -212,10 +218,11 @@ class Trainer:
         self._epoch_body = epoch
         return jax.jit(epoch, donate_argnums=(0, 1))
 
-    def _build_epoch_fn(self):
-        steps = self.steps_per_epoch
-        b = self.batch_size
-        rows_total = self._epoch_rows
+    def _build_epoch_fn(self, steps=None, rows_total=None,
+                        register_body=True, batch_size=None):
+        steps = self.steps_per_epoch if steps is None else steps
+        rows_total = self._epoch_rows if rows_total is None else rows_total
+        b = self.batch_size if batch_size is None else batch_size
         padded = steps * b
         model = self.model
         optimizer = self.optimizer
@@ -268,8 +275,168 @@ class Trainer:
                 step, (params, opt_state), xs)
             return params, opt_state, jnp.mean(losses)
 
-        self._epoch_body = epoch
+        if register_body:
+            self._epoch_body = epoch
         return jax.jit(epoch, donate_argnums=(0, 1))
+
+    def _build_bucketed_epochs(self):
+        """History-length bucketing for attention-over-history models
+        (NAIS family): users are partitioned into power-of-two history
+        WIDTH buckets and each bucket trains with its own compiled scan
+        over a truncated seen-rows table, so short-history users stop
+        paying max-width attention cost (the reference's per-user batches,
+        RankingRecommender.py:64-87, have the same effect — one user's
+        rows per step — at the price of 1-user batches).  Shuffling is
+        within-bucket, matching the reference's user-at-a-time ordering
+        semantics more closely than a global row shuffle.
+        """
+        seen = self.dd.seen
+        h_max = seen.rows.shape[1]
+        lens = np.asarray(seen.lens)
+        pos_u = np.asarray(self.arrays["pos_u"])
+        pos_i = np.asarray(self.arrays["pos_i"])
+        widths = [w for w in (32, 64, 128, 256, 512, 1024, 2048, 4096)
+                  if w < h_max]
+        widths.append(h_max)
+        deg_pair = lens[pos_u]
+        bidx = np.searchsorted(np.asarray(widths), deg_pair, side="left")
+        grouped = hasattr(self.model, "loss_grouped")
+        grp = 1 + self.neg_ratio
+        plan = []
+        for k, w in enumerate(widths):
+            sel = bidx == k
+            n_sel = int(sel.sum())
+            if n_sel == 0:
+                continue
+            arrays_k = dict(self.arrays)
+            arrays_k["seen"] = self.arrays["seen"]._replace(
+                rows=self.arrays["seen"].rows[:, :w])
+            if grouped:
+                users_k = np.unique(pos_u[sel])
+                fn, steps_k = self._build_grouped_bucket_fn(users_k, w,
+                                                            arrays_k)
+            else:
+                arrays_k["pos_u"] = jnp.asarray(pos_u[sel])
+                arrays_k["pos_i"] = jnp.asarray(pos_i[sel])
+                rows_k = n_sel * grp
+                # Per-bucket batch size: no point padding a 500-row
+                # bucket to a 6144-row batch.
+                b_k = min(self.batch_size, max(256, -(-rows_k // 256) * 256))
+                steps_k = cdiv(rows_k, b_k)
+                fn = self._build_epoch_fn(steps=steps_k, rows_total=rows_k,
+                                          register_body=False,
+                                          batch_size=b_k)
+            plan.append({"fn": fn, "arrays": arrays_k, "steps": steps_k,
+                         "width": w, "pairs": n_sel})
+        if self.logger:
+            self.logger.info(
+                "history buckets (%s): %s",
+                "grouped" if grouped else "row",
+                ", ".join(f"w={p['width']}:{p['pairs']}p/{p['steps']}s"
+                          for p in plan))
+        return plan
+
+    def _build_grouped_bucket_fn(self, users_k, width, arrays_k):
+        """One bucket's epoch in the GROUPED layout: scan steps process G
+        (user, target-chunk) groups; per-user static target grids (first
+        deg cells = positives, next neg_ratio*deg = negatives, rest pad)
+        are built once per run, negatives redrawn per epoch in one pass.
+        The model consumes groups via ``loss_grouped``.
+        """
+        model = self.model
+        optimizer = self.optimizer
+        tc = model.TARGET_CHUNK
+        item_nums = self.dd.item_nums
+        lens = np.asarray(self.dd.seen.lens)
+        rows_tbl = np.asarray(self.dd.seen.rows)
+        grp = 1 + self.neg_ratio
+
+        deg = lens[users_k]
+        n_groups_u = -(-(grp * deg) // tc)
+        gu = np.repeat(users_k, n_groups_u).astype(np.int32)
+        g_total = len(gu)
+        g_per_step = max(self.batch_size // tc, 1)
+        steps = cdiv(g_total, g_per_step)
+        g_pad = steps * g_per_step
+
+        g_pos = np.full((g_pad, tc), item_nums, np.int32)
+        g_y = np.zeros((g_pad, tc), np.float32)
+        g_w = np.zeros((g_pad, tc), np.float32)
+        ofs = 0
+        for u, d, ng in zip(users_k, deg, n_groups_u):
+            slots = ng * tc
+            flat_pos = np.full(slots, item_nums, np.int32)
+            flat_pos[:d] = rows_tbl[u, :d]
+            flat_y = np.zeros(slots, np.float32)
+            flat_y[:d] = 1.0
+            flat_w = np.zeros(slots, np.float32)
+            flat_w[: grp * d] = 1.0
+            g_pos[ofs: ofs + ng] = flat_pos.reshape(ng, tc)
+            g_y[ofs: ofs + ng] = flat_y.reshape(ng, tc)
+            g_w[ofs: ofs + ng] = flat_w.reshape(ng, tc)
+            ofs += ng
+        gu_pad = np.zeros(g_pad, np.int32)
+        gu_pad[:g_total] = gu
+        g_nun = np.maximum(item_nums - lens[gu_pad], 1).astype(np.int32)
+
+        arrays_k["g_user"] = jnp.asarray(gu_pad)
+        arrays_k["g_pos"] = jnp.asarray(g_pos)
+        arrays_k["g_y"] = jnp.asarray(g_y)
+        arrays_k["g_w"] = jnp.asarray(g_w)
+        arrays_k["g_nun"] = jnp.asarray(g_nun)
+        seen_full = self.arrays["seen"]
+        pop_cdf = self.arrays.get("pop_cdf")
+
+        def epoch(params, opt_state, key, arrays):
+            jkey, pkey, dkey = jax.random.split(key, 3)
+            gus = arrays["g_user"]
+            if seen_full.complement is not None and pop_cdf is None:
+                r = jax.random.randint(jkey, (g_pad, tc), 0,
+                                       jnp.iinfo(jnp.int32).max,
+                                       dtype=jnp.int32)
+                idx = r % arrays["g_nun"][:, None]
+                flat = seen_full.complement.reshape(-1)
+                j = flat[gus[:, None] * seen_full.complement.shape[1] + idx]
+            else:
+                j = sampling._draw_negatives(jkey, seen_full, gus,
+                                             item_nums, (g_pad, tc),
+                                             pop_cdf)
+            gt_all = jnp.where(arrays["g_y"] > 0, arrays["g_pos"], j)
+            gt_all = jnp.where(arrays["g_w"] > 0, gt_all, item_nums)
+            perm = jax.random.permutation(pkey, g_pad).reshape(steps,
+                                                              g_per_step)
+            dkeys = jax.random.split(dkey, steps)
+
+            def step(carry, xs):
+                params, opt_state = carry
+                sel, dk = xs
+                batch = {"gu": gus[sel], "gt": gt_all[sel],
+                         "gy": arrays["g_y"][sel],
+                         "gw": arrays["g_w"][sel], "dropout_key": dk}
+                loss, grads = jax.value_and_grad(model.loss_grouped)(
+                    params, batch, arrays)
+                updates, opt_state = optimizer.update(grads, opt_state,
+                                                      params)
+                params = optax.apply_updates(params, updates)
+                params = model.postprocess(params)
+                return (params, opt_state), loss
+
+            (params, opt_state), losses = jax.lax.scan(
+                step, (params, opt_state), (perm, dkeys))
+            return params, opt_state, jnp.mean(losses)
+
+        return jax.jit(epoch, donate_argnums=(0, 1)), steps
+
+    def _bucketed_epoch(self, params, opt_state, key):
+        total = jnp.zeros(())
+        steps_sum = 0
+        for plan, bk in zip(self._bucket_plan,
+                            jax.random.split(key, len(self._bucket_plan))):
+            params, opt_state, loss = plan["fn"](params, opt_state, bk,
+                                                 plan["arrays"])
+            total = total + loss * plan["steps"]
+            steps_sum += plan["steps"]
+        return params, opt_state, total / steps_sum
 
     def _build_dual_epoch_fn(self):
         """Epoch over item-domain (u,i,j) AND social-domain (u,v,w) triples,
@@ -354,8 +521,12 @@ class Trainer:
             # (RankingRecommender.py:157-176, :403-405).
             self.arrays.update(self._pre_epoch_fn(params, self.arrays))
         self._loop_key, ekey = jax.random.split(self._loop_key)
-        params, opt_state, loss = self._epoch_fn(params, opt_state, ekey,
-                                                 self.arrays)
+        if getattr(self, "_bucket_plan", None):
+            params, opt_state, loss = self._bucketed_epoch(params, opt_state,
+                                                           ekey)
+        else:
+            params, opt_state, loss = self._epoch_fn(params, opt_state, ekey,
+                                                     self.arrays)
         return params, opt_state, float(loss)
 
     def train_epochs(self, params, opt_state, n_epochs: int):
