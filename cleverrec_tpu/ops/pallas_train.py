@@ -244,3 +244,20 @@ def vmem_footprint_bytes(u_real: int, i_real: int, d: int, b: int,
     onehots = 4 * blk * (u_pad + 2 * i_pad)
     idx = 2 * 3 * 4 * _round_up(b, 8 * blk)
     return state + scratch + onehots + idx
+
+
+FUSED_VMEM_BUDGET = 13 * 2 ** 20
+
+
+def plan_fused(u_real: int, i_real: int, d: int, b: int):
+    """Pick a block size that fits the VMEM budget, or None (caller
+    falls back to the scan path).  A bf16-compute variant was measured
+    and REJECTED: bf16 one-hot construction forces (8,128)->(16,128)
+    retiling per block and ran 35x slower than f32, and even bf16 VMEM
+    sizing cannot fit ml-1m-class state (the remote compiler rejects
+    13MB+ resident layouts)."""
+    for blk in (256, 128, 64):
+        if vmem_footprint_bytes(u_real, i_real, d, b,
+                                blk) < FUSED_VMEM_BUDGET:
+            return blk
+    return None

@@ -160,14 +160,13 @@ class Trainer:
         on_tpu = jax.default_backend() == "tpu"
         if not self.cfg.bool("train.fused_kernel", on_tpu):
             return False
-        from cleverrec_tpu.ops.pallas_train import vmem_footprint_bytes
-        fits = vmem_footprint_bytes(
-            self.dd.user_nums, self.dd.item_nums,
-            self.model.embed_size, self.batch_size) < 13 * 2 ** 20
-        if not fits and self.logger:
+        from cleverrec_tpu.ops.pallas_train import plan_fused
+        self._fused_plan = plan_fused(self.dd.user_nums, self.dd.item_nums,
+                                      self.model.embed_size, self.batch_size)
+        if self._fused_plan is None and self.logger:
             self.logger.info("fused epoch kernel skipped: tables exceed "
                              "the VMEM budget; using the scan path")
-        return fits
+        return self._fused_plan is not None
 
     def _build_fused_epoch_fn(self):
         """Whole-epoch Pallas program (ops/pallas_train.py): one vectorized
@@ -184,9 +183,13 @@ class Trainer:
         item_nums = self.dd.item_nums
         neg_ratio = self.neg_ratio
         u_pad, i_pad = sentinel_dims(self.dd.user_nums, item_nums)
+        plan_blk = self._fused_plan
         lane_w = max(b // 8, 1)
-        blk = next((c for c in (1024, 512, 256, 128) if lane_w % c == 0),
-                   lane_w)
+        # Largest block <= the plan's VMEM-fitting size that divides the
+        # index lane width (halving never grows the footprint).
+        blk = min(plan_blk, lane_w)
+        while blk > 8 and lane_w % blk:
+            blk //= 2
         interpret = jax.default_backend() != "tpu"
         lr, reg = self.cfg.lr, self.model.reg
 
@@ -498,6 +501,26 @@ class Trainer:
             from cleverrec_tpu.parallel.sharding import shard_params
             params = shard_params(params, self.model.meta, self.mesh)
         opt_state = self.optimizer.init(params)
+        return params, opt_state
+
+    def compile(self, params=None, opt_state=None):
+        """AOT-compile the hot programs (epoch fn + evaluator) before the
+        first step — jit(...).lower(...).compile() so a run's compile cost
+        is paid up-front (and hits the persistent compilation cache)
+        instead of surprising the first epoch.  Returns (params,
+        opt_state) (freshly initialized when not supplied)."""
+        if params is None:
+            params, opt_state = self.init_state()
+        key = jax.random.PRNGKey(0)
+        if getattr(self, "_bucket_plan", None):
+            for plan in self._bucket_plan:
+                plan["fn"].lower(params, opt_state, key,
+                                 plan["arrays"]).compile()
+        elif self._epoch_fn is not None:
+            self._epoch_fn.lower(params, opt_state, key,
+                                 self.arrays).compile()
+        ev = self.evaluator
+        ev._eval_fn.lower(params, self.arrays, ev._batches).compile()
         return params, opt_state
 
     def resume(self, path: str):

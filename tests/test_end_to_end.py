@@ -131,3 +131,18 @@ def test_device_metrics_match_host(blocky, ov):
     for k in dev:
         for got, want in zip(dev[k], host[k]):
             assert got == pytest.approx(want, rel=2e-5, abs=2e-6), (k, ov)
+
+
+def test_trainer_aot_compile(blocky):
+    """Trainer.compile() pre-compiles the hot programs; training and eval
+    then run normally (and hit the persistent compilation cache)."""
+    cfg = base_config(blocky, **{"epoches": "1", "batch_size": "64",
+                                 "embed_size": "8", "lr": "0.05"})
+    data = load_ranking_data(cfg)
+    model = make_model(cfg, DataMeta(data.user_nums, data.item_nums))
+    trainer = Trainer(model, data, cfg)
+    params, opt = trainer.compile()
+    params, opt, loss = trainer.train_epoch(params, opt)
+    assert np.isfinite(loss)
+    res = trainer.evaluate(params)
+    assert 0 <= res[10][0] <= 1
