@@ -15,7 +15,7 @@ Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline", ...}.
   publishes no numbers of its own, see BASELINE.md).
 - extra keys: eval_users_per_s (marginal chained one-call device eval),
   mxu_tflops/mxu_pct_peak (roofline accounting for the fused epoch
-  kernel's one-hot matmul formulation: 12*B*(U_pad + 2*I_pad)*d flops per
+  kernel's one-hot matmul formulation: 4*B*(U_pad + 2*I_pad)*d flops per
   step), hbm_gb_per_s (table state + index traffic; LOW by design — the
   fused kernel keeps tables+Adam moments VMEM-resident, turning the
   gather-bound workload compute-bound).

@@ -115,15 +115,16 @@ def run_ours(name, epochs, neg):
 
 def run_tf1(epochs, neg):
     from cleverrec_tpu.data import load_ranking_data
-    sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
-    from parity_bpr import run_tf1 as tf1_arm
-    import benchmarks.parity_bpr as pb
+    # Import ONE module object (top-level `parity_bpr` and
+    # `benchmarks.parity_bpr` would be distinct — overrides on one would
+    # not reach the other).
+    from benchmarks import parity_bpr as pb
     cfg = base_cfg("BPR", epochs, neg)
-    pb.EMBED = 64
-    pb.NEG_RATIO = 4
+    pb.EMBED = int(MODEL_OVERRIDES["BPR"]["embed_size"])
+    pb.NEG_RATIO = int(MODEL_OVERRIDES["BPR"]["neg_ratio"])
     data = load_ranking_data(cfg)
     t0 = time.time()
-    best = tf1_arm(data, epochs)
+    best = pb.run_tf1(data, epochs)
     wall = time.time() - t0
     record({
         "arm": "tf1_cpu", "model": "BPR", "dataset": "ml-1m-recon",

@@ -10,12 +10,13 @@ Vectorized sparse-matrix forms of the reference's dict-of-dict loops:
   diag(1/log(1+user degree))), "Harry Potter" popularity penalty
   s(i, j) = c / (deg_i^(1-alpha) * deg_j^alpha), optional row max-norm;
   score(u, j) = sum over u's items i of s(i, j).  Two neighbor-selection
-  variants, both from the reference: the default ``rank_time_topk=True``
-  reproduces its primary path (Basic/ItemCF.py:80-87 "方式1": per user,
-  walk each seen item's neighbors in descending similarity, skipping the
-  user's seen items, until K unseen neighbors are collected);
-  ``rank_time_topk=False`` is its documented fixed top-K alternative
-  (Basic/ItemCF.py:88-93 "方式2"), user-independent and fully vectorized.
+  variants, both from the reference: ``rank_time_topk=True`` reproduces
+  its primary path (Basic/ItemCF.py:80-87 "方式1": per user, walk each
+  seen item's neighbors in descending similarity, skipping the user's
+  seen items, until K unseen neighbors are collected — inherently
+  per-user, so host-loop scored); the DEFAULT ``rank_time_topk=False``
+  is its documented fixed top-K alternative (Basic/ItemCF.py:88-93
+  "方式2"), user-independent and fully vectorized.
 - ContentKNN (Basic/ContentKNN.py): item-item cosine over a content
   (genre/keyword) feature matrix instead of co-occurrence.
 """

@@ -227,7 +227,7 @@ class Evaluator:
             return acc + self._metric_sums(rec, b["real"], b["row_w"]), None
 
         init = jnp.zeros((len(self.topk), 3), jnp.float32)
-        if self._batches["u"].shape[0] == 1:
+        if batches["u"].shape[0] == 1:
             # Single batch: skip the scan wrapper entirely.
             sums, _ = step(init, {k: v[0] for k, v in batches.items()})
         else:

@@ -258,7 +258,21 @@ def pairwise_epoch_tensors(key, static: dict, seen: MemberTable,
         flat = seen.complement.reshape(-1)
         j = flat[u * seen.complement.shape[1] + idx]
     else:
-        j = _draw_negatives(jkey, seen, u, item_nums, (padded,), pop_cdf)
+        # Rejection fallback (no complement table / popularity draws):
+        # chunk the epoch-wide draw — one (padded, TRIES) + (padded, L)
+        # materialization would be GBs on the big-catalog datasets this
+        # path exists for.
+        chunk = min(1 << 14, padded)
+        n_chunks = -(-padded // chunk)
+        pad_n = n_chunks * chunk - padded
+        u_p = jnp.pad(u, (0, pad_n)).reshape(n_chunks, chunk)
+        keys = jax.random.split(jkey, n_chunks)
+
+        def one(args):
+            k, e = args
+            return _draw_negatives(k, seen, e, item_nums, (chunk,), pop_cdf)
+
+        j = jax.lax.map(one, (keys, u_p)).reshape(-1)[:padded]
     keys = jax.random.bits(skey, (padded,), jnp.uint32)
     _, u_s, i_s, j_s, w_s = jax.lax.sort(
         (keys, u, static["ord_i"], j, static["ord_w"]), num_keys=1)

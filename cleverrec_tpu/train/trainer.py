@@ -157,6 +157,10 @@ class Trainer:
             return False
         if self.mesh is not None or self.cfg.optimizer != "Adam":
             return False
+        # The kernel hard-codes the -log sigmoid BPR objective; any other
+        # pairwise loss (e.g. hinge) must take the scan path.
+        if self.cfg.loss_func != "bpr":
+            return False
         on_tpu = jax.default_backend() == "tpu"
         if not self.cfg.bool("train.fused_kernel", on_tpu):
             return False

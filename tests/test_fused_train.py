@@ -121,3 +121,20 @@ def test_fused_trainer_multi_epoch_block(toy_dataset):
     assert len(losses) == 3
     assert losses[-1] < losses[0]
     assert int(opt[0].count) == 3 * tr.steps_per_epoch
+
+
+def test_fused_not_eligible_for_hinge_loss(toy_dataset):
+    """The kernel hard-codes the bpr objective: loss_func=hinge must take
+    the scan path even with train.fused_kernel=True (regression: it once
+    silently trained log-sigmoid under a hinge config)."""
+    ov = {"epoches": "1", "batch_size": "64", "embed_size": "16",
+          "lr": "0.05", "is_pairwise": "True", "loss_func": "hinge",
+          "margin": "0.5", "reg": "0.01", "train.fused_kernel": "True"}
+    cfg = base_config(toy_dataset, **ov)
+    data = load_ranking_data(cfg)
+    model = make_model(cfg, DataMeta(data.user_nums, data.item_nums))
+    tr = Trainer(model, data, cfg)
+    assert not tr._fused_epoch_eligible()
+    p, o = tr.init_state()
+    p, o, loss = tr.train_epoch(p, o)
+    assert np.isfinite(loss)

@@ -201,3 +201,33 @@ def test_pairwise_epoch_tensors_negatives_exact_and_uniform():
     for uu, jj in zip(u[w > 0], j[w > 0]):
         assert int(jj) not in user_items[int(uu)]
     assert (j[w > 0] >= 3 * n_items // 4).sum() > 0
+
+
+def test_pairwise_epoch_tensors_rejection_fallback():
+    """No complement table -> the chunked rejection path produces unseen
+    negatives with the same layout guarantees."""
+    rng = np.random.default_rng(1)
+    n_users, n_items, neg_ratio = 6, 40, 3
+    user_items = {u: sorted(rng.choice(n_items, size=8,
+                                       replace=False).tolist())
+                  for u in range(n_users)}
+    pos_u = np.repeat(np.arange(n_users, dtype=np.int32), 8)
+    pos_i = np.concatenate([np.asarray(user_items[u], np.int32)
+                            for u in range(n_users)])
+    t = sampling.build_member_table(user_items, n_users, n_items,
+                                    complement_budget=0)
+    assert t.complement is None
+    steps, b = 6, 32
+    static = jax.tree_util.tree_map(
+        jnp.asarray, sampling.pairwise_epoch_static(
+            pos_u, pos_i, t.lens, n_items, steps * b, neg_ratio))
+    t_dev = jax.tree_util.tree_map(
+        lambda x: jnp.asarray(x) if x is not None else None, t)
+    batch = sampling.pairwise_epoch_tensors(jax.random.PRNGKey(2), static,
+                                            t_dev, n_items, steps, b)
+    u = np.asarray(batch["u"]).ravel()
+    j = np.asarray(batch["j"]).ravel()
+    w = np.asarray(batch["w"]).ravel()
+    assert w.sum() == len(pos_u) * neg_ratio
+    for uu, jj in zip(u[w > 0], j[w > 0]):
+        assert int(jj) not in user_items[int(uu)]
