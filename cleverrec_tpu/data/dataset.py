@@ -165,10 +165,18 @@ def load_ranking_data(cfg: Config, rng: np.random.Generator | None = None,
                                v_id=trusts["v_id"].map(user_map))
         user_friends = trusts.groupby("u_id")["v_id"].apply(list).to_dict()
         # Padded matrix with sentinel id == user_nums (RankingPreprocess.py:61-67).
+        # ``social.max_friends`` caps the width for heavy-tailed graphs
+        # (Epinions-class max out-degree makes max-padding infeasible for
+        # SAMN's [B, F, d] attention; truncation keeps the FIRST cap
+        # friends and only narrows the attention set — SPu/tie sets use
+        # the full user_friends dict).
         max_f = max((len(v) for v in user_friends.values()), default=1)
+        cap = cfg.int("social.max_friends", 0)
+        if cap and max_f > cap:
+            max_f = cap
         friends_padded = np.full((user_nums, max_f), user_nums, dtype=np.int32)
         for u, fs in user_friends.items():
-            friends_padded[u, : len(fs)] = fs
+            friends_padded[u, : min(len(fs), max_f)] = fs[:max_f]
 
     # Split.
     if cfg.bool("data.split_by_time", False) and "time" in df.columns:

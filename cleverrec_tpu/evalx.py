@@ -62,10 +62,17 @@ class Evaluator:
         fused_default = jax.default_backend() == "tpu"
         self._use_fused = (fused_ok and mesh is None
                            and cfg.bool("eval.fused_kernel", fused_default))
+        # Catalogs too large for a dense [B, I] score matrix stream item
+        # chunks with a carried running top-K (ops/topk.streaming_topk).
+        stream = (not self.candidate_eval and mesh is None
+                  and cfg.bool("eval.stream", device_data.item_nums
+                               > cfg.int("eval.stream_threshold", 500_000)))
         if self.candidate_eval:
             self.mode = "candidate"
         elif mesh is not None:
             self.mode = "full_sharded"
+        elif stream:
+            self.mode = "full_stream"
         elif self._use_fused:
             self.mode = "full_fused"
         else:
@@ -75,6 +82,7 @@ class Evaluator:
             "full": self._rank_full,
             "full_fused": self._rank_full_fused,
             "full_sharded": self._rank_full_sharded,
+            "full_stream": self._rank_full_stream,
         }[self.mode], **self._jk)
         self._batches = self._build_batches()
         self._eval_fn = jax.jit(self._device_eval, **self._jk)
@@ -124,6 +132,33 @@ class Evaluator:
         scores = jax.lax.with_sharding_constraint(
             scores, NamedSharding(self.mesh, P(None, "model")))
         v, items = topk_ops.sharded_topk_scores(scores, self.kmax, self.mesh)
+        return jnp.where(jnp.isfinite(v), items, PAD_ITEM)
+
+    def _rank_full_stream(self, params, aux, u, seen_rows):
+        """Streaming full-catalog ranking: lax.scan over item chunks with
+        a carried running top-K — memory O(B * chunk) instead of the
+        dense O(B * I) score matrix (the catalog-axis scaling path,
+        SURVEY.md section 5.7)."""
+        from cleverrec_tpu.ops.topk import streaming_topk
+        item_nums = self.dd.item_nums
+        cml = self.model.cml_like
+        chunk = self.cfg.int("eval.stream_chunk", 4096)
+
+        def score_chunk(chunk_ids):
+            cand = jnp.broadcast_to(chunk_ids[None, :],
+                                    (u.shape[0], chunk_ids.shape[0]))
+            s = self.model.score_candidates(params, u, cand, aux)
+            if cml:
+                s = -s
+            # Mask this chunk's seen items via the sorted seen rows
+            # (binary search per cell — no [B, I] materialization).
+            idx = jax.vmap(jnp.searchsorted)(seen_rows, cand)
+            idx_c = jnp.minimum(idx, seen_rows.shape[1] - 1)
+            hit = jnp.take_along_axis(seen_rows, idx_c, axis=1) == cand
+            return jnp.where(hit, -jnp.inf, s)
+
+        v, items = streaming_topk(score_chunk, item_nums, self.kmax,
+                                  chunk=chunk)
         return jnp.where(jnp.isfinite(v), items, PAD_ITEM)
 
     def _rank_full_fused(self, params, aux, u, seen_bits):
@@ -222,6 +257,8 @@ class Evaluator:
                 rec = self._rank_full_fused(params, aux, b["u"], b["bits"])
             elif self.mode == "full_sharded":
                 rec = self._rank_full_sharded(params, aux, b["u"], b["rows"])
+            elif self.mode == "full_stream":
+                rec = self._rank_full_stream(params, aux, b["u"], b["rows"])
             else:
                 rec = self._rank_full(params, aux, b["u"], b["rows"])
             return acc + self._metric_sums(rec, b["real"], b["row_w"]), None

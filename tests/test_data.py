@@ -93,3 +93,24 @@ def test_device_data_packing(toy_dataset):
         assert dd.cand_mask[r, : len(cand)].all()
         assert not dd.cand_mask[r, len(cand):].any()
         assert dd.n_truth[r] == len(cand) - data.neg_samples
+
+
+def test_social_max_friends_cap(toy_social_dataset):
+    """social.max_friends caps the padded friend matrix width (heavy-tail
+    graphs); full friend lists still drive SPu computation."""
+    from tests.conftest import base_config
+    from cleverrec_tpu.data import load_ranking_data
+    cfg = base_config(toy_social_dataset, **{"social_file": "trusts.csv"})
+    cfg_cap = base_config(toy_social_dataset,
+                          **{"social_file": "trusts.csv",
+                             "social.max_friends": "2"})
+    d0 = load_ranking_data(cfg)
+    d1 = load_ranking_data(cfg_cap)
+    assert d1.friends_padded.shape[1] == 2
+    assert d0.friends_padded.shape[1] >= 2
+    # Capped rows are prefixes of the full rows.
+    import numpy as np
+    np.testing.assert_array_equal(d1.friends_padded,
+                                  d0.friends_padded[:, :2])
+    # SPu source (user_friends) unaffected by the cap.
+    assert d1.user_friends == d0.user_friends

@@ -162,3 +162,42 @@ def test_fused_eval_matches_standard_other_models(tmp_path, name, ov):
     r_fused = t_fused.evaluator.evaluate(params, t_std.arrays)
     for k in r_std:
         assert r_fused[k] == pytest.approx(r_std[k], abs=1e-9), (name, k)
+
+
+def test_streaming_eval_matches_full(tmp_path):
+    """eval.stream=True (the huge-catalog path) == the dense full-catalog
+    evaluator, including seen masking and cml ordering."""
+    from cleverrec_tpu.data import load_ranking_data
+    from cleverrec_tpu.models import make_model
+    from cleverrec_tpu.models.base import DataMeta
+    from cleverrec_tpu.train import Trainer
+    from tests.conftest import base_config, make_toy_interactions
+    ds = tmp_path / "toy"
+    ds.mkdir()
+    make_toy_interactions(ds / "ratings.csv")
+    toy = {"root": str(tmp_path), "name": "toy"}
+    for name, ov in [("BPR", {"is_pairwise": "True", "loss_func": "bpr",
+                              "reg": "0.01"}),
+                     ("CML", {"is_pairwise": "True", "loss_func": "hinge",
+                              "margin": "0.5", "reg": "0.01"})]:
+        base = {"data.split_way": "rs", "test.neg_samples": "0",
+                "epoches": "1", "batch_size": "64", "embed_size": "16",
+                "lr": "0.05", "recommender": name,
+                "eval.fused_kernel": "False", **ov}
+        cfg_full = base_config(toy, **base)
+        cfg_stream = base_config(toy, **{**base, "eval.stream": "True",
+                                         "eval.stream_chunk": "16"})
+        data = load_ranking_data(cfg_full)
+        model = make_model(cfg_full, DataMeta(data.user_nums,
+                                              data.item_nums))
+        t_full = Trainer(model, data, cfg_full)
+        t_stream = Trainer(model, data, cfg_stream)
+        assert t_full.evaluator.mode == "full"
+        assert t_stream.evaluator.mode == "full_stream"
+        params, opt = t_full.init_state()
+        params, opt, _ = t_full.train_epoch(params, opt)
+        r_full = t_full.evaluate(params)
+        r_stream = t_stream.evaluator.evaluate(params, t_full.arrays)
+        for k in r_full:
+            assert r_stream[k] == pytest.approx(r_full[k], abs=1e-6), \
+                (name, k)
