@@ -19,7 +19,7 @@ class BPR(RecModel):
     sampler = "pairwise"
     # Exact {P, Q} dot-product pairwise form: eligible for the
     # VMEM-resident fused epoch kernel (ops/pallas_train.py).
-    supports_fused_epoch = True
+    fused_protocol = "pairwise_bpr"
 
     def __init__(self, cfg, meta):
         super().__init__(cfg, meta)

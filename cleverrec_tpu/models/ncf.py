@@ -35,6 +35,10 @@ def mlp_tower(params: Params, x, n_layers: int):
 class GMF(RecModel):
     name = "GMF"
     sampler = "pointwise"
+    # {P, Q, h_gmf} elementwise-product form with sigmoid cross-entropy:
+    # eligible for the VMEM-resident fused pointwise epoch kernel
+    # (ops/pallas_train.py fused_gmf_epoch).
+    fused_protocol = "pointwise_bce"
 
     def __init__(self, cfg, meta):
         super().__init__(cfg, meta)

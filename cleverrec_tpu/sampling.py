@@ -235,6 +235,79 @@ def pairwise_epoch_static(pos_u: np.ndarray, pos_i: np.ndarray,
     return {"ord_u": u, "ord_i": i, "ord_nun": n_un, "ord_w": w}
 
 
+def pointwise_epoch_static(pos_u: np.ndarray, pos_i: np.ndarray,
+                           lens: np.ndarray, item_nums: int, padded: int,
+                           neg_ratio: int):
+    """Host-side per-RUN constants for ``pointwise_epoch_tensors``: the
+    epoch's rows in GROUP order (pair p occupies rows p*(1+neg_ratio)..,
+    slot 0 the positive, the rest negatives — sampler.py:10-43's layout),
+    padded to the step grid."""
+    grp = 1 + neg_ratio
+    rows_total = len(pos_u) * grp
+    u = np.zeros(padded, np.int32)
+    i = np.zeros(padded, np.int32)
+    u[:rows_total] = np.repeat(pos_u, grp)
+    i[:rows_total] = np.repeat(pos_i, grp)
+    y = np.zeros(padded, np.float32)
+    y[np.arange(0, rows_total, grp)] = 1.0
+    n_un = np.ones(padded, np.int32)
+    n_un[:rows_total] = np.maximum(
+        item_nums - np.asarray(lens)[u[:rows_total]], 1)
+    w = np.zeros(padded, np.float32)
+    w[:rows_total] = 1.0
+    return {"ord_u": u, "ord_i": i, "ord_y": y, "ord_nun": n_un,
+            "ord_w": w}
+
+
+def _epoch_negatives(jkey, static, seen: MemberTable, item_nums: int,
+                     padded: int, pop_cdf):
+    """One whole-epoch negative draw for a static row layout: the exact
+    complement-table path is one randint + one modulo + ONE gather; the
+    rejection/popularity fallback chunks the draw (a (padded, TRIES)
+    materialization would be GBs at big-catalog scale)."""
+    u = static["ord_u"]
+    if seen.complement is not None and pop_cdf is None:
+        r = jax.random.randint(jkey, (padded,), 0,
+                               jnp.iinfo(jnp.int32).max, dtype=jnp.int32)
+        idx = r % static["ord_nun"]
+        flat = seen.complement.reshape(-1)
+        return flat[u * seen.complement.shape[1] + idx]
+    chunk = min(1 << 14, padded)
+    n_chunks = -(-padded // chunk)
+    pad_n = n_chunks * chunk - padded
+    u_p = jnp.pad(u, (0, pad_n)).reshape(n_chunks, chunk)
+    keys = jax.random.split(jkey, n_chunks)
+
+    def one(args):
+        k, e = args
+        return _draw_negatives(k, seen, e, item_nums, (chunk,), pop_cdf)
+
+    return jax.lax.map(one, (keys, u_p)).reshape(-1)[:padded]
+
+
+def pointwise_epoch_tensors(key, static: dict, seen: MemberTable,
+                            item_nums: int, steps: int, b: int,
+                            pop_cdf=None):
+    """The whole epoch's (u, i, y, w) as [steps, b] tensors — the
+    pointwise analog of ``pairwise_epoch_tensors``: one negative draw
+    over the static group-order layout (positive slots keep their item),
+    then one multi-operand ``lax.sort`` global shuffle.  Distributionally
+    identical to per-step ``pointwise_batch`` draws and the same epoch
+    layout the reference materializes (utils/sampler.py:10-43)."""
+    padded = steps * b
+    jkey, skey = jax.random.split(key)
+    j = _epoch_negatives(jkey, static, seen, item_nums, padded, pop_cdf)
+    i = jnp.where(static["ord_y"] > 0, static["ord_i"], j)
+    keys = jax.random.bits(skey, (padded,), jnp.uint32)
+    _, u_s, i_s, y_s, w_s = jax.lax.sort(
+        (keys, static["ord_u"], i, static["ord_y"], static["ord_w"]),
+        num_keys=1)
+    return {"u": u_s.reshape(steps, b),
+            "i": i_s.reshape(steps, b),
+            "y": y_s.reshape(steps, b),
+            "w": w_s.reshape(steps, b)}
+
+
 def pairwise_epoch_tensors(key, static: dict, seen: MemberTable,
                            item_nums: int, steps: int, b: int,
                            pop_cdf=None):
@@ -250,32 +323,11 @@ def pairwise_epoch_tensors(key, static: dict, seen: MemberTable,
     """
     padded = steps * b
     jkey, skey = jax.random.split(key)
-    u = static["ord_u"]
-    if seen.complement is not None and pop_cdf is None:
-        r = jax.random.randint(jkey, (padded,), 0,
-                               jnp.iinfo(jnp.int32).max, dtype=jnp.int32)
-        idx = r % static["ord_nun"]
-        flat = seen.complement.reshape(-1)
-        j = flat[u * seen.complement.shape[1] + idx]
-    else:
-        # Rejection fallback (no complement table / popularity draws):
-        # chunk the epoch-wide draw — one (padded, TRIES) + (padded, L)
-        # materialization would be GBs on the big-catalog datasets this
-        # path exists for.
-        chunk = min(1 << 14, padded)
-        n_chunks = -(-padded // chunk)
-        pad_n = n_chunks * chunk - padded
-        u_p = jnp.pad(u, (0, pad_n)).reshape(n_chunks, chunk)
-        keys = jax.random.split(jkey, n_chunks)
-
-        def one(args):
-            k, e = args
-            return _draw_negatives(k, seen, e, item_nums, (chunk,), pop_cdf)
-
-        j = jax.lax.map(one, (keys, u_p)).reshape(-1)[:padded]
+    j = _epoch_negatives(jkey, static, seen, item_nums, padded, pop_cdf)
     keys = jax.random.bits(skey, (padded,), jnp.uint32)
     _, u_s, i_s, j_s, w_s = jax.lax.sort(
-        (keys, u, static["ord_i"], j, static["ord_w"]), num_keys=1)
+        (keys, static["ord_u"], static["ord_i"], j, static["ord_w"]),
+        num_keys=1)
     return {"u": u_s.reshape(steps, b),
             "i": i_s.reshape(steps, b),
             "j": j_s.reshape(steps, b),

@@ -85,6 +85,19 @@ class Trainer:
                 jnp.asarray, sampling.pairwise_epoch_static(
                     pos_u, pos_i, self.dd.seen.lens, self.dd.item_nums,
                     padded, cfg.neg_ratio))
+        elif model.sampler == "pointwise" and not (
+                getattr(model, "history_bucketing", False)
+                and cfg.bool("train.bucketed_histories", True)):
+            # Group-order analog for pointwise epochs (1 positive +
+            # neg_ratio negatives per pair; sampling.pointwise_epoch_static).
+            # Bucketed-history models build per-bucket statics instead
+            # (_build_bucketed_epochs).
+            padded = cdiv(self.n_pairs * (1 + cfg.neg_ratio),
+                          cfg.batch_size) * cfg.batch_size
+            arrays["pointwise_static"] = jax.tree_util.tree_map(
+                jnp.asarray, sampling.pointwise_epoch_static(
+                    pos_u, pos_i, self.dd.seen.lens, self.dd.item_nums,
+                    padded, cfg.neg_ratio))
         self.arrays = arrays
 
         self.optimizer = make_optimizer(cfg.optimizer, cfg.lr)
@@ -149,17 +162,20 @@ class Trainer:
         raise NotImplementedError(f"sampler {s!r}")
 
     def _fused_epoch_eligible(self) -> bool:
-        """The VMEM-resident Pallas epoch applies to plain MF pairwise
-        models (BPR family) with Adam, single chip, tables small enough to
-        sit in VMEM alongside their Adam moments.  ``train.fused_kernel``
+        """The VMEM-resident Pallas epochs apply to plain MF models with
+        Adam, single chip, tables small enough to sit in VMEM alongside
+        their Adam moments: ``fused_protocol`` 'pairwise_bpr' (BPR
+        family) or 'pointwise_bce' (GMF family).  ``train.fused_kernel``
         overrides either way (default: on for the TPU backend)."""
-        if not getattr(self.model, "supports_fused_epoch", False):
+        proto = getattr(self.model, "fused_protocol", None)
+        if proto is None:
             return False
         if self.mesh is not None or self.cfg.optimizer != "Adam":
             return False
-        # The kernel hard-codes the -log sigmoid BPR objective; any other
-        # pairwise loss (e.g. hinge) must take the scan path.
-        if self.cfg.loss_func != "bpr":
+        # The pairwise kernel hard-codes the -log sigmoid BPR objective;
+        # any other pairwise loss (e.g. hinge) must take the scan path.
+        # (The pointwise kernel's sigmoid-xent is GMF's only objective.)
+        if proto == "pairwise_bpr" and self.cfg.loss_func != "bpr":
             return False
         on_tpu = jax.default_backend() == "tpu"
         if not self.cfg.bool("train.fused_kernel", on_tpu):
@@ -178,6 +194,7 @@ class Trainer:
         then the VMEM-resident kernel.  Same (params, opt_state, key,
         arrays) -> (params, opt_state, mean_loss) contract."""
         from cleverrec_tpu.ops.pallas_train import (LOG2, fused_bpr_epoch,
+                                                    fused_gmf_epoch,
                                                     sentinel_dims)
         steps = self.steps_per_epoch
         b = self.batch_size
@@ -196,8 +213,9 @@ class Trainer:
             blk //= 2
         interpret = jax.default_backend() != "tpu"
         lr, reg = self.cfg.lr, self.model.reg
+        proto = self.model.fused_protocol
 
-        def epoch(params, opt_state, key, arrays):
+        def epoch_pairwise(params, opt_state, key, arrays):
             # Same key split as the scan path so both consume an identical
             # sampling stream (pinned by tests/test_fused_train.py).
             pkey, _ = jax.random.split(key)
@@ -222,6 +240,36 @@ class Trainer:
             return ({"P": p_n, "Q": q_n}, (new_st,) + tuple(opt_state[1:]),
                     mean_loss)
 
+        def epoch_pointwise(params, opt_state, key, arrays):
+            pkey, _ = jax.random.split(key)
+            batch = sampling.pointwise_epoch_tensors(
+                pkey, arrays["pointwise_static"], arrays["seen"], item_nums,
+                steps, b, pop_cdf=arrays.get("pop_cdf"))
+            inval = batch["w"] == 0.0
+            # Sign-encoded user stream: (u+1) positives, -(u+1) negatives,
+            # u_pad (= sentinel row + 1) for invalid slots.
+            z = jnp.where(batch["y"] > 0, 1, -1)
+            uz = jnp.where(inval, u_pad,
+                           (batch["u"] + 1) * z).astype(jnp.int32)
+            i = jnp.where(inval, i_pad - 1, batch["i"]).astype(jnp.int32)
+            adam_st = opt_state[0]
+            (p_n, q_n, h_n, mp, vp, mq, vq, mh, vh, loss) = fused_gmf_epoch(
+                params["P"], params["Q"], params["h_gmf"],
+                adam_st.mu["P"], adam_st.nu["P"],
+                adam_st.mu["Q"], adam_st.nu["Q"],
+                adam_st.mu["h_gmf"], adam_st.nu["h_gmf"],
+                uz, i, adam_st.count,
+                lr=lr, reg=reg, blk=blk, interpret=interpret)
+            new_st = adam_st._replace(
+                count=adam_st.count + steps,
+                mu={"P": mp, "Q": mq, "h_gmf": mh},
+                nu={"P": vp, "Q": vq, "h_gmf": vh})
+            mean_loss = (loss - n_sent * LOG2) / steps
+            return ({"P": p_n, "Q": q_n, "h_gmf": h_n},
+                    (new_st,) + tuple(opt_state[1:]), mean_loss)
+
+        epoch = (epoch_pairwise if proto == "pairwise_bpr"
+                 else epoch_pointwise)
         self._epoch_body = epoch
         return jax.jit(epoch, donate_argnums=(0, 1))
 
@@ -239,18 +287,22 @@ class Trainer:
         else:
             constrain = lambda batch: batch  # noqa: E731
 
-        pairwise = self.model.sampler == "pairwise"
+        tensors_fn = {"pairwise": sampling.pairwise_epoch_tensors,
+                      "pointwise": sampling.pointwise_epoch_tensors,
+                      }.get(self.model.sampler)
+        static_key = f"{self.model.sampler}_static"
 
         def epoch(params, opt_state, key, arrays):
-            # Pairwise epochs pre-materialize the whole epoch's sampled
-            # tensors in pair order (near-sequential complement gathers,
-            # see sampling.pairwise_epoch_tensors); other protocols sample
-            # per step inside the scan.
+            # Pairwise/pointwise epochs pre-materialize the whole epoch's
+            # sampled tensors in pair/group order (near-sequential
+            # complement gathers, one sort-shuffle — see
+            # sampling.*_epoch_tensors); other protocols sample per step
+            # inside the scan.
             pkey, skey = jax.random.split(key)
             step_keys = jax.random.split(skey, steps)
-            if pairwise:
-                epoch_batch = sampling.pairwise_epoch_tensors(
-                    pkey, arrays["pairwise_static"], arrays["seen"],
+            if tensors_fn is not None:
+                epoch_batch = tensors_fn(
+                    pkey, arrays[static_key], arrays["seen"],
                     self.dd.item_nums, steps, b,
                     pop_cdf=arrays.get("pop_cdf"))
                 xs = (epoch_batch, step_keys)
@@ -264,7 +316,7 @@ class Trainer:
                 params, opt_state = carry
                 payload, k = xs
                 sk, dk = jax.random.split(k)
-                if pairwise:
+                if tensors_fn is not None:
                     batch = dict(payload)
                 else:
                     rows, w = payload
@@ -330,6 +382,10 @@ class Trainer:
                 # bucket to a 6144-row batch.
                 b_k = min(self.batch_size, max(256, -(-rows_k // 256) * 256))
                 steps_k = cdiv(rows_k, b_k)
+                arrays_k["pointwise_static"] = jax.tree_util.tree_map(
+                    jnp.asarray, sampling.pointwise_epoch_static(
+                        pos_u[sel], pos_i[sel], lens, self.dd.item_nums,
+                        steps_k * b_k, self.neg_ratio))
                 fn = self._build_epoch_fn(steps=steps_k, rows_total=rows_k,
                                           register_body=False,
                                           batch_size=b_k)

@@ -138,3 +138,114 @@ def test_fused_not_eligible_for_hinge_loss(toy_dataset):
     p, o = tr.init_state()
     p, o, loss = tr.train_epoch(p, o)
     assert np.isfinite(loss)
+
+
+def test_fused_gmf_epoch_matches_optax_oracle():
+    """Pointwise (GMF) kernel vs a literal optax.adam step loop on random
+    data, including sentinel-encoded invalid rows and the sign-encoded
+    label stream."""
+    from cleverrec_tpu.ops.pallas_train import fused_gmf_epoch
+    rng = np.random.default_rng(1)
+    u_n, i_n, d = 29, 41, 16
+    steps, b = 4, 64
+    lr, reg = 0.01, 0.02
+    u_pad, i_pad = sentinel_dims(u_n, i_n)
+    u = rng.integers(0, u_n, (steps, b)).astype(np.int32)
+    i = rng.integers(0, i_n, (steps, b)).astype(np.int32)
+    y = (rng.random((steps, b)) < 0.3).astype(np.float32)
+    invalid = rng.random((steps, b)) < 0.15
+    z = np.where(y > 0, 1, -1)
+    uz = np.where(invalid, u_pad, (u + 1) * z).astype(np.int32)
+    i_s = np.where(invalid, i_pad - 1, i).astype(np.int32)
+    p0 = rng.normal(size=(u_n, d)).astype(np.float32) * 0.1
+    q0 = rng.normal(size=(i_n, d)).astype(np.float32) * 0.1
+    h0 = rng.normal(size=(d,)).astype(np.float32) * 0.5
+
+    opt = optax.adam(lr, b1=0.9, b2=0.999, eps=1e-8)
+    params = {"P": jnp.asarray(p0), "Q": jnp.asarray(q0),
+              "h_gmf": jnp.asarray(h0)}
+    state = opt.init(params)
+    w = (~invalid).astype(np.float32)
+
+    def loss_fn(params, ub, ib, yb, wb):
+        # models/ncf.py GMF.loss verbatim (no h regularization).
+        ue = params["P"][ub] * wb[:, None]
+        ie = params["Q"][ib] * wb[:, None]
+        logits = jnp.sum(ue * ie * params["h_gmf"], axis=1)
+        x, zl = logits, yb
+        per_row = (jnp.maximum(x, 0.0) - x * zl
+                   + jnp.log1p(jnp.exp(-jnp.abs(x)))) * wb
+        l2 = lambda v: 0.5 * jnp.sum(v * v)  # noqa: E731
+        return jnp.sum(per_row) + reg * (l2(ue) + l2(ie))
+
+    total = 0.0
+    for s in range(steps):
+        l, g = jax.value_and_grad(loss_fn)(params, u[s], i[s], y[s], w[s])
+        upd, state = opt.update(g, state, params)
+        params = optax.apply_updates(params, upd)
+        total += float(l)
+
+    zu = jnp.zeros((u_n, d), jnp.float32)
+    zi = jnp.zeros((i_n, d), jnp.float32)
+    zh = jnp.zeros((d,), jnp.float32)
+    outs = fused_gmf_epoch(jnp.asarray(p0), jnp.asarray(q0),
+                           jnp.asarray(h0), zu, zu, zi, zi, zh, zh,
+                           jnp.asarray(uz), jnp.asarray(i_s),
+                           jnp.asarray(0, jnp.int32),
+                           lr=lr, reg=reg, blk=8, interpret=True)
+    loss_corr = float(outs[9]) - int(invalid.sum()) * LOG2
+    assert loss_corr == pytest.approx(total, rel=1e-5)
+    np.testing.assert_allclose(np.asarray(outs[0]), np.asarray(params["P"]),
+                               rtol=2e-4, atol=2e-6)
+    np.testing.assert_allclose(np.asarray(outs[1]), np.asarray(params["Q"]),
+                               rtol=2e-4, atol=2e-6)
+    np.testing.assert_allclose(np.asarray(outs[2]),
+                               np.asarray(params["h_gmf"]),
+                               rtol=2e-4, atol=2e-6)
+    np.testing.assert_allclose(np.asarray(outs[7]),
+                               np.asarray(state[0].mu["h_gmf"]),
+                               rtol=2e-4, atol=2e-7)
+
+
+def test_fused_gmf_trainer_matches_scan_trainer(toy_dataset):
+    """GMF Trainer with train.fused_kernel=True reproduces the scan
+    epoch's numerics (identical pointwise sampling stream by
+    construction)."""
+    # stddev 0.1 (not the 0.01 default): at 0.01 every gradient is
+    # ~|h|*|Q| ~ 1e-4 and near-cancelling scatter-adds leave ~ulp-scale
+    # residuals whose ORDER differs between XLA's scatter and the
+    # kernel's one-hot matmul; Adam's g/(|g|+eps) then amplifies those
+    # into visible param drift.  The exact-math check is the optax
+    # oracle test above; this test pins the trainer wiring (key stream,
+    # sentinel mapping, state threading) in a healthy-gradient regime.
+    ov = {"epoches": "2", "batch_size": "64", "embed_size": "16",
+          "lr": "0.05", "neg_ratio": "2", "is_pairwise": "False",
+          "loss_func": "cross_entropy", "reg": "0.01", "stddev": "0.1",
+          "recommender": "GMF"}
+    cfg_scan = base_config(toy_dataset, **ov,
+                           **{"train.fused_kernel": "False"})
+    cfg_fused = base_config(toy_dataset, **ov,
+                            **{"train.fused_kernel": "True"})
+    data = load_ranking_data(cfg_scan)
+    model = make_model(cfg_scan, DataMeta(data.user_nums, data.item_nums))
+    t_scan = Trainer(model, data, cfg_scan)
+    t_fused = Trainer(model, data, cfg_fused)
+    assert t_fused._epoch_fn is not t_scan._epoch_fn
+    p0, o0 = t_scan.init_state()
+    p1, o1 = t_fused.init_state()
+    for _ in range(3):
+        p0, o0, l0 = t_scan.train_epoch(p0, o0)
+        p1, o1, l1 = t_fused.train_epoch(p1, o1)
+        assert l1 == pytest.approx(l0, rel=1e-4), (l0, l1)
+    np.testing.assert_allclose(np.asarray(p1["P"]), np.asarray(p0["P"]),
+                               rtol=1e-3, atol=1e-4)
+    np.testing.assert_allclose(np.asarray(p1["Q"]), np.asarray(p0["Q"]),
+                               rtol=1e-3, atol=1e-4)
+    np.testing.assert_allclose(np.asarray(p1["h_gmf"]),
+                               np.asarray(p0["h_gmf"]),
+                               rtol=1e-3, atol=1e-4)
+    assert int(o1[0].count) == int(o0[0].count)
+    r0 = t_scan.evaluate(p0)
+    r1 = t_fused.evaluate(p1)
+    for k in r0:
+        assert r1[k] == pytest.approx(r0[k], abs=2e-4)

@@ -231,3 +231,47 @@ def test_pairwise_epoch_tensors_rejection_fallback():
     assert w.sum() == len(pos_u) * neg_ratio
     for uu, jj in zip(u[w > 0], j[w > 0]):
         assert int(jj) not in user_items[int(uu)]
+
+
+def test_pointwise_epoch_tensors_layout():
+    """Pointwise epoch tensors: every pair contributes exactly one
+    positive row (y=1, its own item) and neg_ratio negative rows (y=0,
+    unseen items); padding rows carry w=0."""
+    rng = np.random.default_rng(3)
+    n_users, n_items, neg_ratio = 8, 60, 4
+    user_items = {u: sorted(rng.choice(n_items, size=10,
+                                       replace=False).tolist())
+                  for u in range(n_users)}
+    pos_u = np.repeat(np.arange(n_users, dtype=np.int32), 10)
+    pos_i = np.concatenate([np.asarray(user_items[u], np.int32)
+                            for u in range(n_users)])
+    t = sampling.build_member_table(user_items, n_users, n_items)
+    assert t.complement is not None
+    steps, b = 10, 48  # padded=480, rows_total=400
+    static = jax.tree_util.tree_map(
+        jnp.asarray, sampling.pointwise_epoch_static(
+            pos_u, pos_i, t.lens, n_items, steps * b, neg_ratio))
+    t_dev = jax.tree_util.tree_map(
+        lambda x: jnp.asarray(x) if x is not None else None, t)
+    batch = sampling.pointwise_epoch_tensors(jax.random.PRNGKey(1), static,
+                                             t_dev, n_items, steps, b)
+    u = np.asarray(batch["u"]).ravel()
+    i = np.asarray(batch["i"]).ravel()
+    y = np.asarray(batch["y"]).ravel()
+    w = np.asarray(batch["w"]).ravel()
+    grp = 1 + neg_ratio
+    assert w.sum() == len(pos_u) * grp
+    assert y[w > 0].sum() == len(pos_u)
+    assert not y[w == 0].any()
+    # Positive rows: the multiset of (u, i) with y=1 == the pair list.
+    from collections import Counter
+    pos_rows = Counter(zip(u[(w > 0) & (y > 0)].tolist(),
+                           i[(w > 0) & (y > 0)].tolist()))
+    assert pos_rows == Counter(zip(pos_u.tolist(), pos_i.tolist()))
+    # Negative rows: unseen, neg_ratio per pair, span the id range.
+    neg = (w > 0) & (y == 0)
+    per_user = Counter(u[neg].tolist())
+    assert all(per_user[uu] == 10 * neg_ratio for uu in range(n_users))
+    for uu, ii in zip(u[neg], i[neg]):
+        assert int(ii) not in user_items[int(uu)]
+    assert (i[neg] >= 3 * n_items // 4).sum() > 0
