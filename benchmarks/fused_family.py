@@ -1,0 +1,104 @@
+"""Fused-vs-scan epoch throughput for the VMEM-resident kernel family
+(BPR / GMF / CML) on ml-100k.
+
+Measures MARGINAL epoch cost (this backend's block_until_ready is
+asynchronous: chain N dependent epoch programs, end with one real D2H,
+report (t_N - t_1)/(N - 1)) for both the scan path and the fused Pallas
+path, and appends a JSON record per model to FUSED_FAMILY.jsonl.
+
+Usage: python benchmarks/fused_family.py [BPR|GMF|CML ...]
+"""
+
+from __future__ import annotations
+
+import json
+import logging
+import os
+import sys
+import time
+
+import numpy as np
+
+sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
+
+from cleverrec_tpu.config import Config  # noqa: E402
+from cleverrec_tpu.utils.logging import enable_compilation_cache  # noqa: E402
+
+ROOT = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+OUT = os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                   "FUSED_FAMILY.jsonl")
+
+MODEL_OVERRIDES = {
+    "BPR": {"is_pairwise": "True", "loss_func": "bpr", "reg": "0.01",
+            "lr": "0.001", "neg_ratio": "4"},
+    "GMF": {"is_pairwise": "False", "loss_func": "cross_entropy",
+            "reg": "0.01", "lr": "0.001", "neg_ratio": "4"},
+    "CML": {"is_pairwise": "True", "loss_func": "hinge", "margin": "1.0",
+            "reg": "0.1", "lr": "0.05", "neg_ratio": "10"},
+}
+
+
+def build_trainer(name: str, fused: bool):
+    from cleverrec_tpu.data import load_ranking_data
+    from cleverrec_tpu.models import make_model
+    from cleverrec_tpu.models.base import DataMeta
+    from cleverrec_tpu.train import Trainer
+    cfg = Config({
+        "recommender": name, "model_type": "ranking",
+        "data.root_dir": os.path.join(ROOT, "data"),
+        "data.dataset": "ml-100k", "data.file_name": "u.data",
+        "data.sep": "\t", "data.format": "UIRT", "data.split_way": "loo",
+        "data.split_by_time": "True", "data.user_min": "0",
+        "data.item_min": "0", "test.neg_samples": "99",
+        "embed_size": "128", "epoches": "2", "batch_size": "6144",
+        "optimizer": "Adam", "init_method": "normal", "stddev": "0.01",
+        "seed": "42", "topk": "[10]",
+        "train.fused_kernel": str(fused),
+        **MODEL_OVERRIDES[name],
+    })
+    data = load_ranking_data(cfg)
+    model = make_model(cfg, DataMeta(data.user_nums, data.item_nums))
+    return Trainer(model, data, cfg,
+                   logger=logging.getLogger("fused_family"))
+
+
+def marginal_epoch_s(tr, chain: int = 8) -> float:
+    p, o = tr.init_state()
+    # Warm both the 1-block and chain-block programs.
+    p, o, _ = tr.train_epochs(p, o, 1)
+    p, o, _ = tr.train_epochs(p, o, chain)
+    t0 = time.time()
+    p, o, _ = tr.train_epochs(p, o, 1)
+    np.asarray(p["P"][:1])
+    t1 = time.time() - t0
+    t0 = time.time()
+    p, o, _ = tr.train_epochs(p, o, chain)
+    np.asarray(p["P"][:1])
+    tn = time.time() - t0
+    return max((tn - t1) / (chain - 1), 1e-9)
+
+
+def main(models):
+    enable_compilation_cache()
+    logging.basicConfig(level=logging.INFO, stream=sys.stdout,
+                        format="%(message)s")
+    for name in models:
+        rec = {"model": name, "dataset": "ml-100k", "embed_size": 128,
+               "batch_size": 6144}
+        for fused in (False, True):
+            tr = build_trainer(name, fused)
+            is_fused = tr._fused_epoch_eligible()
+            if fused and not is_fused:
+                print(f"{name}: fused path not eligible, skipping arm")
+                continue
+            s = marginal_epoch_s(tr)
+            arm = "fused" if fused else "scan"
+            rec[f"{arm}_epoch_ms"] = round(s * 1e3, 2)
+            rec[f"{arm}_examples_per_s"] = round(tr._epoch_rows / s, 1)
+        with open(OUT, "a") as f:
+            f.write(json.dumps(rec) + "\n")
+        print(json.dumps(rec, indent=2))
+
+
+if __name__ == "__main__":
+    main(sys.argv[1:] or ["BPR", "GMF", "CML"])

@@ -37,6 +37,9 @@ class CML(RecModel):
     name = "CML"
     sampler = "cml"
     cml_like = True
+    # VMEM-resident whole-epoch Pallas kernel (ops/pallas_train.py
+    # fused_cml_epoch) when the tables fit and loss_func is hinge.
+    fused_protocol = "cml_hinge"
 
     def __init__(self, cfg, meta):
         super().__init__(cfg, meta)

@@ -420,6 +420,263 @@ def fused_gmf_epoch(p, q, h, mp, vp, mq, vq, mh, vh, uz_idx, i_idx, t0,
             mh_o[0], vh_o[0], loss[0] - steps * padb * LOG2)
 
 
+def _cml_kernel(t0_ref, u_ref, i_ref, n_ref,
+                hbm_p, hbm_q, hbm_mp, hbm_vp, hbm_mq, hbm_vq,
+                p_ref, q_ref, mp_ref, vp_ref, mq_ref, vq_ref, loss_ref,
+                dp_ref, dq_ref, acc_ref, sem,
+                *, steps: int, blk: int, K: int, lr: float, reg: float,
+                margin: float, item_nums: int, u_real: int, i_real: int,
+                b1: float, b2: float, eps: float):
+    """CML (metric-learning hinge) epoch kernel body.
+
+    Per pair: K negative gathers twice — pass 1 finds the min distance
+    and imposter count (the WARP weight log(rank+1) is gradient-dead: the
+    imposter mask is boolean, models/metric.py:66-70), pass 2 re-derives
+    the argmin by bitwise-equal distance and scatters its gradient with
+    the VALUE rows zeroed for non-selected pairs (the one-hot stays
+    dense, so no cross-lane transpose is ever needed).  The covariance
+    regularizer (CML.py:63-70) is applied as its closed-form DENSE
+    per-step gradient over the resident tables, masked to real rows so
+    sentinel rows stay identically zero:
+
+        grad[r, :] = reg * (2/n) * (rowsum(xc)[r] - xc[r, :])
+        loss       = reg * (sum_r rowsum(xc)[r]^2 - ||xc||_F^2) / n
+
+    (xc = concat(Q, P) column-centered over the n = U + I real rows;
+    the column sums of xc vanish, which kills the mean-chain term.)
+    Sentinel rows cost margin*log(item_nums/K + 1) each in the loss sum
+    (all-zero embeddings -> slack = margin, all K imposters) and are
+    subtracted statically by the caller."""
+    from jax.experimental.pallas import tpu as pltpu
+    import jax.experimental.pallas as pl
+
+    s = pl.program_id(0)
+    u_pad, d = p_ref.shape
+    i_pad, _ = q_ref.shape
+    lane_w = u_ref.shape[2]
+    n_sub = lane_w // blk
+    n_rows = float(u_real + i_real)
+
+    @pl.when(s == 0)
+    def _load_state():
+        pairs = ((hbm_p, p_ref), (hbm_q, q_ref), (hbm_mp, mp_ref),
+                 (hbm_vp, vp_ref), (hbm_mq, mq_ref), (hbm_vq, vq_ref))
+        for k, (src, dst) in enumerate(pairs):
+            pltpu.make_async_copy(src, dst, sem.at[k]).start()
+        for k, (src, dst) in enumerate(pairs):
+            pltpu.make_async_copy(src, dst, sem.at[k]).wait()
+        acc_ref[0, 0] = 0.0
+
+    dp_ref[...] = jnp.zeros_like(dp_ref)
+    dq_ref[...] = jnp.zeros_like(dq_ref)
+
+    def onehot_t(ids_row, n_r):
+        iota = jax.lax.broadcasted_iota(jnp.int32, (n_r, blk), 0)
+        return (iota == jnp.broadcast_to(ids_row, (n_r, blk))).astype(
+            jnp.float32)
+
+    def gather(oh_t, table_ref):
+        return jax.lax.dot_general(
+            oh_t, table_ref[...], (((0,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32)
+
+    def block(kb, loss):
+        row = pl.ds(kb // n_sub, 1)
+        sl = pl.ds((kb % n_sub) * blk, blk)
+        oh_u = onehot_t(u_ref[0, row, sl], u_pad)
+        oh_i = onehot_t(i_ref[0, row, sl], i_pad)
+        pe = gather(oh_u, p_ref)                        # [blk, d]
+        qi = gather(oh_i, q_ref)
+        d_ui = jnp.sum(jnp.square(pe - qi), axis=1, keepdims=True)
+
+        def neg_dist(k):
+            ids = n_ref[0, pl.ds(k * 8 + kb // n_sub, 1), sl]
+            oh_n = onehot_t(ids, i_pad)
+            qn = gather(oh_n, q_ref)
+            dn = jnp.sum(jnp.square(pe - qn), axis=1, keepdims=True)
+            return oh_n, qn, dn
+
+        def pass1(k, carry):
+            d_min, cnt = carry
+            _, _, dn = neg_dist(k)
+            cnt = cnt + (d_ui + margin - dn > 0).astype(jnp.float32)
+            return jnp.minimum(d_min, dn), cnt
+
+        d_min, cnt = jax.lax.fori_loop(
+            0, K, pass1,
+            (jnp.full((blk, 1), 3e38, jnp.float32),
+             jnp.zeros((blk, 1), jnp.float32)))
+        # WARP weight, reference formula as written (CML.py:50-53).
+        rank = cnt / K * item_nums / K
+        wlog = jnp.log(rank + 1.0)
+        slack = d_ui + margin - d_min
+        coef = wlog * (slack > 0).astype(jnp.float32)   # [blk, 1]
+        loss = loss + jnp.sum(wlog * jnp.maximum(slack, 0.0))
+
+        def pass2(k, carry):
+            found, q_sel = carry
+            oh_n, qn, dn = neg_dist(k)          # bitwise == pass 1
+            sel = ((dn == d_min) & (found == 0.0)).astype(jnp.float32)
+            dq_ref[...] += jnp.dot(oh_n, (2.0 * coef * sel) * (pe - qn),
+                                   preferred_element_type=jnp.float32)
+            return found + sel, q_sel + sel * qn
+
+        _, q_sel = jax.lax.fori_loop(
+            0, K, pass2,
+            (jnp.zeros((blk, 1), jnp.float32),
+             jnp.zeros((blk, d), jnp.float32)))
+        d_pe = 2.0 * coef * (q_sel - qi)
+        d_qi = -2.0 * coef * (pe - qi)
+        dp_ref[...] += jnp.dot(oh_u, d_pe,
+                               preferred_element_type=jnp.float32)
+        dq_ref[...] += jnp.dot(oh_i, d_qi,
+                               preferred_element_type=jnp.float32)
+        return loss
+
+    loss = jax.lax.fori_loop(0, 8 * n_sub, block, 0.0)
+
+    # -- dense covariance-regularizer gradient + loss, masked to real rows
+    mask_p = (jax.lax.broadcasted_iota(jnp.int32, (u_pad, 1), 0)
+              < u_real).astype(jnp.float32)
+    mask_q = (jax.lax.broadcasted_iota(jnp.int32, (i_pad, 1), 0)
+              < i_real).astype(jnp.float32)
+    mu = (jnp.sum(p_ref[...] * mask_p, axis=0, keepdims=True)
+          + jnp.sum(q_ref[...] * mask_q, axis=0, keepdims=True)) / n_rows
+    xc_p = (p_ref[...] - mu) * mask_p
+    xc_q = (q_ref[...] - mu) * mask_q
+    s_p = jnp.sum(xc_p, axis=1, keepdims=True)
+    s_q = jnp.sum(xc_q, axis=1, keepdims=True)
+    loss = loss + reg * ((jnp.sum(s_p * s_p) + jnp.sum(s_q * s_q))
+                         - (jnp.sum(xc_p * xc_p)
+                            + jnp.sum(xc_q * xc_q))) / n_rows
+    acc_ref[0, 0] += loss
+    g_cov = 2.0 * reg / n_rows
+    g_p = dp_ref[...] + g_cov * (s_p - xc_p) * mask_p
+    g_q = dq_ref[...] + g_cov * (s_q - xc_q) * mask_q
+
+    t = (t0_ref[0] + s + 1).astype(jnp.float32)
+    bc1 = 1.0 - jnp.exp(t * math.log(b1))
+    bc2 = 1.0 - jnp.exp(t * math.log(b2))
+
+    def adam(p_r, m_r, v_r, g):
+        m = b1 * m_r[...] + (1.0 - b1) * g
+        v = b2 * v_r[...] + (1.0 - b2) * (g * g)
+        m_r[...] = m
+        v_r[...] = v
+        p_r[...] -= lr * (m / bc1) / (jnp.sqrt(v / bc2) + eps)
+
+    adam(p_ref, mp_ref, vp_ref, g_p)
+    adam(q_ref, mq_ref, vq_ref, g_q)
+
+    @pl.when(s == steps - 1)
+    def _store_loss():
+        loss_ref[0] = acc_ref[0, 0]
+
+
+def cml_sentinel_bias(margin: float, item_nums: int,
+                      neg_ratio: int) -> float:
+    """Loss-sum contribution of one sentinel (invalid) row: slack is
+    exactly ``margin`` and all K negatives are imposters, so the WARP
+    weight is log(item_nums/K + 1)."""
+    return margin * math.log(item_nums / neg_ratio + 1.0)
+
+
+@functools.partial(jax.jit, static_argnames=(
+    "lr", "reg", "margin", "item_nums", "b1", "b2", "eps", "blk",
+    "interpret"))
+def fused_cml_epoch(p, q, mp, vp, mq, vq, u_idx, i_idx, n_idx, t0,
+                    *, lr: float, reg: float, margin: float,
+                    item_nums: int, b1: float = 0.9, b2: float = 0.999,
+                    eps: float = 1e-8, blk: int = 256,
+                    interpret: bool = False):
+    """One full CML training epoch in a single Pallas program — the
+    metric-learning sibling of ``fused_bpr_epoch``.
+
+    p/q: [U, d]/[I, d] tables; m*/v*: matching Adam moments; u_idx/i_idx:
+    [steps, B] pre-sampled pair rows; n_idx: [steps, B, K] negatives
+    (K = neg_ratio).  Invalid slots must already point at the sentinel
+    ids U_pad-1 / I_pad-1 in ALL THREE index arrays.  ``item_nums`` is
+    the REAL catalog size (the WARP rank formula uses it, not the padded
+    table height).
+
+    Returns (p, q, mp, vp, mq, vq, loss_total); loss_total still includes
+    ``cml_sentinel_bias(...)`` per EPOCH-padding sentinel row (the B-pad
+    rows this wrapper adds are subtracted here; callers subtract their
+    own epoch-padding count)."""
+    from jax.experimental import pallas as pl
+    from jax.experimental.pallas import tpu as pltpu
+
+    steps, b, K = n_idx.shape
+    u_real, d = p.shape
+    i_real, _ = q.shape
+    u_pad, i_pad = sentinel_dims(u_real, i_real)
+    pads = lambda a, n: jnp.pad(a, ((0, n - a.shape[0]), (0, 0)))  # noqa: E731
+    p, mp, vp = (pads(x, u_pad) for x in (p, mp, vp))
+    q, mq, vq = (pads(x, i_pad) for x in (q, mq, vq))
+    padb = (_round_up(b, 8 * blk) - b) if b % (8 * blk) else 0
+    if padb:
+        u_idx = jnp.pad(u_idx, ((0, 0), (0, padb)),
+                        constant_values=u_pad - 1)
+        i_idx = jnp.pad(i_idx, ((0, 0), (0, padb)),
+                        constant_values=i_pad - 1)
+        n_idx = jnp.pad(n_idx, ((0, 0), (0, padb), (0, 0)),
+                        constant_values=i_pad - 1)
+        b = b + padb
+    u_idx, i_idx = (a.reshape(steps, 8, b // 8) for a in (u_idx, i_idx))
+    # Negative plane k occupies rows k*8 .. k*8+7 of a [K*8, b//8] tile,
+    # so the kernel slices row k*8 + (kb // n_sub) exactly like u/i.
+    n_idx = n_idx.transpose(0, 2, 1).reshape(steps, K * 8, b // 8)
+
+    full = lambda shape: pl.BlockSpec(  # noqa: E731
+        shape, lambda s: tuple(0 for _ in shape),
+        memory_space=pltpu.VMEM)
+    hbm = pl.BlockSpec(memory_space=pl.ANY)
+    idx = pl.BlockSpec((1, 8, b // 8), lambda s: (s, 0, 0),
+                       memory_space=pltpu.VMEM)
+    idx_n = pl.BlockSpec((1, K * 8, b // 8), lambda s: (s, 0, 0),
+                         memory_space=pltpu.VMEM)
+
+    outs = pl.pallas_call(
+        functools.partial(_cml_kernel, steps=steps, blk=blk, K=K,
+                          lr=lr, reg=reg, margin=margin,
+                          item_nums=item_nums, u_real=u_real,
+                          i_real=i_real, b1=b1, b2=b2, eps=eps),
+        grid=(steps,),
+        in_specs=[
+            pl.BlockSpec(memory_space=pltpu.SMEM),      # t0
+            idx, idx, idx_n,                            # u, i, negs
+            hbm, hbm, hbm, hbm, hbm, hbm,               # initial state
+        ],
+        out_specs=(
+            full((u_pad, d)), full((i_pad, d)),
+            full((u_pad, d)), full((u_pad, d)),
+            full((i_pad, d)), full((i_pad, d)),
+            pl.BlockSpec(memory_space=pltpu.SMEM),      # loss
+        ),
+        out_shape=(
+            jax.ShapeDtypeStruct((u_pad, d), jnp.float32),
+            jax.ShapeDtypeStruct((i_pad, d), jnp.float32),
+            jax.ShapeDtypeStruct((u_pad, d), jnp.float32),
+            jax.ShapeDtypeStruct((u_pad, d), jnp.float32),
+            jax.ShapeDtypeStruct((i_pad, d), jnp.float32),
+            jax.ShapeDtypeStruct((i_pad, d), jnp.float32),
+            jax.ShapeDtypeStruct((1,), jnp.float32),
+        ),
+        scratch_shapes=[
+            pltpu.VMEM((u_pad, d), jnp.float32),        # dP
+            pltpu.VMEM((i_pad, d), jnp.float32),        # dQ
+            pltpu.SMEM((1, 1), jnp.float32),            # loss accumulator
+            pltpu.SemaphoreType.DMA((6,)),
+        ],
+        interpret=interpret,
+    )(jnp.asarray([t0], jnp.int32), u_idx, i_idx, n_idx,
+      p, q, mp, vp, mq, vq)
+    p_o, q_o, mp_o, vp_o, mq_o, vq_o, loss = outs
+    bias = cml_sentinel_bias(margin, item_nums, K)
+    return (p_o[:u_real], q_o[:i_real], mp_o[:u_real], vp_o[:u_real],
+            mq_o[:i_real], vq_o[:i_real], loss[0] - steps * padb * bias)
+
+
 def sentinel_dims(u_real: int, i_real: int) -> tuple[int, int]:
     """Padded table dims; the LAST padded row of each is the sentinel the
     sampler points invalid batch slots at (always > real ids)."""
@@ -427,21 +684,24 @@ def sentinel_dims(u_real: int, i_real: int) -> tuple[int, int]:
 
 
 def vmem_footprint_bytes(u_real: int, i_real: int, d: int, b: int,
-                         blk: int = 256) -> int:
+                         blk: int = 256, idx_planes: int = 3) -> int:
     """Rough VMEM bytes the fused epoch needs: 6 resident state arrays +
-    dP/dQ scratch + 3 one-hot blocks + streamed index rows (x2 buffers)."""
+    dP/dQ scratch + 3 one-hot blocks + streamed index rows (x2 buffers;
+    ``idx_planes`` [steps, b]-shaped index streams — 3 for BPR (u, i, j),
+    2 for GMF (uz, i), 2 + neg_ratio for CML)."""
     u_pad, i_pad = sentinel_dims(u_real, i_real)
     state = 4 * d * (3 * u_pad + 3 * i_pad)
     scratch = 4 * d * (u_pad + i_pad)
     onehots = 4 * blk * (u_pad + 2 * i_pad)
-    idx = 2 * 3 * 4 * _round_up(b, 8 * blk)
+    idx = 2 * idx_planes * 4 * _round_up(b, 8 * blk)
     return state + scratch + onehots + idx
 
 
 FUSED_VMEM_BUDGET = 13 * 2 ** 20
 
 
-def plan_fused(u_real: int, i_real: int, d: int, b: int):
+def plan_fused(u_real: int, i_real: int, d: int, b: int,
+               idx_planes: int = 3):
     """Pick a block size that fits the VMEM budget, or None (caller
     falls back to the scan path).  A bf16-compute variant was measured
     and REJECTED: bf16 one-hot construction forces (8,128)->(16,128)
@@ -449,7 +709,7 @@ def plan_fused(u_real: int, i_real: int, d: int, b: int):
     sizing cannot fit ml-1m-class state (the remote compiler rejects
     13MB+ resident layouts)."""
     for blk in (256, 128, 64):
-        if vmem_footprint_bytes(u_real, i_real, d, b,
-                                blk) < FUSED_VMEM_BUDGET:
+        if vmem_footprint_bytes(u_real, i_real, d, b, blk,
+                                idx_planes) < FUSED_VMEM_BUDGET:
             return blk
     return None

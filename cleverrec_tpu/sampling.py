@@ -260,18 +260,23 @@ def pointwise_epoch_static(pos_u: np.ndarray, pos_i: np.ndarray,
 
 
 def _epoch_negatives(jkey, static, seen: MemberTable, item_nums: int,
-                     padded: int, pop_cdf):
+                     padded: int, pop_cdf, k: int | None = None):
     """One whole-epoch negative draw for a static row layout: the exact
     complement-table path is one randint + one modulo + ONE gather; the
     rejection/popularity fallback chunks the draw (a (padded, TRIES)
-    materialization would be GBs at big-catalog scale)."""
+    materialization would be GBs at big-catalog scale).  With ``k`` the
+    draw is [padded, k] (k independent negatives per row — the CML
+    protocol), still a single gather."""
     u = static["ord_u"]
+    shape = (padded,) if k is None else (padded, k)
     if seen.complement is not None and pop_cdf is None:
-        r = jax.random.randint(jkey, (padded,), 0,
+        r = jax.random.randint(jkey, shape, 0,
                                jnp.iinfo(jnp.int32).max, dtype=jnp.int32)
-        idx = r % static["ord_nun"]
+        nun = static["ord_nun"] if k is None else static["ord_nun"][:, None]
+        idx = r % nun
         flat = seen.complement.reshape(-1)
-        return flat[u * seen.complement.shape[1] + idx]
+        base = u * seen.complement.shape[1]
+        return flat[(base if k is None else base[:, None]) + idx]
     chunk = min(1 << 14, padded)
     n_chunks = -(-padded // chunk)
     pad_n = n_chunks * chunk - padded
@@ -279,10 +284,14 @@ def _epoch_negatives(jkey, static, seen: MemberTable, item_nums: int,
     keys = jax.random.split(jkey, n_chunks)
 
     def one(args):
-        k, e = args
-        return _draw_negatives(k, seen, e, item_nums, (chunk,), pop_cdf)
+        ck, e = args
+        cshape = (chunk,) if k is None else (chunk, k)
+        return _draw_negatives(ck, seen, e, item_nums, cshape, pop_cdf)
 
-    return jax.lax.map(one, (keys, u_p)).reshape(-1)[:padded]
+    out = jax.lax.map(one, (keys, u_p))
+    if k is None:
+        return out.reshape(-1)[:padded]
+    return out.reshape(-1, k)[:padded]
 
 
 def pointwise_epoch_tensors(key, static: dict, seen: MemberTable,
@@ -332,6 +341,30 @@ def pairwise_epoch_tensors(key, static: dict, seen: MemberTable,
             "i": i_s.reshape(steps, b),
             "j": j_s.reshape(steps, b),
             "w": w_s.reshape(steps, b)}
+
+
+def cml_epoch_tensors(key, static: dict, seen: MemberTable,
+                      item_nums: int, steps: int, b: int,
+                      pop_cdf=None, *, neg_ratio: int):
+    """The whole epoch's (u, i, negs[K], w) as [steps, b(, K)] tensors —
+    the CML-protocol analog of ``pairwise_epoch_tensors`` (one row per
+    pair, K negatives each; sampler.py:77-99's layout).  The static
+    layout is ``pairwise_epoch_static(..., neg_ratio=1)``.  One
+    [padded, K] complement gather + one multi-operand ``lax.sort``
+    shuffles (u, i, w) and the K negative columns together."""
+    padded = steps * b
+    jkey, skey = jax.random.split(key)
+    negs = _epoch_negatives(jkey, static, seen, item_nums, padded,
+                            pop_cdf, k=neg_ratio)
+    keys = jax.random.bits(skey, (padded,), jnp.uint32)
+    ops = (keys, static["ord_u"], static["ord_i"], static["ord_w"],
+           *(negs[:, k] for k in range(neg_ratio)))
+    srt = jax.lax.sort(ops, num_keys=1)
+    return {"u": srt[1].reshape(steps, b),
+            "i": srt[2].reshape(steps, b),
+            "w": srt[3].reshape(steps, b),
+            "negs": jnp.stack(srt[4:], axis=1).reshape(steps, b,
+                                                       neg_ratio)}
 
 
 # -- per-protocol batch builders -----------------------------------------

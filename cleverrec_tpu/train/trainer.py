@@ -14,6 +14,7 @@ loss averaged over the number of batches (RankingRecommender.py:61).
 
 from __future__ import annotations
 
+import functools
 import time
 from typing import Any
 
@@ -85,6 +86,14 @@ class Trainer:
                 jnp.asarray, sampling.pairwise_epoch_static(
                     pos_u, pos_i, self.dd.seen.lens, self.dd.item_nums,
                     padded, cfg.neg_ratio))
+        elif model.sampler == "cml":
+            # One row per pair (K negatives drawn per row), so the static
+            # layout is the pairwise one at neg_ratio=1.
+            padded = cdiv(self.n_pairs, cfg.batch_size) * cfg.batch_size
+            arrays["cml_static"] = jax.tree_util.tree_map(
+                jnp.asarray, sampling.pairwise_epoch_static(
+                    pos_u, pos_i, self.dd.seen.lens, self.dd.item_nums,
+                    padded, 1))
         elif model.sampler == "pointwise" and not (
                 getattr(model, "history_bucketing", False)
                 and cfg.bool("train.bucketed_histories", True)):
@@ -174,15 +183,21 @@ class Trainer:
             return False
         # The pairwise kernel hard-codes the -log sigmoid BPR objective;
         # any other pairwise loss (e.g. hinge) must take the scan path.
-        # (The pointwise kernel's sigmoid-xent is GMF's only objective.)
+        # (The pointwise kernel's sigmoid-xent is GMF's only objective;
+        # the cml kernel hard-codes the WARP-weighted min-negative hinge.)
         if proto == "pairwise_bpr" and self.cfg.loss_func != "bpr":
+            return False
+        if proto == "cml_hinge" and self.cfg.loss_func != "hinge":
             return False
         on_tpu = jax.default_backend() == "tpu"
         if not self.cfg.bool("train.fused_kernel", on_tpu):
             return False
         from cleverrec_tpu.ops.pallas_train import plan_fused
+        planes = {"pairwise_bpr": 3, "pointwise_bce": 2,
+                  "cml_hinge": 2 + self.neg_ratio}[proto]
         self._fused_plan = plan_fused(self.dd.user_nums, self.dd.item_nums,
-                                      self.model.embed_size, self.batch_size)
+                                      self.model.embed_size,
+                                      self.batch_size, idx_planes=planes)
         if self._fused_plan is None and self.logger:
             self.logger.info("fused epoch kernel skipped: tables exceed "
                              "the VMEM budget; using the scan path")
@@ -193,7 +208,9 @@ class Trainer:
         XLA sampling pass reproducing the scan path's exact key stream,
         then the VMEM-resident kernel.  Same (params, opt_state, key,
         arrays) -> (params, opt_state, mean_loss) contract."""
-        from cleverrec_tpu.ops.pallas_train import (LOG2, fused_bpr_epoch,
+        from cleverrec_tpu.ops.pallas_train import (LOG2, cml_sentinel_bias,
+                                                    fused_bpr_epoch,
+                                                    fused_cml_epoch,
                                                     fused_gmf_epoch,
                                                     sentinel_dims)
         steps = self.steps_per_epoch
@@ -268,8 +285,37 @@ class Trainer:
             return ({"P": p_n, "Q": q_n, "h_gmf": h_n},
                     (new_st,) + tuple(opt_state[1:]), mean_loss)
 
-        epoch = (epoch_pairwise if proto == "pairwise_bpr"
-                 else epoch_pointwise)
+        def epoch_cml(params, opt_state, key, arrays):
+            pkey, _ = jax.random.split(key)
+            batch = sampling.cml_epoch_tensors(
+                pkey, arrays["cml_static"], arrays["seen"], item_nums,
+                steps, b, pop_cdf=arrays.get("pop_cdf"),
+                neg_ratio=neg_ratio)
+            inval = batch["w"] == 0.0
+            u = jnp.where(inval, u_pad - 1, batch["u"]).astype(jnp.int32)
+            i = jnp.where(inval, i_pad - 1, batch["i"]).astype(jnp.int32)
+            negs = jnp.where(inval[..., None], i_pad - 1,
+                             batch["negs"]).astype(jnp.int32)
+            adam_st = opt_state[0]
+            p_n, q_n, mp, vp, mq, vq, loss = fused_cml_epoch(
+                params["P"], params["Q"],
+                adam_st.mu["P"], adam_st.nu["P"],
+                adam_st.mu["Q"], adam_st.nu["Q"],
+                u, i, negs, adam_st.count,
+                lr=lr, reg=reg, margin=self.model.margin,
+                item_nums=item_nums, blk=blk, interpret=interpret)
+            new_st = adam_st._replace(count=adam_st.count + steps,
+                                      mu={"P": mp, "Q": mq},
+                                      nu={"P": vp, "Q": vq})
+            bias = cml_sentinel_bias(self.model.margin, item_nums,
+                                     neg_ratio)
+            mean_loss = (loss - n_sent * bias) / steps
+            return ({"P": p_n, "Q": q_n}, (new_st,) + tuple(opt_state[1:]),
+                    mean_loss)
+
+        epoch = {"pairwise_bpr": epoch_pairwise,
+                 "pointwise_bce": epoch_pointwise,
+                 "cml_hinge": epoch_cml}[proto]
         self._epoch_body = epoch
         return jax.jit(epoch, donate_argnums=(0, 1))
 
@@ -289,6 +335,9 @@ class Trainer:
 
         tensors_fn = {"pairwise": sampling.pairwise_epoch_tensors,
                       "pointwise": sampling.pointwise_epoch_tensors,
+                      "cml": functools.partial(
+                          sampling.cml_epoch_tensors,
+                          neg_ratio=self.neg_ratio),
                       }.get(self.model.sampler)
         static_key = f"{self.model.sampler}_static"
 

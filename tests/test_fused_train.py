@@ -249,3 +249,110 @@ def test_fused_gmf_trainer_matches_scan_trainer(toy_dataset):
     r1 = t_fused.evaluate(p1)
     for k in r0:
         assert r1[k] == pytest.approx(r0[k], abs=2e-4)
+
+
+def test_fused_cml_epoch_matches_optax_oracle():
+    """CML kernel vs a literal optax.adam step loop replicating
+    models/metric.py CML.loss (WARP-weighted min-negative hinge +
+    full-table covariance regularizer) on random data, including
+    sentinel-encoded invalid rows."""
+    from cleverrec_tpu.ops.pallas_train import (cml_sentinel_bias,
+                                                fused_cml_epoch)
+    rng = np.random.default_rng(3)
+    u_n, i_n, d, K = 29, 41, 16, 4
+    steps, b = 4, 64
+    lr, reg, margin = 0.01, 0.05, 1.0
+    u_pad, i_pad = sentinel_dims(u_n, i_n)
+    u = rng.integers(0, u_n, (steps, b)).astype(np.int32)
+    i = rng.integers(0, i_n, (steps, b)).astype(np.int32)
+    negs = rng.integers(0, i_n, (steps, b, K)).astype(np.int32)
+    invalid = rng.random((steps, b)) < 0.15
+    u_s = np.where(invalid, u_pad - 1, u).astype(np.int32)
+    i_s = np.where(invalid, i_pad - 1, i).astype(np.int32)
+    n_s = np.where(invalid[..., None], i_pad - 1, negs).astype(np.int32)
+    p0 = rng.normal(size=(u_n, d)).astype(np.float32) * 0.1
+    q0 = rng.normal(size=(i_n, d)).astype(np.float32) * 0.1
+
+    opt = optax.adam(lr, b1=0.9, b2=0.999, eps=1e-8)
+    params = {"P": jnp.asarray(p0), "Q": jnp.asarray(q0)}
+    state = opt.init(params)
+    w = (~invalid).astype(np.float32)
+
+    def loss_fn(params, ub, ib, nb, wb):
+        # models/metric.py CML.loss verbatim over this batch.
+        ue = params["P"][ub]
+        ie = params["Q"][ib]
+        ne = params["Q"][nb]
+        d_ui = jnp.sum(jnp.square(ue - ie), axis=1)
+        d_un = jnp.sum(jnp.square(ue[:, None, :] - ne), axis=2)
+        d_min = jnp.min(d_un, axis=1)
+        per_pair = jnp.maximum(d_ui + margin - d_min, 0.0)
+        imposters = (d_ui[:, None] + margin - d_un) > 0
+        rank = (jnp.mean(imposters.astype(jnp.float32), axis=1)
+                * i_n / K)
+        per_pair = per_pair * jnp.log(rank + 1.0) * wb
+        x = jnp.concatenate([params["Q"], params["P"]], axis=0)
+        xc = x - jnp.mean(x, axis=0)
+        cov = (xc.T @ xc) / x.shape[0]
+        cov_loss = reg * (jnp.sum(cov) - jnp.trace(cov))
+        return jnp.sum(per_pair) + cov_loss
+
+    total = 0.0
+    for s in range(steps):
+        l, g = jax.value_and_grad(loss_fn)(params, u[s], i[s], negs[s],
+                                           w[s])
+        upd, state = opt.update(g, state, params)
+        params = optax.apply_updates(params, upd)
+        total += float(l)
+
+    zu = jnp.zeros((u_n, d), jnp.float32)
+    zi = jnp.zeros((i_n, d), jnp.float32)
+    outs = fused_cml_epoch(jnp.asarray(p0), jnp.asarray(q0),
+                           zu, zu, zi, zi,
+                           jnp.asarray(u_s), jnp.asarray(i_s),
+                           jnp.asarray(n_s), jnp.asarray(0, jnp.int32),
+                           lr=lr, reg=reg, margin=margin, item_nums=i_n,
+                           blk=8, interpret=True)
+    loss_corr = (float(outs[6])
+                 - int(invalid.sum()) * cml_sentinel_bias(margin, i_n, K))
+    assert loss_corr == pytest.approx(total, rel=1e-5)
+    np.testing.assert_allclose(np.asarray(outs[0]), np.asarray(params["P"]),
+                               rtol=2e-4, atol=2e-6)
+    np.testing.assert_allclose(np.asarray(outs[1]), np.asarray(params["Q"]),
+                               rtol=2e-4, atol=2e-6)
+    np.testing.assert_allclose(np.asarray(outs[3]),
+                               np.asarray(state[0].nu["P"]),
+                               rtol=2e-4, atol=2e-9)
+
+
+def test_fused_cml_trainer_matches_scan_trainer(toy_dataset):
+    """CML Trainer with train.fused_kernel=True reproduces the scan
+    epoch's numerics (identical cml sampling stream by construction)."""
+    ov = {"epoches": "2", "batch_size": "64", "embed_size": "16",
+          "lr": "0.05", "neg_ratio": "3", "is_pairwise": "True",
+          "loss_func": "hinge", "margin": "1.0", "reg": "0.05",
+          "stddev": "0.1", "recommender": "CML"}
+    cfg_scan = base_config(toy_dataset, **ov,
+                           **{"train.fused_kernel": "False"})
+    cfg_fused = base_config(toy_dataset, **ov,
+                            **{"train.fused_kernel": "True"})
+    data = load_ranking_data(cfg_scan)
+    model = make_model(cfg_scan, DataMeta(data.user_nums, data.item_nums))
+    t_scan = Trainer(model, data, cfg_scan)
+    t_fused = Trainer(model, data, cfg_fused)
+    assert t_fused._epoch_fn is not t_scan._epoch_fn
+    p0, o0 = t_scan.init_state()
+    p1, o1 = t_fused.init_state()
+    for _ in range(3):
+        p0, o0, l0 = t_scan.train_epoch(p0, o0)
+        p1, o1, l1 = t_fused.train_epoch(p1, o1)
+        assert l1 == pytest.approx(l0, rel=1e-4), (l0, l1)
+    np.testing.assert_allclose(np.asarray(p1["P"]), np.asarray(p0["P"]),
+                               rtol=1e-3, atol=1e-4)
+    np.testing.assert_allclose(np.asarray(p1["Q"]), np.asarray(p0["Q"]),
+                               rtol=1e-3, atol=1e-4)
+    assert int(o1[0].count) == int(o0[0].count)
+    r0 = t_scan.evaluate(p0)
+    r1 = t_fused.evaluate(p1)
+    for k in r0:
+        assert r1[k] == pytest.approx(r0[k], abs=2e-4)

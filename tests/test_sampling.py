@@ -275,3 +275,39 @@ def test_pointwise_epoch_tensors_layout():
     for uu, ii in zip(u[neg], i[neg]):
         assert int(ii) not in user_items[int(uu)]
     assert (i[neg] >= 3 * n_items // 4).sum() > 0
+
+
+def test_cml_epoch_tensors_layout_and_negatives():
+    """CML epoch tensors: one row per pair (each exactly once), K unseen
+    negatives per row spanning the unseen range, w masks the padding."""
+    rng = np.random.default_rng(7)
+    n_users, n_items, K = 8, 60, 5
+    user_items = {u: sorted(rng.choice(n_items, size=10,
+                                       replace=False).tolist())
+                  for u in range(n_users)}
+    pos_u = np.repeat(np.arange(n_users, dtype=np.int32), 10)
+    pos_i = np.concatenate([np.asarray(user_items[u], np.int32)
+                            for u in range(n_users)])
+    t = sampling.build_member_table(user_items, n_users, n_items)
+    steps, b = 10, 10  # padded=100, rows_total=80
+    static = jax.tree_util.tree_map(jnp.asarray, sampling.pairwise_epoch_static(
+        pos_u, pos_i, t.lens, n_items, steps * b, 1))
+    t_dev = jax.tree_util.tree_map(
+        lambda x: jnp.asarray(x) if x is not None else None, t)
+    batch = sampling.cml_epoch_tensors(jax.random.PRNGKey(0), static,
+                                       t_dev, n_items, steps, b,
+                                       neg_ratio=K)
+    u = np.asarray(batch["u"]).ravel()
+    i = np.asarray(batch["i"]).ravel()
+    w = np.asarray(batch["w"]).ravel()
+    negs = np.asarray(batch["negs"]).reshape(-1, K)
+    assert batch["negs"].shape == (steps, b, K)
+    assert w.sum() == len(pos_u)
+    from collections import Counter
+    got = Counter(zip(u[w > 0].tolist(), i[w > 0].tolist()))
+    assert all(c == 1 for c in got.values())
+    assert len(got) == len(pos_u)
+    for uu, row in zip(u[w > 0], negs[w > 0]):
+        for jj in row:
+            assert int(jj) not in user_items[int(uu)]
+    assert (negs[w > 0] >= 3 * n_items // 4).sum() > 0
