@@ -45,7 +45,7 @@ def build_trainer(name: str, fused: bool):
     from cleverrec_tpu.train import Trainer
     cfg = Config({
         "recommender": name, "model_type": "ranking",
-        "data.root_dir": os.path.join(ROOT, "data"),
+        "data.root_dir": "/root/reference/dataset",
         "data.dataset": "ml-100k", "data.file_name": "u.data",
         "data.sep": "\t", "data.format": "UIRT", "data.split_way": "loo",
         "data.split_by_time": "True", "data.user_min": "0",
@@ -62,20 +62,23 @@ def build_trainer(name: str, fused: bool):
                    logger=logging.getLogger("fused_family"))
 
 
-def marginal_epoch_s(tr, chain: int = 8) -> float:
+def marginal_epoch_s(tr, chain: int = 16) -> float:
     p, o = tr.init_state()
     # Warm both the 1-block and chain-block programs.
     p, o, _ = tr.train_epochs(p, o, 1)
     p, o, _ = tr.train_epochs(p, o, chain)
-    t0 = time.time()
-    p, o, _ = tr.train_epochs(p, o, 1)
-    np.asarray(p["P"][:1])
-    t1 = time.time() - t0
-    t0 = time.time()
-    p, o, _ = tr.train_epochs(p, o, chain)
-    np.asarray(p["P"][:1])
-    tn = time.time() - t0
-    return max((tn - t1) / (chain - 1), 1e-9)
+    for _ in range(3):
+        t0 = time.time()
+        p, o, _ = tr.train_epochs(p, o, 1)
+        np.asarray(p["P"][:1])
+        t1 = time.time() - t0
+        t0 = time.time()
+        p, o, _ = tr.train_epochs(p, o, chain)
+        np.asarray(p["P"][:1])
+        tn = time.time() - t0
+        if tn > t1:  # dispatch-noise guard (async tunnel)
+            return (tn - t1) / (chain - 1)
+    return max(tn / chain, 1e-9)
 
 
 def main(models):

@@ -65,8 +65,7 @@ def _epoch_kernel(t0_ref, u_ref, i_ref, j_ref,
     s = pl.program_id(0)
     u_pad, d = p_ref.shape
     i_pad, _ = q_ref.shape
-    lane_w = u_ref.shape[2]            # idx blocks are [1, 8, B//8]
-    n_sub = lane_w // blk
+    n_rb = u_ref.shape[1]              # idx blocks are [1, B//blk, blk]
 
     @pl.when(s == 0)
     def _load_state():
@@ -94,11 +93,13 @@ def _epoch_kernel(t0_ref, u_ref, i_ref, j_ref,
             preferred_element_type=jnp.float32)
 
     def block(kb, loss):
-        row = pl.ds(kb // n_sub, 1)
-        sl = pl.ds((kb % n_sub) * blk, blk)
-        oh_u = onehot_t(u_ref[0, row, sl], u_pad)
-        oh_i = onehot_t(i_ref[0, row, sl], i_pad)
-        oh_j = onehot_t(j_ref[0, row, sl], i_pad)
+        # One id row per block: DYNAMIC index only in the sublane dim —
+        # lane offsets stay statically 0 (Mosaic requires provable
+        # 128-multiples for dynamic lane offsets).
+        row = pl.ds(kb, 1)
+        oh_u = onehot_t(u_ref[0, row, :], u_pad)
+        oh_i = onehot_t(i_ref[0, row, :], i_pad)
+        oh_j = onehot_t(j_ref[0, row, :], i_pad)
         pe = gather(oh_u, p_ref)                    # [blk, d]
         qi = gather(oh_i, q_ref)
         qj = gather(oh_j, q_ref)
@@ -118,7 +119,7 @@ def _epoch_kernel(t0_ref, u_ref, i_ref, j_ref,
                                   preferred_element_type=jnp.float32))
         return loss
 
-    loss = jax.lax.fori_loop(0, 8 * n_sub, block, 0.0)
+    loss = jax.lax.fori_loop(0, n_rb, block, 0.0)
     acc_ref[0, 0] += loss
 
     # -- dense Adam over the resident tables ----------------------------
@@ -169,10 +170,13 @@ def fused_bpr_epoch(p, q, mp, vp, mq, vq, u_idx, i_idx, j_idx, t0,
     pads = lambda a, n: jnp.pad(a, ((0, n - a.shape[0]), (0, 0)))  # noqa: E731
     p, mp, vp = (pads(x, u_pad) for x in (p, mp, vp))
     q, mq, vq = (pads(x, i_pad) for x in (q, mq, vq))
-    # Index rows stream as [1, 8, B/8] tiles (sublane x lane aligned);
-    # pad B to a multiple of 8*blk with sentinel slots (their constant
-    # log(2) loss bias is subtracted below — static count).
-    padb = (_round_up(b, 8 * blk) - b) if b % (8 * blk) else 0
+    # Index rows stream as [1, B/blk, blk] tiles — one sublane ROW per
+    # compute block, so the kernel's per-block loads use a dynamic
+    # SUBLANE index with static lane offset 0 (dynamic lane offsets must
+    # be provably 128-aligned, which (kb % n) * blk is not).  Pad B to a
+    # multiple of blk with sentinel slots (their constant log(2) loss
+    # bias is subtracted below — static count).
+    padb = (_round_up(b, blk) - b) if b % blk else 0
     if padb:
         pad_ids = lambda a, sent: jnp.pad(a, ((0, 0), (0, padb)),  # noqa: E731
                                           constant_values=sent)
@@ -180,14 +184,14 @@ def fused_bpr_epoch(p, q, mp, vp, mq, vq, u_idx, i_idx, j_idx, t0,
         i_idx = pad_ids(i_idx, i_pad - 1)
         j_idx = pad_ids(j_idx, i_pad - 1)
         b = b + padb
-    u_idx, i_idx, j_idx = (a.reshape(steps, 8, b // 8)
+    u_idx, i_idx, j_idx = (a.reshape(steps, b // blk, blk)
                            for a in (u_idx, i_idx, j_idx))
 
     full = lambda shape: pl.BlockSpec(  # noqa: E731
         shape, lambda s: tuple(0 for _ in shape),
         memory_space=pltpu.VMEM)
     hbm = pl.BlockSpec(memory_space=pl.ANY)
-    idx = pl.BlockSpec((1, 8, b // 8), lambda s: (s, 0, 0),
+    idx = pl.BlockSpec((1, b // blk, blk), lambda s: (s, 0, 0),
                        memory_space=pltpu.VMEM)
 
     outs = pl.pallas_call(
@@ -252,8 +256,7 @@ def _pw_kernel(t0_ref, uz_ref, i_ref,
     s = pl.program_id(0)
     u_pad, d = p_ref.shape
     i_pad, _ = q_ref.shape
-    lane_w = uz_ref.shape[2]
-    n_sub = lane_w // blk
+    n_rb = uz_ref.shape[1]             # idx blocks are [1, B//blk, blk]
 
     @pl.when(s == 0)
     def _load_state():
@@ -283,12 +286,11 @@ def _pw_kernel(t0_ref, uz_ref, i_ref,
 
     def block(kb, carry):
         loss, dh = carry
-        row = pl.ds(kb // n_sub, 1)
-        sl = pl.ds((kb % n_sub) * blk, blk)
-        uz = uz_ref[0, row, sl]                         # [1, blk] signed
+        row = pl.ds(kb, 1)              # dynamic sublane, static lanes
+        uz = uz_ref[0, row, :]                          # [1, blk] signed
         z = jnp.where(uz > 0, 1.0, -1.0)
         oh_u = onehot_t(jnp.abs(uz) - 1, u_pad) * z     # signed one-hot
-        oh_i = onehot_t(i_ref[0, row, sl], i_pad)
+        oh_i = onehot_t(i_ref[0, row, :], i_pad)
         pe = gather(oh_u, p_ref)                        # z * P[u]  [blk, d]
         qi = gather(oh_i, q_ref)
         prod = pe * qi
@@ -306,7 +308,7 @@ def _pw_kernel(t0_ref, uz_ref, i_ref,
         return loss, dh
 
     loss, dh = jax.lax.fori_loop(
-        0, 8 * n_sub, block, (0.0, jnp.zeros((1, d), jnp.float32)))
+        0, n_rb, block, (0.0, jnp.zeros((1, d), jnp.float32)))
     acc_ref[0, 0] += loss
 
     t = (t0_ref[0] + s + 1).astype(jnp.float32)
@@ -361,20 +363,21 @@ def fused_gmf_epoch(p, q, h, mp, vp, mq, vq, mh, vh, uz_idx, i_idx, t0,
     p, mp, vp = (pads(x, u_pad) for x in (p, mp, vp))
     q, mq, vq = (pads(x, i_pad) for x in (q, mq, vq))
     h, mh, vh = (pads(x[None, :], 8) for x in (h, mh, vh))
-    padb = (_round_up(b, 8 * blk) - b) if b % (8 * blk) else 0
+    padb = (_round_up(b, blk) - b) if b % blk else 0
     if padb:
         pad_ids = lambda a, sent: jnp.pad(a, ((0, 0), (0, padb)),  # noqa: E731
                                           constant_values=sent)
         uz_idx = pad_ids(uz_idx, u_pad)         # |u_pad| - 1 = sentinel row
         i_idx = pad_ids(i_idx, i_pad - 1)
         b = b + padb
-    uz_idx, i_idx = (a.reshape(steps, 8, b // 8) for a in (uz_idx, i_idx))
+    uz_idx, i_idx = (a.reshape(steps, b // blk, blk)
+                     for a in (uz_idx, i_idx))
 
     full = lambda shape: pl.BlockSpec(  # noqa: E731
         shape, lambda s: tuple(0 for _ in shape),
         memory_space=pltpu.VMEM)
     hbm = pl.BlockSpec(memory_space=pl.ANY)
-    idx = pl.BlockSpec((1, 8, b // 8), lambda s: (s, 0, 0),
+    idx = pl.BlockSpec((1, b // blk, blk), lambda s: (s, 0, 0),
                        memory_space=pltpu.VMEM)
 
     outs = pl.pallas_call(
@@ -453,8 +456,7 @@ def _cml_kernel(t0_ref, u_ref, i_ref, n_ref,
     s = pl.program_id(0)
     u_pad, d = p_ref.shape
     i_pad, _ = q_ref.shape
-    lane_w = u_ref.shape[2]
-    n_sub = lane_w // blk
+    n_rb = u_ref.shape[1]              # idx blocks are [1, B//blk, blk]
     n_rows = float(u_real + i_real)
 
     @pl.when(s == 0)
@@ -481,16 +483,17 @@ def _cml_kernel(t0_ref, u_ref, i_ref, n_ref,
             preferred_element_type=jnp.float32)
 
     def block(kb, loss):
-        row = pl.ds(kb // n_sub, 1)
-        sl = pl.ds((kb % n_sub) * blk, blk)
-        oh_u = onehot_t(u_ref[0, row, sl], u_pad)
-        oh_i = onehot_t(i_ref[0, row, sl], i_pad)
+        row = pl.ds(kb, 1)              # dynamic sublane, static lanes
+        oh_u = onehot_t(u_ref[0, row, :], u_pad)
+        oh_i = onehot_t(i_ref[0, row, :], i_pad)
         pe = gather(oh_u, p_ref)                        # [blk, d]
         qi = gather(oh_i, q_ref)
         d_ui = jnp.sum(jnp.square(pe - qi), axis=1, keepdims=True)
 
         def neg_dist(k):
-            ids = n_ref[0, pl.ds(k * 8 + kb // n_sub, 1), sl]
+            # Negative plane k occupies sublane rows k*n_rb .. of the
+            # [1, K*n_rb, blk] stream.
+            ids = n_ref[0, pl.ds(k * n_rb + kb, 1), :]
             oh_n = onehot_t(ids, i_pad)
             qn = gather(oh_n, q_ref)
             dn = jnp.sum(jnp.square(pe - qn), axis=1, keepdims=True)
@@ -533,7 +536,7 @@ def _cml_kernel(t0_ref, u_ref, i_ref, n_ref,
                                preferred_element_type=jnp.float32)
         return loss
 
-    loss = jax.lax.fori_loop(0, 8 * n_sub, block, 0.0)
+    loss = jax.lax.fori_loop(0, n_rb, block, 0.0)
 
     # -- dense covariance-regularizer gradient + loss, masked to real rows
     mask_p = (jax.lax.broadcasted_iota(jnp.int32, (u_pad, 1), 0)
@@ -613,7 +616,7 @@ def fused_cml_epoch(p, q, mp, vp, mq, vq, u_idx, i_idx, n_idx, t0,
     pads = lambda a, n: jnp.pad(a, ((0, n - a.shape[0]), (0, 0)))  # noqa: E731
     p, mp, vp = (pads(x, u_pad) for x in (p, mp, vp))
     q, mq, vq = (pads(x, i_pad) for x in (q, mq, vq))
-    padb = (_round_up(b, 8 * blk) - b) if b % (8 * blk) else 0
+    padb = (_round_up(b, blk) - b) if b % blk else 0
     if padb:
         u_idx = jnp.pad(u_idx, ((0, 0), (0, padb)),
                         constant_values=u_pad - 1)
@@ -622,18 +625,19 @@ def fused_cml_epoch(p, q, mp, vp, mq, vq, u_idx, i_idx, n_idx, t0,
         n_idx = jnp.pad(n_idx, ((0, 0), (0, padb), (0, 0)),
                         constant_values=i_pad - 1)
         b = b + padb
-    u_idx, i_idx = (a.reshape(steps, 8, b // 8) for a in (u_idx, i_idx))
-    # Negative plane k occupies rows k*8 .. k*8+7 of a [K*8, b//8] tile,
-    # so the kernel slices row k*8 + (kb // n_sub) exactly like u/i.
-    n_idx = n_idx.transpose(0, 2, 1).reshape(steps, K * 8, b // 8)
+    u_idx, i_idx = (a.reshape(steps, b // blk, blk)
+                    for a in (u_idx, i_idx))
+    # Negative plane k occupies sublane rows k*(b//blk) .. of a
+    # [K*(b//blk), blk] tile, so the kernel reads row k*n_rb + kb.
+    n_idx = n_idx.transpose(0, 2, 1).reshape(steps, K * (b // blk), blk)
 
     full = lambda shape: pl.BlockSpec(  # noqa: E731
         shape, lambda s: tuple(0 for _ in shape),
         memory_space=pltpu.VMEM)
     hbm = pl.BlockSpec(memory_space=pl.ANY)
-    idx = pl.BlockSpec((1, 8, b // 8), lambda s: (s, 0, 0),
+    idx = pl.BlockSpec((1, b // blk, blk), lambda s: (s, 0, 0),
                        memory_space=pltpu.VMEM)
-    idx_n = pl.BlockSpec((1, K * 8, b // 8), lambda s: (s, 0, 0),
+    idx_n = pl.BlockSpec((1, K * (b // blk), blk), lambda s: (s, 0, 0),
                          memory_space=pltpu.VMEM)
 
     outs = pl.pallas_call(
@@ -692,7 +696,10 @@ def vmem_footprint_bytes(u_real: int, i_real: int, d: int, b: int,
     u_pad, i_pad = sentinel_dims(u_real, i_real)
     state = 4 * d * (3 * u_pad + 3 * i_pad)
     scratch = 4 * d * (u_pad + i_pad)
-    onehots = 4 * blk * (u_pad + 2 * i_pad)
+    # One-hot buffers physically occupy >= 128 lanes (f32 (8, 128)
+    # tiling) no matter how narrow blk is — accounting with raw blk=64
+    # once under-planned an 18MB layout past the 16MB VMEM limit.
+    onehots = 4 * max(blk, 128) * (u_pad + 2 * i_pad)
     idx = 2 * idx_planes * 4 * _round_up(b, 8 * blk)
     return state + scratch + onehots + idx
 
@@ -712,4 +719,32 @@ def plan_fused(u_real: int, i_real: int, d: int, b: int,
         if vmem_footprint_bytes(u_real, i_real, d, b, blk,
                                 idx_planes) < FUSED_VMEM_BUDGET:
             return blk
+    return None
+
+
+def plan_fused_grouped(u_real: int, i_real: int, d: int, b: int,
+                       idx_planes: int = 3):
+    """Plan for the GROUPED fused epoch (user-axis block-coordinate):
+    when the full user table + moments overflow VMEM (plan_fused None),
+    split users into G equal id-range groups of ``group_rows`` each and
+    run one kernel launch per group with only that P-slice resident
+    (items + their moments stay fully resident, so Q must still fit).
+
+    The grouped epoch slices the FULL padded P/mP/vP around each kernel
+    launch, and XLA's scoped-vmem allocator keeps those [G*rows, d]
+    buffers resident next to the kernel inside the epoch loop (measured:
+    a 12.2MB kernel + 4.7MB of S(1) outer buffers OOM'd the 16MB scoped
+    limit) — so the plan charges that overhead against a measured 15.5MB
+    ceiling instead of the bare kernel budget.
+
+    Returns (n_groups, group_rows, blk) or None.  Callers should try
+    plan_fused first — G=1 belongs to the ungrouped path."""
+    limit = int(15.5 * 2 ** 20)
+    for g in (2, 4, 8, 16, 32):
+        rows = _round_up(cdiv(u_real, g), 128)
+        outer = 3 * 4 * d * g * rows
+        for blk in (256, 128, 64):
+            if (vmem_footprint_bytes(rows, i_real, d, b, blk, idx_planes)
+                    + outer < limit):
+                return g, rows, blk
     return None

@@ -192,22 +192,57 @@ class Trainer:
         on_tpu = jax.default_backend() == "tpu"
         if not self.cfg.bool("train.fused_kernel", on_tpu):
             return False
-        from cleverrec_tpu.ops.pallas_train import plan_fused
+        from cleverrec_tpu.ops.pallas_train import (plan_fused,
+                                                    plan_fused_grouped)
         planes = {"pairwise_bpr": 3, "pointwise_bce": 2,
                   "cml_hinge": 2 + self.neg_ratio}[proto]
         self._fused_plan = plan_fused(self.dd.user_nums, self.dd.item_nums,
                                       self.model.embed_size,
                                       self.batch_size, idx_planes=planes)
-        if self._fused_plan is None and self.logger:
+        self._fused_grouped_plan = None
+        # train.fused_groups > 1 forces the grouped path (testing and
+        # tuning hook); 0 = auto (grouped only on VMEM overflow).
+        force_g = self.cfg.int("train.fused_groups", 0)
+        if force_g > 1 and proto in ("pairwise_bpr", "pointwise_bce"):
+            from cleverrec_tpu.ops.pallas_train import (_round_up,
+                                                        plan_fused)
+            rows = _round_up(cdiv(self.dd.user_nums, force_g), 128)
+            blk = plan_fused(rows, self.dd.item_nums,
+                             self.model.embed_size, self.batch_size,
+                             idx_planes=3)
+            self._fused_grouped_plan = (force_g, rows, blk or 256)
+            return True
+        if self._fused_plan is not None:
+            return True
+        # VMEM overflow: the BPR family can fall back to the GROUPED
+        # epoch (user-axis block-coordinate Adam — each P row's moments
+        # advance only during its own group's steps; items stay fully
+        # resident and dense).  Opt-out via train.fused_grouped.
+        if (proto in ("pairwise_bpr", "pointwise_bce")
+                and self.cfg.bool("train.fused_grouped", on_tpu)):
+            self._fused_grouped_plan = plan_fused_grouped(
+                self.dd.user_nums, self.dd.item_nums,
+                self.model.embed_size, self.batch_size, idx_planes=planes)
+        if self._fused_grouped_plan is not None:
+            if self.logger:
+                g, rows, blk = self._fused_grouped_plan
+                self.logger.info(
+                    "fused epoch kernel: tables exceed the VMEM budget; "
+                    f"using the GROUPED epoch ({g} user groups x {rows} "
+                    "rows, block-coordinate Adam)")
+            return True
+        if self.logger:
             self.logger.info("fused epoch kernel skipped: tables exceed "
                              "the VMEM budget; using the scan path")
-        return self._fused_plan is not None
+        return False
 
     def _build_fused_epoch_fn(self):
         """Whole-epoch Pallas program (ops/pallas_train.py): one vectorized
         XLA sampling pass reproducing the scan path's exact key stream,
         then the VMEM-resident kernel.  Same (params, opt_state, key,
         arrays) -> (params, opt_state, mean_loss) contract."""
+        if self._fused_grouped_plan is not None:
+            return self._build_grouped_epoch_fn()
         from cleverrec_tpu.ops.pallas_train import (LOG2, cml_sentinel_bias,
                                                     fused_bpr_epoch,
                                                     fused_cml_epoch,
@@ -222,12 +257,9 @@ class Trainer:
         neg_ratio = self.neg_ratio
         u_pad, i_pad = sentinel_dims(self.dd.user_nums, item_nums)
         plan_blk = self._fused_plan
-        lane_w = max(b // 8, 1)
-        # Largest block <= the plan's VMEM-fitting size that divides the
-        # index lane width (halving never grows the footprint).
-        blk = min(plan_blk, lane_w)
-        while blk > 8 and lane_w % blk:
-            blk //= 2
+        # The kernel wrappers pad B to a multiple of blk, so the plan's
+        # VMEM-fitting block size is used as-is (capped by B itself).
+        blk = min(plan_blk, max(b, 8))
         interpret = jax.default_backend() != "tpu"
         lr, reg = self.cfg.lr, self.model.reg
         proto = self.model.fused_protocol
@@ -316,6 +348,153 @@ class Trainer:
         epoch = {"pairwise_bpr": epoch_pairwise,
                  "pointwise_bce": epoch_pointwise,
                  "cml_hinge": epoch_cml}[proto]
+        self._epoch_body = epoch
+        return jax.jit(epoch, donate_argnums=(0, 1))
+
+    def _build_grouped_epoch_fn(self):
+        """GROUPED whole-epoch Pallas path for catalogs whose full user
+        table + Adam moments overflow VMEM (ops/pallas_train.py
+        plan_fused_grouped): users are split into G equal id-range
+        groups; each epoch runs G sequential launches of the SAME
+        oracle-tested ``fused_bpr_epoch`` kernel, with only that group's
+        P-slice (+ moments) resident alongside the full item state.
+
+        Semantics: user-axis BLOCK-COORDINATE Adam — a P row's moments
+        decay/advance only during its own group's steps (items stay
+        dense every step).  This deviates from the scan path's dense
+        optax.adam on the user axis; tests/test_fused_train.py pins the
+        exact grouped semantics against a manual per-group Adam oracle,
+        and the ml-1m benchmark records metric parity with the scan
+        path.  Pairs are padded per group to EQUAL step counts so a
+        single kernel shape compiles."""
+        from cleverrec_tpu.ops.pallas_train import (LOG2, fused_bpr_epoch,
+                                                    fused_gmf_epoch,
+                                                    sentinel_dims)
+        proto = self.model.fused_protocol
+        n_groups, group_rows, plan_blk = self._fused_grouped_plan
+        b = self.batch_size
+        neg_ratio = self.neg_ratio
+        item_nums = self.dd.item_nums
+        d = self.model.embed_size
+        pos_u = np.asarray(self.arrays["pos_u"])
+        pos_i = np.asarray(self.arrays["pos_i"])
+        order = np.argsort(pos_u, kind="stable")
+        pos_u, pos_i = pos_u[order], pos_i[order]
+        bounds = np.searchsorted(pos_u, np.arange(n_groups + 1)
+                                 * group_rows)
+        rows_per_pair = (neg_ratio if proto == "pairwise_bpr"
+                         else 1 + neg_ratio)
+        static_fn = (sampling.pairwise_epoch_static
+                     if proto == "pairwise_bpr"
+                     else sampling.pointwise_epoch_static)
+        steps_eq = max(1, max(
+            cdiv((bounds[g + 1] - bounds[g]) * rows_per_pair, b)
+            for g in range(n_groups)))
+        padded = steps_eq * b
+        statics, n_sents = [], []
+        for g in range(n_groups):
+            sl = slice(bounds[g], bounds[g + 1])
+            statics.append(jax.tree_util.tree_map(
+                jnp.asarray, static_fn(
+                    pos_u[sl], pos_i[sl], self.dd.seen.lens, item_nums,
+                    padded, neg_ratio)))
+            n_sents.append(padded - (bounds[g + 1] - bounds[g])
+                           * rows_per_pair)
+        self.arrays["grouped_static"] = tuple(statics)
+        u_pad, i_pad = sentinel_dims(group_rows, item_nums)
+        p_rows = n_groups * group_rows
+        blk = min(plan_blk, max(b, 8))
+        interpret = jax.default_backend() != "tpu"
+        lr, reg = self.cfg.lr, self.model.reg
+        steps_total = n_groups * steps_eq
+        un = self.dd.user_nums
+
+        def epoch_pairwise(params, opt_state, key, arrays):
+            adam_st = opt_state[0]
+            pad = lambda a: jnp.pad(  # noqa: E731
+                a, ((0, p_rows - a.shape[0]), (0, 0)))
+            P, mP, vP = (pad(x) for x in (params["P"], adam_st.mu["P"],
+                                          adam_st.nu["P"]))
+            Q, mQ, vQ = params["Q"], adam_st.mu["Q"], adam_st.nu["Q"]
+            gkeys = jax.random.split(key, n_groups)
+            loss_total = 0.0
+            for g in range(n_groups):
+                pkey, _ = jax.random.split(gkeys[g])
+                batch = sampling.pairwise_epoch_tensors(
+                    pkey, arrays["grouped_static"][g], arrays["seen"],
+                    item_nums, steps_eq, b,
+                    pop_cdf=arrays.get("pop_cdf"))
+                inval = batch["w"] == 0.0
+                u = jnp.where(inval, u_pad - 1,
+                              batch["u"] - g * group_rows).astype(jnp.int32)
+                i = jnp.where(inval, i_pad - 1,
+                              batch["i"]).astype(jnp.int32)
+                j = jnp.where(inval, i_pad - 1,
+                              batch["j"]).astype(jnp.int32)
+                g0 = g * group_rows
+                slc = lambda a: jax.lax.slice(  # noqa: E731
+                    a, (g0, 0), (g0 + group_rows, d))
+                p_g, Q, mp_g, vp_g, mQ, vQ, loss = fused_bpr_epoch(
+                    slc(P), Q, slc(mP), slc(vP), mQ, vQ, u, i, j,
+                    adam_st.count + g * steps_eq,
+                    lr=lr, reg=reg, blk=blk, interpret=interpret)
+                P = jax.lax.dynamic_update_slice(P, p_g, (g0, 0))
+                mP = jax.lax.dynamic_update_slice(mP, mp_g, (g0, 0))
+                vP = jax.lax.dynamic_update_slice(vP, vp_g, (g0, 0))
+                loss_total = loss_total + loss - n_sents[g] * LOG2
+            new_st = adam_st._replace(
+                count=adam_st.count + steps_total,
+                mu={"P": mP[:un], "Q": mQ}, nu={"P": vP[:un], "Q": vQ})
+            return ({"P": P[:un], "Q": Q},
+                    (new_st,) + tuple(opt_state[1:]),
+                    loss_total / steps_total)
+
+        def epoch_pointwise(params, opt_state, key, arrays):
+            adam_st = opt_state[0]
+            pad = lambda a: jnp.pad(  # noqa: E731
+                a, ((0, p_rows - a.shape[0]), (0, 0)))
+            P, mP, vP = (pad(x) for x in (params["P"], adam_st.mu["P"],
+                                          adam_st.nu["P"]))
+            Q, mQ, vQ = params["Q"], adam_st.mu["Q"], adam_st.nu["Q"]
+            h, mh, vh = (params["h_gmf"], adam_st.mu["h_gmf"],
+                         adam_st.nu["h_gmf"])
+            gkeys = jax.random.split(key, n_groups)
+            loss_total = 0.0
+            for g in range(n_groups):
+                pkey, _ = jax.random.split(gkeys[g])
+                batch = sampling.pointwise_epoch_tensors(
+                    pkey, arrays["grouped_static"][g], arrays["seen"],
+                    item_nums, steps_eq, b,
+                    pop_cdf=arrays.get("pop_cdf"))
+                inval = batch["w"] == 0.0
+                z = jnp.where(batch["y"] > 0, 1, -1)
+                uz = jnp.where(
+                    inval, u_pad,
+                    (batch["u"] - g * group_rows + 1) * z).astype(jnp.int32)
+                i = jnp.where(inval, i_pad - 1,
+                              batch["i"]).astype(jnp.int32)
+                g0 = g * group_rows
+                slc = lambda a: jax.lax.slice(  # noqa: E731
+                    a, (g0, 0), (g0 + group_rows, d))
+                (p_g, Q, h, mp_g, vp_g, mQ, vQ, mh, vh,
+                 loss) = fused_gmf_epoch(
+                    slc(P), Q, h, slc(mP), slc(vP), mQ, vQ, mh, vh,
+                    uz, i, adam_st.count + g * steps_eq,
+                    lr=lr, reg=reg, blk=blk, interpret=interpret)
+                P = jax.lax.dynamic_update_slice(P, p_g, (g0, 0))
+                mP = jax.lax.dynamic_update_slice(mP, mp_g, (g0, 0))
+                vP = jax.lax.dynamic_update_slice(vP, vp_g, (g0, 0))
+                loss_total = loss_total + loss - n_sents[g] * LOG2
+            new_st = adam_st._replace(
+                count=adam_st.count + steps_total,
+                mu={"P": mP[:un], "Q": mQ, "h_gmf": mh},
+                nu={"P": vP[:un], "Q": vQ, "h_gmf": vh})
+            return ({"P": P[:un], "Q": Q, "h_gmf": h},
+                    (new_st,) + tuple(opt_state[1:]),
+                    loss_total / steps_total)
+
+        epoch = (epoch_pairwise if proto == "pairwise_bpr"
+                 else epoch_pointwise)
         self._epoch_body = epoch
         return jax.jit(epoch, donate_argnums=(0, 1))
 

@@ -356,3 +356,203 @@ def test_fused_cml_trainer_matches_scan_trainer(toy_dataset):
     r1 = t_fused.evaluate(p1)
     for k in r0:
         assert r1[k] == pytest.approx(r0[k], abs=2e-4)
+
+
+def test_grouped_trainer_matches_blockwise_adam_oracle(tmp_path):
+    """The GROUPED fused epoch (user-axis block-coordinate Adam for
+    VMEM-overflow catalogs) vs an independent optax-based oracle that
+    applies adam to {P-group-slice, Q} sub-params per group, replaying
+    the identical per-group sampling streams."""
+    import optax as _optax
+    from cleverrec_tpu import sampling
+    from tests.conftest import make_toy_interactions
+
+    ds = tmp_path / "big"
+    ds.mkdir()
+    make_toy_interactions(ds / "ratings.csv", n_users=300, n_items=60,
+                          n_rows=4000)
+    toy = {"root": str(tmp_path), "name": "big"}
+    ov = {"epoches": "1", "batch_size": "64", "embed_size": "8",
+          "lr": "0.01", "neg_ratio": "2", "is_pairwise": "True",
+          "loss_func": "bpr", "reg": "0.01", "stddev": "0.1",
+          "recommender": "BPR", "train.fused_kernel": "True",
+          "train.fused_groups": "2"}
+    cfg = base_config(toy, **ov)
+    data = load_ranking_data(cfg)
+    model = make_model(cfg, DataMeta(data.user_nums, data.item_nums))
+    tr = Trainer(model, data, cfg)
+    assert tr._fused_grouped_plan is not None
+    G, rows, _ = tr._fused_grouped_plan
+    assert G == 2
+    p0, o0 = tr.init_state()
+    key = jax.random.PRNGKey(123)
+    p1, o1, loss1 = jax.tree_util.tree_map(
+        np.asarray, tr._epoch_body(p0, o0, key, tr.arrays))
+
+    # -- oracle ----------------------------------------------------------
+    lr, reg = cfg.lr, model.reg
+    b = cfg.batch_size
+    statics = tr.arrays["grouped_static"]
+    steps_eq = statics[0]["ord_u"].shape[0] // b
+    item_nums = data.item_nums
+    d = model.embed_size
+    p_rows = G * rows
+    P = np.pad(np.asarray(p0["P"]), ((0, p_rows - data.user_nums), (0, 0)))
+    Q = np.asarray(p0["Q"])
+    mP, vP = np.zeros_like(P), np.zeros_like(P)
+    mQ, vQ = np.zeros_like(Q), np.zeros_like(Q)
+    opt = _optax.adam(lr, b1=0.9, b2=0.999, eps=1e-8)
+
+    def loss_fn(sub, ub, ib, jb, wb):
+        pe = sub["P"][ub] * wb[:, None]
+        qi = sub["Q"][ib] * wb[:, None]
+        qj = sub["Q"][jb] * wb[:, None]
+        diff = jnp.sum(pe * (qi - qj), axis=1)
+        l2 = lambda v: 0.5 * jnp.sum(v * v)  # noqa: E731
+        return (jnp.sum(-jax.nn.log_sigmoid(diff) * wb)
+                + reg * (l2(pe) + l2(qi) + l2(qj)))
+
+    total = 0.0
+    gkeys = jax.random.split(key, G)
+    for g in range(G):
+        pkey, _ = jax.random.split(gkeys[g])
+        batch = jax.tree_util.tree_map(np.asarray, sampling.pairwise_epoch_tensors(
+            pkey, statics[g], tr.arrays["seen"], item_nums, steps_eq, b))
+        g0 = g * rows
+        sub = {"P": jnp.asarray(P[g0:g0 + rows]), "Q": jnp.asarray(Q)}
+        st = (_optax.ScaleByAdamState(
+            count=jnp.asarray(g * steps_eq, jnp.int32),
+            mu={"P": jnp.asarray(mP[g0:g0 + rows]), "Q": jnp.asarray(mQ)},
+            nu={"P": jnp.asarray(vP[g0:g0 + rows]), "Q": jnp.asarray(vQ)}),
+            _optax.EmptyState())
+        for s in range(steps_eq):
+            w = batch["w"][s]
+            u_loc = np.where(w > 0, batch["u"][s] - g0, 0)
+            l, grads = jax.value_and_grad(loss_fn)(
+                sub, u_loc, batch["i"][s], batch["j"][s],
+                jnp.asarray(w))
+            upd, st = opt.update(grads, st, sub)
+            sub = _optax.apply_updates(sub, upd)
+            total += float(l)
+        P[g0:g0 + rows] = np.asarray(sub["P"])
+        Q = np.asarray(sub["Q"])
+        mP[g0:g0 + rows] = np.asarray(st[0].mu["P"])
+        vP[g0:g0 + rows] = np.asarray(st[0].nu["P"])
+        mQ, vQ = np.asarray(st[0].mu["Q"]), np.asarray(st[0].nu["Q"])
+
+    assert float(loss1) == pytest.approx(total / (G * steps_eq), rel=1e-4)
+    np.testing.assert_allclose(p1["P"], P[:data.user_nums],
+                               rtol=2e-4, atol=2e-6)
+    np.testing.assert_allclose(p1["Q"], Q, rtol=2e-4, atol=2e-6)
+    np.testing.assert_allclose(np.asarray(o1[0].mu["P"]),
+                               mP[:data.user_nums], rtol=2e-4, atol=2e-7)
+    assert int(o1[0].count) == G * steps_eq
+
+
+def test_grouped_plan_on_vmem_overflow():
+    """ml-1m-shaped state at embed 64 overflows the ungrouped VMEM
+    budget; the grouped planner covers it with 4 user groups (2 groups
+    would need a 17.3MB kernel — over the 16MB VMEM ceiling — with the
+    physical >=128-lane one-hot footprint accounted)."""
+    from cleverrec_tpu.ops.pallas_train import (plan_fused,
+                                                plan_fused_grouped)
+    assert plan_fused(6040, 3706, 64, 6144) is None
+    plan = plan_fused_grouped(6040, 3706, 64, 6144)
+    assert plan is not None
+    g, rows, blk = plan
+    assert g * rows >= 6040
+    assert g == 4
+
+
+def test_grouped_gmf_trainer_matches_blockwise_adam_oracle(tmp_path):
+    """Pointwise (GMF) grouped fused epoch vs the optax block-coordinate
+    oracle — pins the uz local-id sign encoding, h threading, and
+    per-group pointwise statics."""
+    import optax as _optax
+    from cleverrec_tpu import sampling
+    from tests.conftest import make_toy_interactions
+
+    ds = tmp_path / "bigp"
+    ds.mkdir()
+    make_toy_interactions(ds / "ratings.csv", n_users=300, n_items=60,
+                          n_rows=4000, seed=2)
+    toy = {"root": str(tmp_path), "name": "bigp"}
+    ov = {"epoches": "1", "batch_size": "64", "embed_size": "8",
+          "lr": "0.01", "neg_ratio": "2", "is_pairwise": "False",
+          "loss_func": "cross_entropy", "reg": "0.01", "stddev": "0.1",
+          "recommender": "GMF", "train.fused_kernel": "True",
+          "train.fused_groups": "2"}
+    cfg = base_config(toy, **ov)
+    data = load_ranking_data(cfg)
+    model = make_model(cfg, DataMeta(data.user_nums, data.item_nums))
+    tr = Trainer(model, data, cfg)
+    assert tr._fused_grouped_plan is not None
+    G, rows, _ = tr._fused_grouped_plan
+    p0, o0 = tr.init_state()
+    key = jax.random.PRNGKey(321)
+    p1, o1, loss1 = jax.tree_util.tree_map(
+        np.asarray, tr._epoch_body(p0, o0, key, tr.arrays))
+
+    lr, reg = cfg.lr, model.reg
+    b = cfg.batch_size
+    statics = tr.arrays["grouped_static"]
+    steps_eq = statics[0]["ord_u"].shape[0] // b
+    item_nums = data.item_nums
+    p_rows = G * rows
+    P = np.pad(np.asarray(p0["P"]), ((0, p_rows - data.user_nums), (0, 0)))
+    Q = np.asarray(p0["Q"])
+    h = np.asarray(p0["h_gmf"])
+    mP, vP = np.zeros_like(P), np.zeros_like(P)
+    mQ, vQ = np.zeros_like(Q), np.zeros_like(Q)
+    mh, vh = np.zeros_like(h), np.zeros_like(h)
+    opt = _optax.adam(lr, b1=0.9, b2=0.999, eps=1e-8)
+
+    def loss_fn(sub, ub, ib, yb, wb):
+        ue = sub["P"][ub] * wb[:, None]
+        ie = sub["Q"][ib] * wb[:, None]
+        x = jnp.sum(ue * ie * sub["h_gmf"], axis=1)
+        per_row = (jnp.maximum(x, 0.0) - x * yb
+                   + jnp.log1p(jnp.exp(-jnp.abs(x)))) * wb
+        l2 = lambda v: 0.5 * jnp.sum(v * v)  # noqa: E731
+        return jnp.sum(per_row) + reg * (l2(ue) + l2(ie))
+
+    total = 0.0
+    gkeys = jax.random.split(key, G)
+    for g in range(G):
+        pkey, _ = jax.random.split(gkeys[g])
+        batch = jax.tree_util.tree_map(np.asarray, sampling.pointwise_epoch_tensors(
+            pkey, statics[g], tr.arrays["seen"], item_nums, steps_eq, b))
+        g0 = g * rows
+        sub = {"P": jnp.asarray(P[g0:g0 + rows]), "Q": jnp.asarray(Q),
+               "h_gmf": jnp.asarray(h)}
+        st = (_optax.ScaleByAdamState(
+            count=jnp.asarray(g * steps_eq, jnp.int32),
+            mu={"P": jnp.asarray(mP[g0:g0 + rows]), "Q": jnp.asarray(mQ),
+                "h_gmf": jnp.asarray(mh)},
+            nu={"P": jnp.asarray(vP[g0:g0 + rows]), "Q": jnp.asarray(vQ),
+                "h_gmf": jnp.asarray(vh)}),
+            _optax.EmptyState())
+        for s in range(steps_eq):
+            w = batch["w"][s]
+            u_loc = np.where(w > 0, batch["u"][s] - g0, 0)
+            l, grads = jax.value_and_grad(loss_fn)(
+                sub, u_loc, batch["i"][s], jnp.asarray(batch["y"][s]),
+                jnp.asarray(w))
+            upd, st = opt.update(grads, st, sub)
+            sub = _optax.apply_updates(sub, upd)
+            total += float(l)
+        P[g0:g0 + rows] = np.asarray(sub["P"])
+        Q = np.asarray(sub["Q"])
+        h = np.asarray(sub["h_gmf"])
+        mP[g0:g0 + rows] = np.asarray(st[0].mu["P"])
+        vP[g0:g0 + rows] = np.asarray(st[0].nu["P"])
+        mQ, vQ = np.asarray(st[0].mu["Q"]), np.asarray(st[0].nu["Q"])
+        mh, vh = np.asarray(st[0].mu["h_gmf"]), np.asarray(st[0].nu["h_gmf"])
+
+    assert float(loss1) == pytest.approx(total / (G * steps_eq), rel=1e-4)
+    # f32 reduction-order noise through the h-product chain reaches ~1e-5.
+    np.testing.assert_allclose(p1["P"], P[:data.user_nums],
+                               rtol=2e-4, atol=3e-5)
+    np.testing.assert_allclose(p1["Q"], Q, rtol=2e-4, atol=3e-5)
+    np.testing.assert_allclose(p1["h_gmf"], h, rtol=2e-4, atol=3e-5)
+    assert int(o1[0].count) == G * steps_eq
