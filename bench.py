@@ -69,18 +69,27 @@ def main():
 
     # Warm both block sizes + eval.
     params, opt_state, _ = trainer.train_epochs(params, opt_state, 1)
-    params, opt_state, _ = trainer.train_epochs(params, opt_state, 10)
+    params, opt_state, _ = trainer.train_epochs(params, opt_state, 16)
     trainer.evaluate(params)
 
-    # Marginal epoch cost: 10-epoch call minus 1-epoch call (train_epochs
-    # runs the whole block as ONE device program; float(loss) syncs).
-    t0 = time.time()
-    params, opt_state, _ = trainer.train_epochs(params, opt_state, 1)
-    t_one = time.time() - t0
-    t0 = time.time()
-    params, opt_state, _ = trainer.train_epochs(params, opt_state, 10)
-    t_ten = time.time() - t0
-    per_epoch = max((t_ten - t_one) / 9, 1e-9)
+    # Marginal epoch cost: 16-epoch call minus 1-epoch call.  BOTH counts
+    # are powers of two, so each train_epochs call runs as ONE device
+    # program (train_epochs splits other counts into power-of-two blocks,
+    # and every extra block adds a ~26ms dispatch+readback round-trip on
+    # this tunneled backend — a 10-vs-1 protocol overstated the marginal
+    # epoch by ~2.5ms).  float(loss) inside train_epochs is the real D2H
+    # sync; it appears once in both calls and cancels in the difference.
+    # Retry if tunnel noise makes the long call cheaper than the short.
+    for _ in range(3):
+        t0 = time.time()
+        params, opt_state, _ = trainer.train_epochs(params, opt_state, 1)
+        t_one = time.time() - t0
+        t0 = time.time()
+        params, opt_state, _ = trainer.train_epochs(params, opt_state, 16)
+        t_big = time.time() - t0
+        if t_big > t_one:
+            break
+    per_epoch = max((t_big - t_one) / 15, 1e-9)
     examples_per_s = trainer._epoch_rows / per_epoch
 
     # Marginal eval cost: chained device evals (each consumes the previous
