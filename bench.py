@@ -6,7 +6,8 @@ Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline", ...}.
 - value: steady-state training examples/s/chip (pairwise rows consumed per
   second) for the reference BPR recipe (embed 128, batch 6144, neg_ratio 4
   — conf/BPR.properties values), measured as the MARGINAL epoch cost of a
-  multi-epoch device program (a 10-epoch call minus a 1-epoch call, so
+  multi-epoch device program (a 16-epoch call minus a 1-epoch call — both
+  power-of-two counts, so each runs as ONE device program — so
   dispatch/transfer latency of this tunneled chip is excluded but every
   on-device cost — sampling, kernel, loss readback chain — is included).
 - vs_baseline: ratio against the measured TF1-semantics baseline
@@ -89,7 +90,10 @@ def main():
         t_big = time.time() - t0
         if t_big > t_one:
             break
-    per_epoch = max((t_big - t_one) / 15, 1e-9)
+    # Fallback when tunnel noise defeats all retries: the 16-epoch call
+    # averaged per epoch (overstates by dispatch/16 — conservative).
+    per_epoch = ((t_big - t_one) / 15 if t_big > t_one
+                 else max(t_big / 16, 1e-9))
     examples_per_s = trainer._epoch_rows / per_epoch
 
     # Marginal eval cost: chained device evals (each consumes the previous

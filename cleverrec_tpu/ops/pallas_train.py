@@ -700,7 +700,10 @@ def vmem_footprint_bytes(u_real: int, i_real: int, d: int, b: int,
     # tiling) no matter how narrow blk is — accounting with raw blk=64
     # once under-planned an 18MB layout past the 16MB VMEM limit.
     onehots = 4 * max(blk, 128) * (u_pad + 2 * i_pad)
-    idx = 2 * idx_planes * 4 * _round_up(b, 8 * blk)
+    # Index tiles are [b/blk, blk] int32 per plane, double-buffered by
+    # the pipeline; like the one-hots they physically occupy >= 128
+    # lanes per row regardless of blk (b is padded to a blk multiple).
+    idx = 2 * idx_planes * 4 * (_round_up(b, blk) // blk) * max(blk, 128)
     return state + scratch + onehots + idx
 
 
@@ -714,8 +717,10 @@ def plan_fused(u_real: int, i_real: int, d: int, b: int,
     and REJECTED: bf16 one-hot construction forces (8,128)->(16,128)
     retiling per block and ran 35x slower than f32, and even bf16 VMEM
     sizing cannot fit ml-1m-class state (the remote compiler rejects
-    13MB+ resident layouts)."""
-    for blk in (256, 128, 64):
+    13MB+ resident layouts).  No blk < 128 rung: the one-hot and index
+    buffers physically occupy >= 128 lanes regardless, so blk=64 has
+    blk=128's footprint at half the MXU lane utilization."""
+    for blk in (256, 128):
         if vmem_footprint_bytes(u_real, i_real, d, b, blk,
                                 idx_planes) < FUSED_VMEM_BUDGET:
             return blk
@@ -743,7 +748,7 @@ def plan_fused_grouped(u_real: int, i_real: int, d: int, b: int,
     for g in (2, 4, 8, 16, 32):
         rows = _round_up(cdiv(u_real, g), 128)
         outer = 3 * 4 * d * g * rows
-        for blk in (256, 128, 64):
+        for blk in (256, 128):
             if (vmem_footprint_bytes(rows, i_real, d, b, blk, idx_planes)
                     + outer < limit):
                 return g, rows, blk

@@ -204,13 +204,19 @@ class Trainer:
         # tuning hook); 0 = auto (grouped only on VMEM overflow).
         force_g = self.cfg.int("train.fused_groups", 0)
         if force_g > 1 and proto in ("pairwise_bpr", "pointwise_bce"):
-            from cleverrec_tpu.ops.pallas_train import (_round_up,
-                                                        plan_fused)
+            from cleverrec_tpu.ops.pallas_train import _round_up
             rows = _round_up(cdiv(self.dd.user_nums, force_g), 128)
             blk = plan_fused(rows, self.dd.item_nums,
                              self.model.embed_size, self.batch_size,
-                             idx_planes=3)
-            self._fused_grouped_plan = (force_g, rows, blk or 256)
+                             idx_planes=planes)
+            if blk is None:
+                if self.logger:
+                    self.logger.info(
+                        f"train.fused_groups={force_g} ignored: even the "
+                        "per-group slice overflows VMEM; using the scan "
+                        "path")
+                return False
+            self._fused_grouped_plan = (force_g, rows, blk)
             return True
         if self._fused_plan is not None:
             return True
@@ -387,13 +393,23 @@ class Trainer:
         static_fn = (sampling.pairwise_epoch_static
                      if proto == "pairwise_bpr"
                      else sampling.pointwise_epoch_static)
-        steps_eq = max(1, max(
-            cdiv((bounds[g + 1] - bounds[g]) * rows_per_pair, b)
-            for g in range(n_groups)))
-        padded = steps_eq * b
+        # Per-group step counts, rounded up to the next power of two:
+        # equal ID-range groups can carry very unequal pair mass (user
+        # activity often correlates with id), and padding every group to
+        # the densest group's count multiplies the epoch with
+        # sentinel-only kernel steps.  Pow-of-two rounding keeps the
+        # number of DISTINCT kernel shapes (one Mosaic compile each,
+        # `steps` is baked into the kernel) at most log2(max_steps)
+        # while bounding pad waste at 2x per group.
+        steps_g = [
+            max(1, 1 << (int(cdiv((bounds[g + 1] - bounds[g])
+                                  * rows_per_pair, b)) - 1).bit_length())
+            for g in range(n_groups)]
+        step_off = np.concatenate([[0], np.cumsum(steps_g)])
         statics, n_sents = [], []
         for g in range(n_groups):
             sl = slice(bounds[g], bounds[g + 1])
+            padded = steps_g[g] * b
             statics.append(jax.tree_util.tree_map(
                 jnp.asarray, static_fn(
                     pos_u[sl], pos_i[sl], self.dd.seen.lens, item_nums,
@@ -406,7 +422,7 @@ class Trainer:
         blk = min(plan_blk, max(b, 8))
         interpret = jax.default_backend() != "tpu"
         lr, reg = self.cfg.lr, self.model.reg
-        steps_total = n_groups * steps_eq
+        steps_total = int(step_off[-1])
         un = self.dd.user_nums
 
         def epoch_pairwise(params, opt_state, key, arrays):
@@ -422,7 +438,7 @@ class Trainer:
                 pkey, _ = jax.random.split(gkeys[g])
                 batch = sampling.pairwise_epoch_tensors(
                     pkey, arrays["grouped_static"][g], arrays["seen"],
-                    item_nums, steps_eq, b,
+                    item_nums, steps_g[g], b,
                     pop_cdf=arrays.get("pop_cdf"))
                 inval = batch["w"] == 0.0
                 u = jnp.where(inval, u_pad - 1,
@@ -436,7 +452,7 @@ class Trainer:
                     a, (g0, 0), (g0 + group_rows, d))
                 p_g, Q, mp_g, vp_g, mQ, vQ, loss = fused_bpr_epoch(
                     slc(P), Q, slc(mP), slc(vP), mQ, vQ, u, i, j,
-                    adam_st.count + g * steps_eq,
+                    adam_st.count + int(step_off[g]),
                     lr=lr, reg=reg, blk=blk, interpret=interpret)
                 P = jax.lax.dynamic_update_slice(P, p_g, (g0, 0))
                 mP = jax.lax.dynamic_update_slice(mP, mp_g, (g0, 0))
@@ -464,7 +480,7 @@ class Trainer:
                 pkey, _ = jax.random.split(gkeys[g])
                 batch = sampling.pointwise_epoch_tensors(
                     pkey, arrays["grouped_static"][g], arrays["seen"],
-                    item_nums, steps_eq, b,
+                    item_nums, steps_g[g], b,
                     pop_cdf=arrays.get("pop_cdf"))
                 inval = batch["w"] == 0.0
                 z = jnp.where(batch["y"] > 0, 1, -1)
@@ -479,7 +495,7 @@ class Trainer:
                 (p_g, Q, h, mp_g, vp_g, mQ, vQ, mh, vh,
                  loss) = fused_gmf_epoch(
                     slc(P), Q, h, slc(mP), slc(vP), mQ, vQ, mh, vh,
-                    uz, i, adam_st.count + g * steps_eq,
+                    uz, i, adam_st.count + int(step_off[g]),
                     lr=lr, reg=reg, blk=blk, interpret=interpret)
                 P = jax.lax.dynamic_update_slice(P, p_g, (g0, 0))
                 mP = jax.lax.dynamic_update_slice(mP, mp_g, (g0, 0))

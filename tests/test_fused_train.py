@@ -393,7 +393,8 @@ def test_grouped_trainer_matches_blockwise_adam_oracle(tmp_path):
     lr, reg = cfg.lr, model.reg
     b = cfg.batch_size
     statics = tr.arrays["grouped_static"]
-    steps_eq = statics[0]["ord_u"].shape[0] // b
+    steps_list = [s["ord_u"].shape[0] // b for s in statics]
+    step_off = [sum(steps_list[:g]) for g in range(G)]
     item_nums = data.item_nums
     d = model.embed_size
     p_rows = G * rows
@@ -417,15 +418,15 @@ def test_grouped_trainer_matches_blockwise_adam_oracle(tmp_path):
     for g in range(G):
         pkey, _ = jax.random.split(gkeys[g])
         batch = jax.tree_util.tree_map(np.asarray, sampling.pairwise_epoch_tensors(
-            pkey, statics[g], tr.arrays["seen"], item_nums, steps_eq, b))
+            pkey, statics[g], tr.arrays["seen"], item_nums, steps_list[g], b))
         g0 = g * rows
         sub = {"P": jnp.asarray(P[g0:g0 + rows]), "Q": jnp.asarray(Q)}
         st = (_optax.ScaleByAdamState(
-            count=jnp.asarray(g * steps_eq, jnp.int32),
+            count=jnp.asarray(step_off[g], jnp.int32),
             mu={"P": jnp.asarray(mP[g0:g0 + rows]), "Q": jnp.asarray(mQ)},
             nu={"P": jnp.asarray(vP[g0:g0 + rows]), "Q": jnp.asarray(vQ)}),
             _optax.EmptyState())
-        for s in range(steps_eq):
+        for s in range(steps_list[g]):
             w = batch["w"][s]
             u_loc = np.where(w > 0, batch["u"][s] - g0, 0)
             l, grads = jax.value_and_grad(loss_fn)(
@@ -440,13 +441,13 @@ def test_grouped_trainer_matches_blockwise_adam_oracle(tmp_path):
         vP[g0:g0 + rows] = np.asarray(st[0].nu["P"])
         mQ, vQ = np.asarray(st[0].mu["Q"]), np.asarray(st[0].nu["Q"])
 
-    assert float(loss1) == pytest.approx(total / (G * steps_eq), rel=1e-4)
+    assert float(loss1) == pytest.approx(total / sum(steps_list), rel=1e-4)
     np.testing.assert_allclose(p1["P"], P[:data.user_nums],
                                rtol=2e-4, atol=2e-6)
     np.testing.assert_allclose(p1["Q"], Q, rtol=2e-4, atol=2e-6)
     np.testing.assert_allclose(np.asarray(o1[0].mu["P"]),
-                               mP[:data.user_nums], rtol=2e-4, atol=2e-7)
-    assert int(o1[0].count) == G * steps_eq
+                               mP[:data.user_nums], rtol=2e-4, atol=1e-6)
+    assert int(o1[0].count) == sum(steps_list)
 
 
 def test_grouped_plan_on_vmem_overflow():
@@ -496,7 +497,8 @@ def test_grouped_gmf_trainer_matches_blockwise_adam_oracle(tmp_path):
     lr, reg = cfg.lr, model.reg
     b = cfg.batch_size
     statics = tr.arrays["grouped_static"]
-    steps_eq = statics[0]["ord_u"].shape[0] // b
+    steps_list = [s["ord_u"].shape[0] // b for s in statics]
+    step_off = [sum(steps_list[:g]) for g in range(G)]
     item_nums = data.item_nums
     p_rows = G * rows
     P = np.pad(np.asarray(p0["P"]), ((0, p_rows - data.user_nums), (0, 0)))
@@ -521,18 +523,18 @@ def test_grouped_gmf_trainer_matches_blockwise_adam_oracle(tmp_path):
     for g in range(G):
         pkey, _ = jax.random.split(gkeys[g])
         batch = jax.tree_util.tree_map(np.asarray, sampling.pointwise_epoch_tensors(
-            pkey, statics[g], tr.arrays["seen"], item_nums, steps_eq, b))
+            pkey, statics[g], tr.arrays["seen"], item_nums, steps_list[g], b))
         g0 = g * rows
         sub = {"P": jnp.asarray(P[g0:g0 + rows]), "Q": jnp.asarray(Q),
                "h_gmf": jnp.asarray(h)}
         st = (_optax.ScaleByAdamState(
-            count=jnp.asarray(g * steps_eq, jnp.int32),
+            count=jnp.asarray(step_off[g], jnp.int32),
             mu={"P": jnp.asarray(mP[g0:g0 + rows]), "Q": jnp.asarray(mQ),
                 "h_gmf": jnp.asarray(mh)},
             nu={"P": jnp.asarray(vP[g0:g0 + rows]), "Q": jnp.asarray(vQ),
                 "h_gmf": jnp.asarray(vh)}),
             _optax.EmptyState())
-        for s in range(steps_eq):
+        for s in range(steps_list[g]):
             w = batch["w"][s]
             u_loc = np.where(w > 0, batch["u"][s] - g0, 0)
             l, grads = jax.value_and_grad(loss_fn)(
@@ -549,10 +551,10 @@ def test_grouped_gmf_trainer_matches_blockwise_adam_oracle(tmp_path):
         mQ, vQ = np.asarray(st[0].mu["Q"]), np.asarray(st[0].nu["Q"])
         mh, vh = np.asarray(st[0].mu["h_gmf"]), np.asarray(st[0].nu["h_gmf"])
 
-    assert float(loss1) == pytest.approx(total / (G * steps_eq), rel=1e-4)
+    assert float(loss1) == pytest.approx(total / sum(steps_list), rel=1e-4)
     # f32 reduction-order noise through the h-product chain reaches ~1e-5.
     np.testing.assert_allclose(p1["P"], P[:data.user_nums],
                                rtol=2e-4, atol=3e-5)
     np.testing.assert_allclose(p1["Q"], Q, rtol=2e-4, atol=3e-5)
     np.testing.assert_allclose(p1["h_gmf"], h, rtol=2e-4, atol=3e-5)
-    assert int(o1[0].count) == G * steps_eq
+    assert int(o1[0].count) == sum(steps_list)
