@@ -37,6 +37,11 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--distributed", action="store_true",
                    help="call jax.distributed.initialize() for multi-host "
                         "runs (env-configured coordinator)")
+    p.add_argument("--export-serving", default=None, metavar="DIR",
+                   help="after training, write a serving bundle "
+                        "(retrieval + rerank jax.export artifacts + "
+                        "meta.json) to DIR; serve.batch / serve.n_cand / "
+                        "serve.backend config keys tune it")
     p.add_argument("--resume", default=None, metavar="CKPT",
                    help="resume from a train-state checkpoint directory")
     p.add_argument("--tune", action="store_true",
@@ -47,7 +52,7 @@ def build_parser() -> argparse.ArgumentParser:
 
 
 def run_experiment(cfg: Config, logger=None, mesh_shape=None,
-                   resume_from=None):
+                   resume_from=None, export_serving=None):
     """Load data, build model + trainer, run the full loop."""
     import numpy as np
 
@@ -79,7 +84,17 @@ def run_experiment(cfg: Config, logger=None, mesh_shape=None,
     data = load_ranking_data(cfg, rng=rng, logger=logger)
     model = make_model(cfg, DataMeta(data.user_nums, data.item_nums))
     trainer = Trainer(model, data, cfg, logger=logger, mesh=mesh)
-    return trainer.run(resume_from=resume_from)
+    best = trainer.run(resume_from=resume_from)
+    if export_serving:
+        from cleverrec_tpu.serving import export_bundle
+        manifest = export_bundle(
+            model, trainer.params, trainer.arrays, trainer.dd,
+            export_serving, batch=cfg.int("serve.batch", 256),
+            n_cand=cfg.int("serve.n_cand", 128), k=cfg.topk[0],
+            backend=cfg.str("serve.backend", "auto"))
+        logger.info("serving bundle (%s backend) written to %s",
+                    manifest["backend"], export_serving)
+    return best
 
 
 def main(argv=None):
@@ -106,7 +121,8 @@ def main(argv=None):
         logger = get_logger(cfg.get("log.dir"), cfg.recommender + "_tune")
         run_grid(cfg, logger=logger)
         return 0
-    run_experiment(cfg, mesh_shape=args.mesh, resume_from=args.resume)
+    run_experiment(cfg, mesh_shape=args.mesh, resume_from=args.resume,
+                   export_serving=args.export_serving)
     return 0
 
 
