@@ -41,6 +41,9 @@ MODEL_OVERRIDES = {
     "CML": {"is_pairwise": "True", "loss_func": "hinge", "margin": "1.0",
             "reg": "0.1", "embed_size": "64", "lr": "0.05",
             "neg_ratio": "10"},
+    "GMF": {"is_pairwise": "False", "loss_func": "cross_entropy",
+            "reg": "0.01", "embed_size": "64", "lr": "0.001",
+            "neg_ratio": "4"},
 }
 
 

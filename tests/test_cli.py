@@ -93,3 +93,20 @@ def test_cli_tune(tmp_path):
     rc = main(["--config", props, "--tune", "--set", "embed_size=[4,8]",
                "--set", "epoches=1"])
     assert rc == 0
+
+
+def test_cli_export_serving(tmp_path):
+    import json
+    ds = tmp_path / "data" / "toycli"
+    ds.mkdir(parents=True)
+    make_toy_interactions(ds / "ratings.csv")
+    props = _write_props(tmp_path, str(tmp_path / "data"))
+    out = tmp_path / "bundle"
+    rc = main(["--config", props, "--set", "epoches=1",
+               "--set", "serve.batch=4", "--set", "serve.n_cand=6",
+               "--export-serving", str(out)])
+    assert rc == 0
+    manifest = json.loads((out / "meta.json").read_text())
+    assert manifest["model"] == "BPR" and manifest["batch"] == 4
+    assert (out / manifest["artifacts"]["retrieval"]).stat().st_size > 0
+    assert (out / manifest["artifacts"]["rerank"]).stat().st_size > 0
