@@ -14,7 +14,9 @@ the kernel, or spills them to HBM.  plan_fused_grouped conservatively
 charges them against a 15.5MB ceiling measured at ml-1m scale; if this
 run compiles, that charge is wrong for large tables.
 
-Usage: python benchmarks/grouped_scale.py [n_users] [n_items] [groups]
+Usage: python benchmarks/grouped_scale.py [n_users] [n_items] [groups] [arm]
+(arm: scan | grouped | both — split arms across invocations when cold
+remote compiles exceed one run's time budget; records merge by key.)
 """
 
 from __future__ import annotations
@@ -72,7 +74,9 @@ def build_trainer(name: str, fused_groups: int, n_items: int = 2048):
         "data.format": "UIRT", "data.split_way": "loo",
         "data.split_by_time": "True", "data.user_min": "0",
         "data.item_min": "0",
-        "test.neg_samples": str(min(99, n_items // 4)),
+        # Full-catalog eval mode: candidate sampling is a per-user host
+        # loop (irrelevant here — this benchmark only times training).
+        "test.neg_samples": "0",
         "embed_size": "64", "epoches": "2", "batch_size": "6144",
         "reg": "0.01", "lr": "0.001", "neg_ratio": "4",
         "optimizer": "Adam", "is_pairwise": "True", "loss_func": "bpr",
@@ -111,11 +115,14 @@ def main():
     n_users = int(sys.argv[1]) if len(sys.argv) > 1 else 98304
     n_items = int(sys.argv[2]) if len(sys.argv) > 2 else 2048
     groups = int(sys.argv[3]) if len(sys.argv) > 3 else 32
+    arm = sys.argv[4] if len(sys.argv) > 4 else "both"
     name = ensure_data(n_users, n_items)
 
     rec = {"dataset": name, "n_users": n_users, "n_items": n_items,
            "embed_size": 64, "batch_size": 6144, "groups": groups}
-    for tag, g in (("scan", 0), ("grouped_fused", groups)):
+    arms = {"scan": (("scan", 0),), "grouped": (("grouped_fused", groups),),
+            "both": (("scan", 0), ("grouped_fused", groups))}[arm]
+    for tag, g in arms:
         t0 = time.time()
         tr, data = build_trainer(name, g, n_items)
         if g:

@@ -736,18 +736,23 @@ def plan_fused_grouped(u_real: int, i_real: int, d: int, b: int,
     (items + their moments stay fully resident, so Q must still fit).
 
     The grouped epoch slices the FULL padded P/mP/vP around each kernel
-    launch, and XLA's scoped-vmem allocator keeps those [G*rows, d]
-    buffers resident next to the kernel inside the epoch loop (measured:
-    a 12.2MB kernel + 4.7MB of S(1) outer buffers OOM'd the 16MB scoped
-    limit) — so the plan charges that overhead against a measured 15.5MB
-    ceiling instead of the bare kernel budget.
+    launch.  When those [G*rows, d] buffers are SMALL enough, XLA's
+    scoped-vmem allocator keeps them resident next to the kernel inside
+    the epoch loop (measured at ml-1m scale: a 12.2MB kernel + 4.7MB of
+    S(1) outer buffers OOM'd the 16MB scoped limit) — so the plan
+    charges them against a measured 15.5MB ceiling.  A buffer larger
+    than VMEM itself can never be pinned, so the charge drops to zero
+    past 16MB per buffer (measured: 3x25MB outer buffers at 98k users
+    compiled fine and ran the grouped epoch at 2x the scan path —
+    benchmarks/GROUPED_SCALE.jsonl).
 
     Returns (n_groups, group_rows, blk) or None.  Callers should try
     plan_fused first — G=1 belongs to the ungrouped path."""
     limit = int(15.5 * 2 ** 20)
-    for g in (2, 4, 8, 16, 32):
+    for g in (2, 4, 8, 16, 32, 64, 128, 256):
         rows = _round_up(cdiv(u_real, g), 128)
-        outer = 3 * 4 * d * g * rows
+        buf = 4 * d * g * rows              # one sliced P/moment buffer
+        outer = 3 * buf if buf <= 16 * 2 ** 20 else 0
         for blk in (256, 128):
             if (vmem_footprint_bytes(rows, i_real, d, b, blk, idx_planes)
                     + outer < limit):

@@ -49,7 +49,12 @@ EXTRA_ROUNDS = 2
 BITMAP_BUDGET_BYTES = 256 << 20  # fall back to sorted rows above this
 
 
-COMPLEMENT_BUDGET_BYTES = 512 << 20  # direct unseen-table sampling cap
+COMPLEMENT_BUDGET_BYTES = 2 << 30  # direct unseen-table sampling cap
+# (v5e HBM is 16GB; a ~1-2GB complement table buys exact single-gather
+# negatives where the bitmap-rejection fallback costs 2-3 gathers/draw.
+# Note: on many-users workloads the scan path is dense-Adam/HBM-bound,
+# not sampling-bound, so this is about sampling exactness + the fused
+# path's epoch-tensor draw, not scan-path speed.)
 
 
 class MemberTable(NamedTuple):

@@ -360,10 +360,21 @@ class Trainer:
     def _build_grouped_epoch_fn(self):
         """GROUPED whole-epoch Pallas path for catalogs whose full user
         table + Adam moments overflow VMEM (ops/pallas_train.py
-        plan_fused_grouped): users are split into G equal id-range
-        groups; each epoch runs G sequential launches of the SAME
-        oracle-tested ``fused_bpr_epoch`` kernel, with only that group's
-        P-slice (+ moments) resident alongside the full item state.
+        plan_fused_grouped): users are split into G groups of
+        ``group_rows``; each epoch runs G sequential launches of the
+        SAME oracle-tested ``fused_bpr_epoch`` kernel, with only that
+        group's P-slice (+ moments) resident alongside the full item
+        state.
+
+        Groups are BALANCED BY PAIR MASS via an explicit user
+        permutation (snake assignment over users sorted by pair count):
+        naive equal-ID-range groups padded every group to the densest
+        group's step count, wasting up to ~G x sentinel work on skewed
+        data.  The permuted id space is used END-TO-END inside the
+        epoch — the sampling statics carry permuted ids and negatives
+        draw from a row-permuted MemberTable copy — so the only
+        permutation cost is one gather of the user state in (and one
+        out) per epoch, ~sub-ms.
 
         Semantics: user-axis BLOCK-COORDINATE Adam — a P row's moments
         decay/advance only during its own group's steps (items stay
@@ -371,8 +382,7 @@ class Trainer:
         optax.adam on the user axis; tests/test_fused_train.py pins the
         exact grouped semantics against a manual per-group Adam oracle,
         and the ml-1m benchmark records metric parity with the scan
-        path.  Pairs are padded per group to EQUAL step counts so a
-        single kernel shape compiles."""
+        path."""
         from cleverrec_tpu.ops.pallas_train import (LOG2, fused_bpr_epoch,
                                                     fused_gmf_epoch,
                                                     sentinel_dims)
@@ -382,54 +392,76 @@ class Trainer:
         neg_ratio = self.neg_ratio
         item_nums = self.dd.item_nums
         d = self.model.embed_size
+        un = self.dd.user_nums
+        p_rows = n_groups * group_rows
         pos_u = np.asarray(self.arrays["pos_u"])
         pos_i = np.asarray(self.arrays["pos_i"])
-        order = np.argsort(pos_u, kind="stable")
-        pos_u, pos_i = pos_u[order], pos_i[order]
-        bounds = np.searchsorted(pos_u, np.arange(n_groups + 1)
+        # -- balanced grouping permutation --------------------------------
+        counts = np.bincount(pos_u, minlength=un)
+        rank_of = np.argsort(-counts, kind="stable")    # heavy users first
+        r = np.arange(un)
+        rnd, pos = r // n_groups, r % n_groups
+        g_of_rank = np.where(rnd % 2 == 0, pos, n_groups - 1 - pos)
+        new_of_old = np.empty(un, np.int64)
+        new_of_old[rank_of] = g_of_rank * group_rows + rnd  # slot == round
+        old_of_new = np.full(p_rows, un, np.int64)      # filler -> pad row
+        old_of_new[new_of_old] = r
+        self._grouped_perm = (new_of_old, old_of_new)
+        # Row-permuted sampling tables: permuted user ids flow through
+        # the statics AND the negative draw unchanged.
+        sn = self.dd.seen
+        safe_old = np.where(old_of_new < un, old_of_new, 0)
+        seen_perm = sampling.MemberTable(
+            rows=np.asarray(sn.rows)[safe_old],
+            lens=np.asarray(sn.lens)[safe_old],
+            bits=None if sn.bits is None else np.asarray(sn.bits)[safe_old],
+            complement=(None if sn.complement is None
+                        else np.asarray(sn.complement)[safe_old]))
+        self.arrays["grouped_seen"] = jax.tree_util.tree_map(
+            jnp.asarray, seen_perm)
+        pos_up = new_of_old[pos_u]
+        order = np.argsort(pos_up, kind="stable")
+        pos_up, pos_i = pos_up[order].astype(np.int32), pos_i[order]
+        bounds = np.searchsorted(pos_up, np.arange(n_groups + 1)
                                  * group_rows)
         rows_per_pair = (neg_ratio if proto == "pairwise_bpr"
                          else 1 + neg_ratio)
         static_fn = (sampling.pairwise_epoch_static
                      if proto == "pairwise_bpr"
                      else sampling.pointwise_epoch_static)
-        # Per-group step counts, rounded up to the next power of two:
-        # equal ID-range groups can carry very unequal pair mass (user
-        # activity often correlates with id), and padding every group to
-        # the densest group's count multiplies the epoch with
-        # sentinel-only kernel steps.  Pow-of-two rounding keeps the
-        # number of DISTINCT kernel shapes (one Mosaic compile each,
-        # `steps` is baked into the kernel) at most log2(max_steps)
-        # while bounding pad waste at 2x per group.
-        steps_g = [
-            max(1, 1 << (int(cdiv((bounds[g + 1] - bounds[g])
-                                  * rows_per_pair, b)) - 1).bit_length())
-            for g in range(n_groups)]
-        step_off = np.concatenate([[0], np.cumsum(steps_g)])
+        # Mass balance makes one shared step count near-waste-free (and
+        # one kernel shape = one Mosaic compile).
+        steps_eq = max(1, max(
+            int(cdiv((bounds[g + 1] - bounds[g]) * rows_per_pair, b))
+            for g in range(n_groups)))
+        padded = steps_eq * b
         statics, n_sents = [], []
         for g in range(n_groups):
             sl = slice(bounds[g], bounds[g + 1])
-            padded = steps_g[g] * b
             statics.append(jax.tree_util.tree_map(
                 jnp.asarray, static_fn(
-                    pos_u[sl], pos_i[sl], self.dd.seen.lens, item_nums,
+                    pos_up[sl], pos_i[sl], seen_perm.lens, item_nums,
                     padded, neg_ratio)))
             n_sents.append(padded - (bounds[g + 1] - bounds[g])
                            * rows_per_pair)
         self.arrays["grouped_static"] = tuple(statics)
         u_pad, i_pad = sentinel_dims(group_rows, item_nums)
-        p_rows = n_groups * group_rows
         blk = min(plan_blk, max(b, 8))
         interpret = jax.default_backend() != "tpu"
         lr, reg = self.cfg.lr, self.model.reg
+        steps_g = [steps_eq] * n_groups
+        step_off = np.concatenate([[0], np.cumsum(steps_g)])
         steps_total = int(step_off[-1])
-        un = self.dd.user_nums
+        old_idx = jnp.asarray(old_of_new, jnp.int32)    # un == pad row
+        new_idx = jnp.asarray(new_of_old, jnp.int32)
 
         def epoch_pairwise(params, opt_state, key, arrays):
             adam_st = opt_state[0]
-            pad = lambda a: jnp.pad(  # noqa: E731
-                a, ((0, p_rows - a.shape[0]), (0, 0)))
-            P, mP, vP = (pad(x) for x in (params["P"], adam_st.mu["P"],
+            # Permute user state into balanced-group order (one zero pad
+            # row at index un backs the unused filler slots).
+            pin = lambda a: jnp.pad(  # noqa: E731
+                a, ((0, 1), (0, 0)))[old_idx]
+            P, mP, vP = (pin(x) for x in (params["P"], adam_st.mu["P"],
                                           adam_st.nu["P"]))
             Q, mQ, vQ = params["Q"], adam_st.mu["Q"], adam_st.nu["Q"]
             gkeys = jax.random.split(key, n_groups)
@@ -437,7 +469,7 @@ class Trainer:
             for g in range(n_groups):
                 pkey, _ = jax.random.split(gkeys[g])
                 batch = sampling.pairwise_epoch_tensors(
-                    pkey, arrays["grouped_static"][g], arrays["seen"],
+                    pkey, arrays["grouped_static"][g], arrays["grouped_seen"],
                     item_nums, steps_g[g], b,
                     pop_cdf=arrays.get("pop_cdf"))
                 inval = batch["w"] == 0.0
@@ -460,16 +492,19 @@ class Trainer:
                 loss_total = loss_total + loss - n_sents[g] * LOG2
             new_st = adam_st._replace(
                 count=adam_st.count + steps_total,
-                mu={"P": mP[:un], "Q": mQ}, nu={"P": vP[:un], "Q": vQ})
-            return ({"P": P[:un], "Q": Q},
+                mu={"P": mP[new_idx], "Q": mQ},
+                nu={"P": vP[new_idx], "Q": vQ})
+            return ({"P": P[new_idx], "Q": Q},
                     (new_st,) + tuple(opt_state[1:]),
                     loss_total / steps_total)
 
         def epoch_pointwise(params, opt_state, key, arrays):
             adam_st = opt_state[0]
-            pad = lambda a: jnp.pad(  # noqa: E731
-                a, ((0, p_rows - a.shape[0]), (0, 0)))
-            P, mP, vP = (pad(x) for x in (params["P"], adam_st.mu["P"],
+            # Permute user state into balanced-group order (one zero pad
+            # row at index un backs the unused filler slots).
+            pin = lambda a: jnp.pad(  # noqa: E731
+                a, ((0, 1), (0, 0)))[old_idx]
+            P, mP, vP = (pin(x) for x in (params["P"], adam_st.mu["P"],
                                           adam_st.nu["P"]))
             Q, mQ, vQ = params["Q"], adam_st.mu["Q"], adam_st.nu["Q"]
             h, mh, vh = (params["h_gmf"], adam_st.mu["h_gmf"],
@@ -479,7 +514,7 @@ class Trainer:
             for g in range(n_groups):
                 pkey, _ = jax.random.split(gkeys[g])
                 batch = sampling.pointwise_epoch_tensors(
-                    pkey, arrays["grouped_static"][g], arrays["seen"],
+                    pkey, arrays["grouped_static"][g], arrays["grouped_seen"],
                     item_nums, steps_g[g], b,
                     pop_cdf=arrays.get("pop_cdf"))
                 inval = batch["w"] == 0.0
@@ -503,9 +538,9 @@ class Trainer:
                 loss_total = loss_total + loss - n_sents[g] * LOG2
             new_st = adam_st._replace(
                 count=adam_st.count + steps_total,
-                mu={"P": mP[:un], "Q": mQ, "h_gmf": mh},
-                nu={"P": vP[:un], "Q": vQ, "h_gmf": vh})
-            return ({"P": P[:un], "Q": Q, "h_gmf": h},
+                mu={"P": mP[new_idx], "Q": mQ, "h_gmf": mh},
+                nu={"P": vP[new_idx], "Q": vQ, "h_gmf": vh})
+            return ({"P": P[new_idx], "Q": Q, "h_gmf": h},
                     (new_st,) + tuple(opt_state[1:]),
                     loss_total / steps_total)
 
