@@ -727,34 +727,45 @@ def plan_fused(u_real: int, i_real: int, d: int, b: int,
     return None
 
 
+def grouped_blk(rows: int, i_real: int, d: int, b: int,
+                idx_planes: int = 3):
+    """Block size for ONE grouped launch, or None if no block fits.
+
+    XLA's scoped-vmem allocator pins the [rows, d] per-group slice
+    temporaries (dynamic-sliced inputs, kernel outputs, update copies)
+    next to the kernel, so the real budget is kernel footprint +
+    8*rows*d*4 against the 16MB scoped limit (15.5MB here for margin).
+    The multiplier is calibrated to measured compiles of the
+    scan-over-groups epoch: a rows=4096/blk=128 probe reported 16.86MB
+    scoped (= kernel 8.46MB + 8.0x rows*d*4) and OOM'd; ml-1m
+    (4, 1536, 128) and a 98k-user run compiled and ran.  The FULL
+    padded [G*rows, d] arrays are never pinned — an earlier per-buffer
+    charge wrongly blocked mid-size tables from the grouped path."""
+    limit = int(15.5 * 2 ** 20)
+    slices = 8 * 4 * d * rows
+    for blk in (256, 128):
+        if (vmem_footprint_bytes(rows, i_real, d, b, blk, idx_planes)
+                + slices < limit):
+            return blk
+    return None
+
+
 def plan_fused_grouped(u_real: int, i_real: int, d: int, b: int,
                        idx_planes: int = 3):
     """Plan for the GROUPED fused epoch (user-axis block-coordinate):
     when the full user table + moments overflow VMEM (plan_fused None),
-    split users into G equal id-range groups of ``group_rows`` each and
-    run one kernel launch per group with only that P-slice resident
-    (items + their moments stay fully resident, so Q must still fit).
-
-    The grouped epoch slices the FULL padded P/mP/vP around each kernel
-    launch.  When those [G*rows, d] buffers are SMALL enough, XLA's
-    scoped-vmem allocator keeps them resident next to the kernel inside
-    the epoch loop (measured at ml-1m scale: a 12.2MB kernel + 4.7MB of
-    S(1) outer buffers OOM'd the 16MB scoped limit) — so the plan
-    charges them against a measured 15.5MB ceiling.  A buffer larger
-    than VMEM itself can never be pinned, so the charge drops to zero
-    past 16MB per buffer (measured: 3x25MB outer buffers at 98k users
-    compiled fine and ran the grouped epoch at 2x the scan path —
-    benchmarks/GROUPED_SCALE.jsonl).
+    split users into G pair-mass-balanced groups of ``group_rows`` rows
+    each and run one kernel launch per group with only that P-slice
+    resident (items + their moments stay fully resident, so Q must
+    still fit — see ``grouped_blk`` for the per-launch VMEM model).
 
     Returns (n_groups, group_rows, blk) or None.  Callers should try
     plan_fused first — G=1 belongs to the ungrouped path."""
-    limit = int(15.5 * 2 ** 20)
-    for g in (2, 4, 8, 16, 32, 64, 128, 256):
+    # Program size is G-independent (the trainer scans over groups), so
+    # deep rungs only cost per-launch runtime overhead.
+    for g in (2, 4, 8, 16, 32, 64, 128, 256, 512, 1024):
         rows = _round_up(cdiv(u_real, g), 128)
-        buf = 4 * d * g * rows              # one sliced P/moment buffer
-        outer = 3 * buf if buf <= 16 * 2 ** 20 else 0
-        for blk in (256, 128):
-            if (vmem_footprint_bytes(rows, i_real, d, b, blk, idx_planes)
-                    + outer < limit):
-                return g, rows, blk
+        blk = grouped_blk(rows, i_real, d, b, idx_planes)
+        if blk is not None:
+            return g, rows, blk
     return None

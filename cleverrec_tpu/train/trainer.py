@@ -204,11 +204,12 @@ class Trainer:
         # tuning hook); 0 = auto (grouped only on VMEM overflow).
         force_g = self.cfg.int("train.fused_groups", 0)
         if force_g > 1 and proto in ("pairwise_bpr", "pointwise_bce"):
-            from cleverrec_tpu.ops.pallas_train import _round_up
+            from cleverrec_tpu.ops.pallas_train import (_round_up,
+                                                        grouped_blk)
             rows = _round_up(cdiv(self.dd.user_nums, force_g), 128)
-            blk = plan_fused(rows, self.dd.item_nums,
-                             self.model.embed_size, self.batch_size,
-                             idx_planes=planes)
+            blk = grouped_blk(rows, self.dd.item_nums,
+                              self.model.embed_size, self.batch_size,
+                              idx_planes=planes)
             if blk is None:
                 if self.logger:
                     self.logger.info(
@@ -408,15 +409,29 @@ class Trainer:
         old_of_new[new_of_old] = r
         self._grouped_perm = (new_of_old, old_of_new)
         # Row-permuted sampling tables: permuted user ids flow through
-        # the statics AND the negative draw unchanged.
+        # the statics AND the negative draw unchanged.  Only the planes
+        # the epoch sampler will actually read are materialized — the
+        # complement path never touches rows/bits, and duplicating a
+        # GB-class complement table on device would double its HBM cost.
         sn = self.dd.seen
         safe_old = np.where(old_of_new < un, old_of_new, 0)
-        seen_perm = sampling.MemberTable(
-            rows=np.asarray(sn.rows)[safe_old],
-            lens=np.asarray(sn.lens)[safe_old],
-            bits=None if sn.bits is None else np.asarray(sn.bits)[safe_old],
-            complement=(None if sn.complement is None
-                        else np.asarray(sn.complement)[safe_old]))
+        lens_perm = np.asarray(sn.lens)[safe_old]
+        if sn.complement is not None and "pop_cdf" not in self.arrays:
+            seen_perm = sampling.MemberTable(
+                rows=np.zeros((1, 1), np.int32), lens=lens_perm,
+                bits=None,
+                complement=np.asarray(sn.complement)[safe_old])
+            # The UNpermuted device complement is dead weight while the
+            # grouped path owns training; drop the reference so XLA can
+            # free it (eval reads the host-side dd.seen, not this).
+            self.arrays["seen"] = self.arrays["seen"]._replace(
+                complement=None)
+        else:
+            seen_perm = sampling.MemberTable(
+                rows=np.asarray(sn.rows)[safe_old], lens=lens_perm,
+                bits=(None if sn.bits is None
+                      else np.asarray(sn.bits)[safe_old]),
+                complement=None)
         self.arrays["grouped_seen"] = jax.tree_util.tree_map(
             jnp.asarray, seen_perm)
         pos_up = new_of_old[pos_u]
@@ -438,20 +453,23 @@ class Trainer:
         statics, n_sents = [], []
         for g in range(n_groups):
             sl = slice(bounds[g], bounds[g + 1])
-            statics.append(jax.tree_util.tree_map(
-                jnp.asarray, static_fn(
-                    pos_up[sl], pos_i[sl], seen_perm.lens, item_nums,
-                    padded, neg_ratio)))
+            statics.append(static_fn(
+                pos_up[sl], pos_i[sl], seen_perm.lens, item_nums,
+                padded, neg_ratio))
             n_sents.append(padded - (bounds[g + 1] - bounds[g])
                            * rows_per_pair)
-        self.arrays["grouped_static"] = tuple(statics)
+        # Stacked [G, ...] statics: the epoch runs groups under ONE
+        # lax.scan body, so program size is independent of G (a Python
+        # loop emitted G kernel+sampling subgraphs — a problem at the
+        # planner's larger G rungs).
+        self.arrays["grouped_static"] = jax.tree_util.tree_map(
+            lambda *xs: jnp.stack([jnp.asarray(x) for x in xs]), *statics)
+        n_sents_arr = jnp.asarray(n_sents, jnp.float32)
         u_pad, i_pad = sentinel_dims(group_rows, item_nums)
         blk = min(plan_blk, max(b, 8))
         interpret = jax.default_backend() != "tpu"
         lr, reg = self.cfg.lr, self.model.reg
-        steps_g = [steps_eq] * n_groups
-        step_off = np.concatenate([[0], np.cumsum(steps_g)])
-        steps_total = int(step_off[-1])
+        steps_total = n_groups * steps_eq
         old_idx = jnp.asarray(old_of_new, jnp.int32)    # un == pad row
         new_idx = jnp.asarray(new_of_old, jnp.int32)
 
@@ -465,31 +483,39 @@ class Trainer:
                                           adam_st.nu["P"]))
             Q, mQ, vQ = params["Q"], adam_st.mu["Q"], adam_st.nu["Q"]
             gkeys = jax.random.split(key, n_groups)
-            loss_total = 0.0
-            for g in range(n_groups):
-                pkey, _ = jax.random.split(gkeys[g])
+
+            def group_body(carry, xs):
+                P, mP, vP, Q, mQ, vQ, loss_total = carry
+                g, gkey, static_g, nsent = xs
+                pkey, _ = jax.random.split(gkey)
                 batch = sampling.pairwise_epoch_tensors(
-                    pkey, arrays["grouped_static"][g], arrays["grouped_seen"],
-                    item_nums, steps_g[g], b,
+                    pkey, static_g, arrays["grouped_seen"],
+                    item_nums, steps_eq, b,
                     pop_cdf=arrays.get("pop_cdf"))
                 inval = batch["w"] == 0.0
+                g0 = g * group_rows
                 u = jnp.where(inval, u_pad - 1,
-                              batch["u"] - g * group_rows).astype(jnp.int32)
+                              batch["u"] - g0).astype(jnp.int32)
                 i = jnp.where(inval, i_pad - 1,
                               batch["i"]).astype(jnp.int32)
                 j = jnp.where(inval, i_pad - 1,
                               batch["j"]).astype(jnp.int32)
-                g0 = g * group_rows
-                slc = lambda a: jax.lax.slice(  # noqa: E731
-                    a, (g0, 0), (g0 + group_rows, d))
+                slc = lambda a: jax.lax.dynamic_slice(  # noqa: E731
+                    a, (g0, 0), (group_rows, d))
                 p_g, Q, mp_g, vp_g, mQ, vQ, loss = fused_bpr_epoch(
                     slc(P), Q, slc(mP), slc(vP), mQ, vQ, u, i, j,
-                    adam_st.count + int(step_off[g]),
+                    adam_st.count + g * steps_eq,
                     lr=lr, reg=reg, blk=blk, interpret=interpret)
                 P = jax.lax.dynamic_update_slice(P, p_g, (g0, 0))
                 mP = jax.lax.dynamic_update_slice(mP, mp_g, (g0, 0))
                 vP = jax.lax.dynamic_update_slice(vP, vp_g, (g0, 0))
-                loss_total = loss_total + loss - n_sents[g] * LOG2
+                return (P, mP, vP, Q, mQ, vQ,
+                        loss_total + loss - nsent * LOG2), None
+
+            (P, mP, vP, Q, mQ, vQ, loss_total), _ = jax.lax.scan(
+                group_body, (P, mP, vP, Q, mQ, vQ, 0.0),
+                (jnp.arange(n_groups, dtype=jnp.int32), gkeys,
+                 arrays["grouped_static"], n_sents_arr))
             new_st = adam_st._replace(
                 count=adam_st.count + steps_total,
                 mu={"P": mP[new_idx], "Q": mQ},
@@ -510,32 +536,40 @@ class Trainer:
             h, mh, vh = (params["h_gmf"], adam_st.mu["h_gmf"],
                          adam_st.nu["h_gmf"])
             gkeys = jax.random.split(key, n_groups)
-            loss_total = 0.0
-            for g in range(n_groups):
-                pkey, _ = jax.random.split(gkeys[g])
+
+            def group_body(carry, xs):
+                P, mP, vP, Q, mQ, vQ, h, mh, vh, loss_total = carry
+                g, gkey, static_g, nsent = xs
+                pkey, _ = jax.random.split(gkey)
                 batch = sampling.pointwise_epoch_tensors(
-                    pkey, arrays["grouped_static"][g], arrays["grouped_seen"],
-                    item_nums, steps_g[g], b,
+                    pkey, static_g, arrays["grouped_seen"],
+                    item_nums, steps_eq, b,
                     pop_cdf=arrays.get("pop_cdf"))
                 inval = batch["w"] == 0.0
                 z = jnp.where(batch["y"] > 0, 1, -1)
+                g0 = g * group_rows
                 uz = jnp.where(
                     inval, u_pad,
-                    (batch["u"] - g * group_rows + 1) * z).astype(jnp.int32)
+                    (batch["u"] - g0 + 1) * z).astype(jnp.int32)
                 i = jnp.where(inval, i_pad - 1,
                               batch["i"]).astype(jnp.int32)
-                g0 = g * group_rows
-                slc = lambda a: jax.lax.slice(  # noqa: E731
-                    a, (g0, 0), (g0 + group_rows, d))
+                slc = lambda a: jax.lax.dynamic_slice(  # noqa: E731
+                    a, (g0, 0), (group_rows, d))
                 (p_g, Q, h, mp_g, vp_g, mQ, vQ, mh, vh,
                  loss) = fused_gmf_epoch(
                     slc(P), Q, h, slc(mP), slc(vP), mQ, vQ, mh, vh,
-                    uz, i, adam_st.count + int(step_off[g]),
+                    uz, i, adam_st.count + g * steps_eq,
                     lr=lr, reg=reg, blk=blk, interpret=interpret)
                 P = jax.lax.dynamic_update_slice(P, p_g, (g0, 0))
                 mP = jax.lax.dynamic_update_slice(mP, mp_g, (g0, 0))
                 vP = jax.lax.dynamic_update_slice(vP, vp_g, (g0, 0))
-                loss_total = loss_total + loss - n_sents[g] * LOG2
+                return (P, mP, vP, Q, mQ, vQ, h, mh, vh,
+                        loss_total + loss - nsent * LOG2), None
+
+            (P, mP, vP, Q, mQ, vQ, h, mh, vh, loss_total), _ = jax.lax.scan(
+                group_body, (P, mP, vP, Q, mQ, vQ, h, mh, vh, 0.0),
+                (jnp.arange(n_groups, dtype=jnp.int32), gkeys,
+                 arrays["grouped_static"], n_sents_arr))
             new_st = adam_st._replace(
                 count=adam_st.count + steps_total,
                 mu={"P": mP[new_idx], "Q": mQ, "h_gmf": mh},

@@ -392,8 +392,8 @@ def test_grouped_trainer_matches_blockwise_adam_oracle(tmp_path):
     # -- oracle ----------------------------------------------------------
     lr, reg = cfg.lr, model.reg
     b = cfg.batch_size
-    statics = tr.arrays["grouped_static"]
-    steps_list = [s["ord_u"].shape[0] // b for s in statics]
+    statics = tr.arrays["grouped_static"]     # stacked [G, ...] planes
+    steps_list = [statics["ord_u"].shape[1] // b] * G
     step_off = [sum(steps_list[:g]) for g in range(G)]
     item_nums = data.item_nums
     d = model.embed_size
@@ -418,7 +418,8 @@ def test_grouped_trainer_matches_blockwise_adam_oracle(tmp_path):
     for g in range(G):
         pkey, _ = jax.random.split(gkeys[g])
         batch = jax.tree_util.tree_map(np.asarray, sampling.pairwise_epoch_tensors(
-            pkey, statics[g], tr.arrays["grouped_seen"], item_nums, steps_list[g], b))
+            pkey, {k: v[g] for k, v in statics.items()},
+            tr.arrays["grouped_seen"], item_nums, steps_list[g], b))
         g0 = g * rows
         sub = {"P": jnp.asarray(P[g0:g0 + rows]), "Q": jnp.asarray(Q)}
         st = (_optax.ScaleByAdamState(
@@ -478,8 +479,13 @@ def test_grouped_gmf_trainer_matches_blockwise_adam_oracle(tmp_path):
     make_toy_interactions(ds / "ratings.csv", n_users=300, n_items=60,
                           n_rows=4000, seed=2)
     toy = {"root": str(tmp_path), "name": "bigp"}
+    # lr=0.001: at lr=0.01 f32 reduction-order noise amplifies through
+    # the h-product chain + Adam sqrt(v) to ~6e-4 drift (measured to
+    # scale superlinearly down to ~5e-7 at lr=1e-3), which would force
+    # a loose tolerance; the small lr keeps this an EXACT pin on the
+    # permutation/sign-encoding logic.
     ov = {"epoches": "1", "batch_size": "64", "embed_size": "8",
-          "lr": "0.01", "neg_ratio": "2", "is_pairwise": "False",
+          "lr": "0.001", "neg_ratio": "2", "is_pairwise": "False",
           "loss_func": "cross_entropy", "reg": "0.01", "stddev": "0.1",
           "recommender": "GMF", "train.fused_kernel": "True",
           "train.fused_groups": "2"}
@@ -496,8 +502,8 @@ def test_grouped_gmf_trainer_matches_blockwise_adam_oracle(tmp_path):
 
     lr, reg = cfg.lr, model.reg
     b = cfg.batch_size
-    statics = tr.arrays["grouped_static"]
-    steps_list = [s["ord_u"].shape[0] // b for s in statics]
+    statics = tr.arrays["grouped_static"]     # stacked [G, ...] planes
+    steps_list = [statics["ord_u"].shape[1] // b] * G
     step_off = [sum(steps_list[:g]) for g in range(G)]
     item_nums = data.item_nums
     new_of_old, old_of_new = tr._grouped_perm
@@ -523,7 +529,8 @@ def test_grouped_gmf_trainer_matches_blockwise_adam_oracle(tmp_path):
     for g in range(G):
         pkey, _ = jax.random.split(gkeys[g])
         batch = jax.tree_util.tree_map(np.asarray, sampling.pointwise_epoch_tensors(
-            pkey, statics[g], tr.arrays["grouped_seen"], item_nums, steps_list[g], b))
+            pkey, {k: v[g] for k, v in statics.items()},
+            tr.arrays["grouped_seen"], item_nums, steps_list[g], b))
         g0 = g * rows
         sub = {"P": jnp.asarray(P[g0:g0 + rows]), "Q": jnp.asarray(Q),
                "h_gmf": jnp.asarray(h)}
@@ -552,12 +559,8 @@ def test_grouped_gmf_trainer_matches_blockwise_adam_oracle(tmp_path):
         mh, vh = np.asarray(st[0].mu["h_gmf"]), np.asarray(st[0].nu["h_gmf"])
 
     assert float(loss1) == pytest.approx(total / sum(steps_list), rel=1e-4)
-    # f32 reduction-order noise amplifies through the h-product chain +
-    # Adam sqrt(v) denominators at this lr/stddev: measured drift is
-    # ~6e-4 at lr=0.01 and ~5e-7 at lr=0.001 (superlinear in lr =>
-    # noise, not an indexing bug; the loss matches to ~3e-9 rel).
     np.testing.assert_allclose(p1["P"], P[new_of_old],
-                               rtol=2e-3, atol=1e-3)
-    np.testing.assert_allclose(p1["Q"], Q, rtol=2e-3, atol=1e-3)
-    np.testing.assert_allclose(p1["h_gmf"], h, rtol=2e-3, atol=1e-3)
+                               rtol=2e-4, atol=2e-6)
+    np.testing.assert_allclose(p1["Q"], Q, rtol=2e-4, atol=2e-6)
+    np.testing.assert_allclose(p1["h_gmf"], h, rtol=2e-4, atol=2e-6)
     assert int(o1[0].count) == sum(steps_list)
