@@ -111,9 +111,16 @@ def main():
         np.asarray(a)
         return time.time() - t0
 
+    # Long chains: each eval is ~1ms, so a 10-call difference sits inside
+    # the tunnel's dispatch jitter — 2-vs-62 with retries keeps the
+    # measured difference well above the noise floor.
     run_evals(1)
-    t2, t12 = run_evals(2), run_evals(12)
-    eval_per = max((t12 - t2) / 10, 1e-9)
+    for _ in range(3):
+        t2, t62 = run_evals(2), run_evals(62)
+        if t62 > t2:
+            break
+    eval_per = ((t62 - t2) / 60 if t62 > t2
+                else max(t62 / 62, 1e-9))
     eval_users_per_s = len(trainer.dd.test_users) / eval_per
 
     # Roofline accounting for the fused epoch (one-hot matmul form):

@@ -383,7 +383,13 @@ class Trainer:
         optax.adam on the user axis; tests/test_fused_train.py pins the
         exact grouped semantics against a manual per-group Adam oracle,
         and the ml-1m benchmark records metric parity with the scan
-        path."""
+        path.
+
+        The cml_hinge protocol is deliberately NOT grouped: its dense
+        per-step covariance regularizer (CML.py:63-70) is defined over
+        the FULL user+item embedding matrix, which a per-group kernel
+        could only approximate groupwise — VMEM-overflow CML catalogs
+        take the scan path instead."""
         from cleverrec_tpu.ops.pallas_train import (LOG2, fused_bpr_epoch,
                                                     fused_gmf_epoch,
                                                     sentinel_dims)
