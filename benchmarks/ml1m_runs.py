@@ -55,8 +55,10 @@ def ensure_data():
     return path
 
 
-def base_cfg(name, epochs, neg):
-    ov = MODEL_OVERRIDES.get(name, MODEL_OVERRIDES["BPR"])
+def base_cfg(name, epochs, neg, embed=None):
+    ov = dict(MODEL_OVERRIDES.get(name, MODEL_OVERRIDES["BPR"]))
+    if embed:
+        ov["embed_size"] = str(embed)
     return Config({
         "recommender": name if name != "tf1" else "BPR",
         "model_type": "ranking",
@@ -78,7 +80,7 @@ def record(rec):
     print(json.dumps(rec, indent=2))
 
 
-def run_ours(name, epochs, neg):
+def run_ours(name, epochs, neg, embed=None):
     enable_compilation_cache()
     from cleverrec_tpu.data import load_ranking_data
     from cleverrec_tpu.models import make_model
@@ -87,7 +89,7 @@ def run_ours(name, epochs, neg):
     import logging
     logging.basicConfig(level=logging.INFO, stream=sys.stdout,
                         format="%(message)s")
-    cfg = base_cfg(name, epochs, neg)
+    cfg = base_cfg(name, epochs, neg, embed)
     data = load_ranking_data(cfg)
     model = make_model(cfg, DataMeta(data.user_nums, data.item_nums))
     tr = Trainer(model, data, cfg, logger=logging.getLogger("ml1m"))
@@ -106,6 +108,7 @@ def run_ours(name, epochs, neg):
     record({
         "arm": "tpu", "model": name, "dataset": "ml-1m-recon",
         "epochs": epochs, "neg_samples": neg,
+        "embed_size": cfg.int("embed_size"),
         "best_epoch": best["epoch"],
         "metrics": {str(k): list(v) for k, v in best["metrics"].items()},
         "wall_s": round(wall, 1),
@@ -142,10 +145,11 @@ def main():
     name = sys.argv[1]
     epochs = int(sys.argv[2]) if len(sys.argv) > 2 else 30
     neg = int(sys.argv[3]) if len(sys.argv) > 3 else 1000
+    embed = int(sys.argv[4]) if len(sys.argv) > 4 else None
     if name == "tf1":
         run_tf1(epochs, neg)
     else:
-        run_ours(name, epochs, neg)
+        run_ours(name, epochs, neg, embed)
 
 
 if __name__ == "__main__":

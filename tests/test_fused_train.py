@@ -564,3 +564,36 @@ def test_grouped_gmf_trainer_matches_blockwise_adam_oracle(tmp_path):
     np.testing.assert_allclose(p1["Q"], Q, rtol=2e-4, atol=2e-6)
     np.testing.assert_allclose(p1["h_gmf"], h, rtol=2e-4, atol=2e-6)
     assert int(o1[0].count) == sum(steps_list)
+
+
+def test_grouped_trainer_end_to_end_blocks(tmp_path):
+    """Grouped path under the production surfaces: multi-epoch device
+    blocks, evaluation, and the Adam step counter across blocks."""
+    from tests.conftest import make_toy_interactions
+
+    ds = tmp_path / "bige"
+    ds.mkdir()
+    make_toy_interactions(ds / "ratings.csv", n_users=300, n_items=60,
+                          n_rows=4000, seed=3)
+    toy = {"root": str(tmp_path), "name": "bige"}
+    ov = {"epoches": "4", "batch_size": "64", "embed_size": "8",
+          "lr": "0.05", "neg_ratio": "2", "is_pairwise": "True",
+          "loss_func": "bpr", "reg": "0.01", "stddev": "0.1",
+          "recommender": "BPR", "train.fused_kernel": "True",
+          "train.fused_groups": "2"}
+    cfg = base_config(toy, **ov)
+    data = load_ranking_data(cfg)
+    model = make_model(cfg, DataMeta(data.user_nums, data.item_nums))
+    tr = Trainer(model, data, cfg)
+    assert tr._fused_grouped_plan is not None
+    G, rows, _ = tr._fused_grouped_plan
+    steps_total = G * (tr.arrays["grouped_static"]["ord_u"].shape[1]
+                       // cfg.batch_size)
+    params, opt = tr.init_state()
+    params, opt, losses = tr.train_epochs(params, opt, 3)
+    assert len(losses) == 3
+    assert losses[-1] < losses[0]
+    assert int(opt[0].count) == 3 * steps_total
+    res = tr.evaluate(params)
+    for k, (hr, mrr, ndcg) in res.items():
+        assert 0.0 <= hr <= 1.0 and np.isfinite(ndcg)
