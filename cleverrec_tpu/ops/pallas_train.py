@@ -53,13 +53,54 @@ def _round_up(x: int, m: int) -> int:
     return ((x + m - 1) // m) * m
 
 
+def _onehot_t(ids_row, n_rows: int, blk: int):
+    """[n_rows, blk] transposed one-hot of a lane-oriented id row."""
+    iota = jax.lax.broadcasted_iota(jnp.int32, (n_rows, blk), 0)
+    return (iota == jnp.broadcast_to(ids_row, (n_rows, blk))).astype(
+        jnp.float32)
+
+
+def _mxu_gather(oh_t, table_ref):
+    """rows = onehotT^T @ table as an MXU dot (contracting dim 0)."""
+    return jax.lax.dot_general(
+        oh_t, table_ref[...], (((0,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32)
+
+
+def _load_resident(pairs, sem):
+    """Start-then-wait async copies of the HBM state into the resident
+    VMEM output buffers (issued once, at grid step 0)."""
+    from jax.experimental.pallas import tpu as pltpu
+    for k, (src, dst) in enumerate(pairs):
+        pltpu.make_async_copy(src, dst, sem.at[k]).start()
+    for k, (src, dst) in enumerate(pairs):
+        pltpu.make_async_copy(src, dst, sem.at[k]).wait()
+
+
+def _adam_step(t0_ref, s, b1: float, b2: float):
+    """Bias-correction scalars for Adam step t0 + s + 1."""
+    t = (t0_ref[0] + s + 1).astype(jnp.float32)
+    return (1.0 - jnp.exp(t * math.log(b1)),
+            1.0 - jnp.exp(t * math.log(b2)))
+
+
+def _adam_apply(p_r, m_r, v_r, g, bc1, bc2, *, lr: float, b1: float,
+                b2: float, eps: float):
+    """Dense in-place Adam over one resident table."""
+    m = b1 * m_r[...] + (1.0 - b1) * g
+    v = b2 * v_r[...] + (1.0 - b2) * (g * g)
+    m_r[...] = m
+    v_r[...] = v
+    p_r[...] -= lr * (m / bc1) / (jnp.sqrt(v / bc2) + eps)
+
+
+
 def _epoch_kernel(t0_ref, u_ref, i_ref, j_ref,
                   hbm_p, hbm_q, hbm_mp, hbm_vp, hbm_mq, hbm_vq,
                   p_ref, q_ref, mp_ref, vp_ref, mq_ref, vq_ref, loss_ref,
-                  dp_ref, dq_ref, acc_ref, sem,
+                  dp_ref, dq_ref, sem,
                   *, steps: int, blk: int, lr: float, reg: float,
                   b1: float, b2: float, eps: float):
-    from jax.experimental.pallas import tpu as pltpu
     import jax.experimental.pallas as pl
 
     s = pl.program_id(0)
@@ -69,28 +110,15 @@ def _epoch_kernel(t0_ref, u_ref, i_ref, j_ref,
 
     @pl.when(s == 0)
     def _load_state():
-        pairs = ((hbm_p, p_ref), (hbm_q, q_ref), (hbm_mp, mp_ref),
-                 (hbm_vp, vp_ref), (hbm_mq, mq_ref), (hbm_vq, vq_ref))
-        for k, (src, dst) in enumerate(pairs):
-            pltpu.make_async_copy(src, dst, sem.at[k]).start()
-        for k, (src, dst) in enumerate(pairs):
-            pltpu.make_async_copy(src, dst, sem.at[k]).wait()
-        acc_ref[0, 0] = 0.0
+        _load_resident(((hbm_p, p_ref), (hbm_q, q_ref), (hbm_mp, mp_ref),
+                        (hbm_vp, vp_ref), (hbm_mq, mq_ref),
+                        (hbm_vq, vq_ref)), sem)
 
     # -- batch pass: grads into dp/dq scratch ---------------------------
     dp_ref[...] = jnp.zeros_like(dp_ref)
     dq_ref[...] = jnp.zeros_like(dq_ref)
-
-    def onehot_t(ids_row, n_rows):
-        """[n_rows, blk] transposed one-hot of a lane-oriented id row."""
-        iota = jax.lax.broadcasted_iota(jnp.int32, (n_rows, blk), 0)
-        return (iota == jnp.broadcast_to(ids_row, (n_rows, blk))).astype(
-            jnp.float32)
-
-    def gather(oh_t, table_ref):
-        return jax.lax.dot_general(
-            oh_t, table_ref[...], (((0,), (0,)), ((), ())),
-            preferred_element_type=jnp.float32)
+    onehot_t = lambda ids_row, n_rows: _onehot_t(ids_row, n_rows, blk)  # noqa: E731
+    gather = _mxu_gather
 
     def block(kb, loss):
         # One id row per block: DYNAMIC index only in the sublane dim —
@@ -119,28 +147,17 @@ def _epoch_kernel(t0_ref, u_ref, i_ref, j_ref,
                                   preferred_element_type=jnp.float32))
         return loss
 
-    loss = jax.lax.fori_loop(0, n_rb, block, 0.0)
-    acc_ref[0, 0] += loss
+    # Per-step loss vector (summed by the wrapper as an XLA tree
+    # reduction — a single running f32 cell loses ~4 digits on long
+    # epochs).
+    loss_ref[s] = jax.lax.fori_loop(0, n_rb, block, 0.0)
 
     # -- dense Adam over the resident tables ----------------------------
-    t = (t0_ref[0] + s + 1).astype(jnp.float32)
-    bc1 = 1.0 - jnp.exp(t * math.log(b1))
-    bc2 = 1.0 - jnp.exp(t * math.log(b2))
-
-    def adam(p_r, m_r, v_r, g_r):
-        g = g_r[...]
-        m = b1 * m_r[...] + (1.0 - b1) * g
-        v = b2 * v_r[...] + (1.0 - b2) * (g * g)
-        m_r[...] = m
-        v_r[...] = v
-        p_r[...] -= lr * (m / bc1) / (jnp.sqrt(v / bc2) + eps)
-
-    adam(p_ref, mp_ref, vp_ref, dp_ref)
-    adam(q_ref, mq_ref, vq_ref, dq_ref)
-
-    @pl.when(s == steps - 1)
-    def _store_loss():
-        loss_ref[0] = acc_ref[0, 0]
+    bc1, bc2 = _adam_step(t0_ref, s, b1, b2)
+    _adam_apply(p_ref, mp_ref, vp_ref, dp_ref[...], bc1, bc2,
+                lr=lr, b1=b1, b2=b2, eps=eps)
+    _adam_apply(q_ref, mq_ref, vq_ref, dq_ref[...], bc1, bc2,
+                lr=lr, b1=b1, b2=b2, eps=eps)
 
 
 @functools.partial(jax.jit, static_argnames=(
@@ -216,12 +233,11 @@ def fused_bpr_epoch(p, q, mp, vp, mq, vq, u_idx, i_idx, j_idx, t0,
             jax.ShapeDtypeStruct((u_pad, d), jnp.float32),
             jax.ShapeDtypeStruct((i_pad, d), jnp.float32),
             jax.ShapeDtypeStruct((i_pad, d), jnp.float32),
-            jax.ShapeDtypeStruct((1,), jnp.float32),
+            jax.ShapeDtypeStruct((steps,), jnp.float32),
         ),
         scratch_shapes=[
             pltpu.VMEM((u_pad, d), jnp.float32),        # dP
             pltpu.VMEM((i_pad, d), jnp.float32),        # dQ
-            pltpu.SMEM((1, 1), jnp.float32),            # loss accumulator
             pltpu.SemaphoreType.DMA((6,)),
         ],
         interpret=interpret,
@@ -229,7 +245,8 @@ def fused_bpr_epoch(p, q, mp, vp, mq, vq, u_idx, i_idx, j_idx, t0,
       p, q, mp, vp, mq, vq)
     p_o, q_o, mp_o, vp_o, mq_o, vq_o, loss = outs
     return (p_o[:u_real], q_o[:i_real], mp_o[:u_real], vp_o[:u_real],
-            mq_o[:i_real], vq_o[:i_real], loss[0] - steps * padb * LOG2)
+            mq_o[:i_real], vq_o[:i_real],
+            jnp.sum(loss) - steps * padb * LOG2)
 
 
 def _pw_kernel(t0_ref, uz_ref, i_ref,
@@ -237,7 +254,7 @@ def _pw_kernel(t0_ref, uz_ref, i_ref,
                hbm_mh, hbm_vh,
                p_ref, q_ref, h_ref, mp_ref, vp_ref, mq_ref, vq_ref,
                mh_ref, vh_ref, loss_ref,
-               dp_ref, dq_ref, acc_ref, sem,
+               dp_ref, dq_ref, sem,
                *, steps: int, blk: int, lr: float, reg: float,
                b1: float, b2: float, eps: float):
     """Pointwise sigmoid-cross-entropy epoch (GMF-family) kernel body.
@@ -250,7 +267,6 @@ def _pw_kernel(t0_ref, uz_ref, i_ref,
     gradients for P, Q and the output weight h — no [blk, 1] label
     column, no cross-lane transpose.
     """
-    from jax.experimental.pallas import tpu as pltpu
     import jax.experimental.pallas as pl
 
     s = pl.program_id(0)
@@ -260,27 +276,15 @@ def _pw_kernel(t0_ref, uz_ref, i_ref,
 
     @pl.when(s == 0)
     def _load_state():
-        pairs = ((hbm_p, p_ref), (hbm_q, q_ref), (hbm_h, h_ref),
-                 (hbm_mp, mp_ref), (hbm_vp, vp_ref), (hbm_mq, mq_ref),
-                 (hbm_vq, vq_ref), (hbm_mh, mh_ref), (hbm_vh, vh_ref))
-        for k, (src, dst) in enumerate(pairs):
-            pltpu.make_async_copy(src, dst, sem.at[k]).start()
-        for k, (src, dst) in enumerate(pairs):
-            pltpu.make_async_copy(src, dst, sem.at[k]).wait()
-        acc_ref[0, 0] = 0.0
+        _load_resident(((hbm_p, p_ref), (hbm_q, q_ref), (hbm_h, h_ref),
+                        (hbm_mp, mp_ref), (hbm_vp, vp_ref),
+                        (hbm_mq, mq_ref), (hbm_vq, vq_ref),
+                        (hbm_mh, mh_ref), (hbm_vh, vh_ref)), sem)
 
     dp_ref[...] = jnp.zeros_like(dp_ref)
     dq_ref[...] = jnp.zeros_like(dq_ref)
-
-    def onehot_t(ids_row, n_rows):
-        iota = jax.lax.broadcasted_iota(jnp.int32, (n_rows, blk), 0)
-        return (iota == jnp.broadcast_to(ids_row, (n_rows, blk))).astype(
-            jnp.float32)
-
-    def gather(oh_t, table_ref):
-        return jax.lax.dot_general(
-            oh_t, table_ref[...], (((0,), (0,)), ((), ())),
-            preferred_element_type=jnp.float32)
+    onehot_t = lambda ids_row, n_rows: _onehot_t(ids_row, n_rows, blk)  # noqa: E731
+    gather = _mxu_gather
 
     h_row = h_ref[0:1, :]                               # [1, d]
 
@@ -309,29 +313,17 @@ def _pw_kernel(t0_ref, uz_ref, i_ref,
 
     loss, dh = jax.lax.fori_loop(
         0, n_rb, block, (0.0, jnp.zeros((1, d), jnp.float32)))
-    acc_ref[0, 0] += loss
+    loss_ref[s] = loss                  # per-step; wrapper tree-sums
 
-    t = (t0_ref[0] + s + 1).astype(jnp.float32)
-    bc1 = 1.0 - jnp.exp(t * math.log(b1))
-    bc2 = 1.0 - jnp.exp(t * math.log(b2))
-
-    def adam(p_r, m_r, v_r, g):
-        m = b1 * m_r[...] + (1.0 - b1) * g
-        v = b2 * v_r[...] + (1.0 - b2) * (g * g)
-        m_r[...] = m
-        v_r[...] = v
-        p_r[...] -= lr * (m / bc1) / (jnp.sqrt(v / bc2) + eps)
-
-    adam(p_ref, mp_ref, vp_ref, dp_ref[...])
-    adam(q_ref, mq_ref, vq_ref, dq_ref[...])
+    bc1, bc2 = _adam_step(t0_ref, s, b1, b2)
+    ad = functools.partial(_adam_apply, bc1=bc1, bc2=bc2,
+                           lr=lr, b1=b1, b2=b2, eps=eps)
+    ad(p_ref, mp_ref, vp_ref, dp_ref[...])
+    ad(q_ref, mq_ref, vq_ref, dq_ref[...])
     # h's grad row 0 padded to the [8, d] tile; rows 1-7 stay identically
     # zero under dense Adam (zero m, v and grad).
     sub = jax.lax.broadcasted_iota(jnp.int32, (8, d), 0)
-    adam(h_ref, mh_ref, vh_ref, jnp.where(sub == 0, dh, 0.0))
-
-    @pl.when(s == steps - 1)
-    def _store_loss():
-        loss_ref[0] = acc_ref[0, 0]
+    ad(h_ref, mh_ref, vh_ref, jnp.where(sub == 0, dh, 0.0))
 
 
 @functools.partial(jax.jit, static_argnames=(
@@ -406,12 +398,11 @@ def fused_gmf_epoch(p, q, h, mp, vp, mq, vq, mh, vh, uz_idx, i_idx, t0,
             jax.ShapeDtypeStruct((i_pad, d), jnp.float32),
             jax.ShapeDtypeStruct((8, d), jnp.float32),
             jax.ShapeDtypeStruct((8, d), jnp.float32),
-            jax.ShapeDtypeStruct((1,), jnp.float32),
+            jax.ShapeDtypeStruct((steps,), jnp.float32),
         ),
         scratch_shapes=[
             pltpu.VMEM((u_pad, d), jnp.float32),        # dP
             pltpu.VMEM((i_pad, d), jnp.float32),        # dQ
-            pltpu.SMEM((1, 1), jnp.float32),            # loss accumulator
             pltpu.SemaphoreType.DMA((9,)),
         ],
         interpret=interpret,
@@ -420,13 +411,13 @@ def fused_gmf_epoch(p, q, h, mp, vp, mq, vq, mh, vh, uz_idx, i_idx, t0,
     (p_o, q_o, h_o, mp_o, vp_o, mq_o, vq_o, mh_o, vh_o, loss) = outs
     return (p_o[:u_real], q_o[:i_real], h_o[0],
             mp_o[:u_real], vp_o[:u_real], mq_o[:i_real], vq_o[:i_real],
-            mh_o[0], vh_o[0], loss[0] - steps * padb * LOG2)
+            mh_o[0], vh_o[0], jnp.sum(loss) - steps * padb * LOG2)
 
 
 def _cml_kernel(t0_ref, u_ref, i_ref, n_ref,
                 hbm_p, hbm_q, hbm_mp, hbm_vp, hbm_mq, hbm_vq,
                 p_ref, q_ref, mp_ref, vp_ref, mq_ref, vq_ref, loss_ref,
-                dp_ref, dq_ref, acc_ref, sem,
+                dp_ref, dq_ref, sem,
                 *, steps: int, blk: int, K: int, lr: float, reg: float,
                 margin: float, item_nums: int, u_real: int, i_real: int,
                 b1: float, b2: float, eps: float):
@@ -450,7 +441,6 @@ def _cml_kernel(t0_ref, u_ref, i_ref, n_ref,
     Sentinel rows cost margin*log(item_nums/K + 1) each in the loss sum
     (all-zero embeddings -> slack = margin, all K imposters) and are
     subtracted statically by the caller."""
-    from jax.experimental.pallas import tpu as pltpu
     import jax.experimental.pallas as pl
 
     s = pl.program_id(0)
@@ -461,26 +451,14 @@ def _cml_kernel(t0_ref, u_ref, i_ref, n_ref,
 
     @pl.when(s == 0)
     def _load_state():
-        pairs = ((hbm_p, p_ref), (hbm_q, q_ref), (hbm_mp, mp_ref),
-                 (hbm_vp, vp_ref), (hbm_mq, mq_ref), (hbm_vq, vq_ref))
-        for k, (src, dst) in enumerate(pairs):
-            pltpu.make_async_copy(src, dst, sem.at[k]).start()
-        for k, (src, dst) in enumerate(pairs):
-            pltpu.make_async_copy(src, dst, sem.at[k]).wait()
-        acc_ref[0, 0] = 0.0
+        _load_resident(((hbm_p, p_ref), (hbm_q, q_ref), (hbm_mp, mp_ref),
+                        (hbm_vp, vp_ref), (hbm_mq, mq_ref),
+                        (hbm_vq, vq_ref)), sem)
 
     dp_ref[...] = jnp.zeros_like(dp_ref)
     dq_ref[...] = jnp.zeros_like(dq_ref)
-
-    def onehot_t(ids_row, n_r):
-        iota = jax.lax.broadcasted_iota(jnp.int32, (n_r, blk), 0)
-        return (iota == jnp.broadcast_to(ids_row, (n_r, blk))).astype(
-            jnp.float32)
-
-    def gather(oh_t, table_ref):
-        return jax.lax.dot_general(
-            oh_t, table_ref[...], (((0,), (0,)), ((), ())),
-            preferred_element_type=jnp.float32)
+    onehot_t = lambda ids_row, n_r: _onehot_t(ids_row, n_r, blk)  # noqa: E731
+    gather = _mxu_gather
 
     def block(kb, loss):
         row = pl.ds(kb, 1)              # dynamic sublane, static lanes
@@ -552,28 +530,16 @@ def _cml_kernel(t0_ref, u_ref, i_ref, n_ref,
     loss = loss + reg * ((jnp.sum(s_p * s_p) + jnp.sum(s_q * s_q))
                          - (jnp.sum(xc_p * xc_p)
                             + jnp.sum(xc_q * xc_q))) / n_rows
-    acc_ref[0, 0] += loss
+    loss_ref[s] = loss                  # per-step; wrapper tree-sums
     g_cov = 2.0 * reg / n_rows
     g_p = dp_ref[...] + g_cov * (s_p - xc_p) * mask_p
     g_q = dq_ref[...] + g_cov * (s_q - xc_q) * mask_q
 
-    t = (t0_ref[0] + s + 1).astype(jnp.float32)
-    bc1 = 1.0 - jnp.exp(t * math.log(b1))
-    bc2 = 1.0 - jnp.exp(t * math.log(b2))
-
-    def adam(p_r, m_r, v_r, g):
-        m = b1 * m_r[...] + (1.0 - b1) * g
-        v = b2 * v_r[...] + (1.0 - b2) * (g * g)
-        m_r[...] = m
-        v_r[...] = v
-        p_r[...] -= lr * (m / bc1) / (jnp.sqrt(v / bc2) + eps)
-
-    adam(p_ref, mp_ref, vp_ref, g_p)
-    adam(q_ref, mq_ref, vq_ref, g_q)
-
-    @pl.when(s == steps - 1)
-    def _store_loss():
-        loss_ref[0] = acc_ref[0, 0]
+    bc1, bc2 = _adam_step(t0_ref, s, b1, b2)
+    _adam_apply(p_ref, mp_ref, vp_ref, g_p, bc1, bc2,
+                lr=lr, b1=b1, b2=b2, eps=eps)
+    _adam_apply(q_ref, mq_ref, vq_ref, g_q, bc1, bc2,
+                lr=lr, b1=b1, b2=b2, eps=eps)
 
 
 def cml_sentinel_bias(margin: float, item_nums: int,
@@ -664,12 +630,11 @@ def fused_cml_epoch(p, q, mp, vp, mq, vq, u_idx, i_idx, n_idx, t0,
             jax.ShapeDtypeStruct((u_pad, d), jnp.float32),
             jax.ShapeDtypeStruct((i_pad, d), jnp.float32),
             jax.ShapeDtypeStruct((i_pad, d), jnp.float32),
-            jax.ShapeDtypeStruct((1,), jnp.float32),
+            jax.ShapeDtypeStruct((steps,), jnp.float32),
         ),
         scratch_shapes=[
             pltpu.VMEM((u_pad, d), jnp.float32),        # dP
             pltpu.VMEM((i_pad, d), jnp.float32),        # dQ
-            pltpu.SMEM((1, 1), jnp.float32),            # loss accumulator
             pltpu.SemaphoreType.DMA((6,)),
         ],
         interpret=interpret,
@@ -678,7 +643,8 @@ def fused_cml_epoch(p, q, mp, vp, mq, vq, u_idx, i_idx, n_idx, t0,
     p_o, q_o, mp_o, vp_o, mq_o, vq_o, loss = outs
     bias = cml_sentinel_bias(margin, item_nums, K)
     return (p_o[:u_real], q_o[:i_real], mp_o[:u_real], vp_o[:u_real],
-            mq_o[:i_real], vq_o[:i_real], loss[0] - steps * padb * bias)
+            mq_o[:i_real], vq_o[:i_real],
+            jnp.sum(loss) - steps * padb * bias)
 
 
 def sentinel_dims(u_real: int, i_real: int) -> tuple[int, int]:
@@ -751,7 +717,7 @@ def grouped_blk(rows: int, i_real: int, d: int, b: int,
 
 
 def plan_fused_grouped(u_real: int, i_real: int, d: int, b: int,
-                       idx_planes: int = 3):
+                       idx_planes: int = 3, force_g: int | None = None):
     """Plan for the GROUPED fused epoch (user-axis block-coordinate):
     when the full user table + moments overflow VMEM (plan_fused None),
     split users into G pair-mass-balanced groups of ``group_rows`` rows
@@ -762,8 +728,11 @@ def plan_fused_grouped(u_real: int, i_real: int, d: int, b: int,
     Returns (n_groups, group_rows, blk) or None.  Callers should try
     plan_fused first — G=1 belongs to the ungrouped path."""
     # Program size is G-independent (the trainer scans over groups), so
-    # deep rungs only cost per-launch runtime overhead.
-    for g in (2, 4, 8, 16, 32, 64, 128, 256, 512, 1024):
+    # deep rungs only cost per-launch runtime overhead.  ``force_g``
+    # (the train.fused_groups hook) plans that exact group count or
+    # fails — keeping the rows formula in ONE place.
+    for g in ((force_g,) if force_g
+              else (2, 4, 8, 16, 32, 64, 128, 256, 512, 1024)):
         rows = _round_up(cdiv(u_real, g), 128)
         blk = grouped_blk(rows, i_real, d, b, idx_planes)
         if blk is not None:

@@ -203,22 +203,28 @@ class Trainer:
         # train.fused_groups > 1 forces the grouped path (testing and
         # tuning hook); 0 = auto (grouped only on VMEM overflow).
         force_g = self.cfg.int("train.fused_groups", 0)
-        if force_g > 1 and proto in ("pairwise_bpr", "pointwise_bce"):
-            from cleverrec_tpu.ops.pallas_train import (_round_up,
-                                                        grouped_blk)
-            rows = _round_up(cdiv(self.dd.user_nums, force_g), 128)
-            blk = grouped_blk(rows, self.dd.item_nums,
-                              self.model.embed_size, self.batch_size,
-                              idx_planes=planes)
-            if blk is None:
+        if force_g > 1:
+            if proto not in ("pairwise_bpr", "pointwise_bce"):
                 if self.logger:
                     self.logger.info(
-                        f"train.fused_groups={force_g} ignored: even the "
-                        "per-group slice overflows VMEM; using the scan "
-                        "path")
-                return False
-            self._fused_grouped_plan = (force_g, rows, blk)
-            return True
+                        f"train.fused_groups={force_g} ignored: the "
+                        f"{proto} protocol has no grouped variant")
+            else:
+                self._fused_grouped_plan = plan_fused_grouped(
+                    self.dd.user_nums, self.dd.item_nums,
+                    self.model.embed_size, self.batch_size,
+                    idx_planes=planes, force_g=force_g)
+                if self._fused_grouped_plan is not None:
+                    return True
+                if self.logger:
+                    self.logger.info(
+                        f"train.fused_groups={force_g} ignored: that "
+                        "group size overflows VMEM; falling back to "
+                        + ("the ungrouped fused epoch"
+                           if self._fused_plan is not None
+                           else "auto group planning"))
+            # Fall through to the normal auto logic (ungrouped plan if
+            # it fits, else auto-grouped) instead of dropping to scan.
         if self._fused_plan is not None:
             return True
         # VMEM overflow: the BPR family can fall back to the GROUPED
@@ -470,6 +476,11 @@ class Trainer:
         # planner's larger G rungs).
         self.arrays["grouped_static"] = jax.tree_util.tree_map(
             lambda *xs: jnp.stack([jnp.asarray(x) for x in xs]), *statics)
+        # The ungrouped epoch statics built in __init__ are dead on this
+        # path (same padded-epoch magnitude as grouped_static) — drop
+        # them so their device copies free.
+        self.arrays.pop("pairwise_static", None)
+        self.arrays.pop("pointwise_static", None)
         n_sents_arr = jnp.asarray(n_sents, jnp.float32)
         u_pad, i_pad = sentinel_dims(group_rows, item_nums)
         blk = min(plan_blk, max(b, 8))
@@ -479,16 +490,42 @@ class Trainer:
         old_idx = jnp.asarray(old_of_new, jnp.int32)    # un == pad row
         new_idx = jnp.asarray(new_of_old, jnp.int32)
 
-        def epoch_pairwise(params, opt_state, key, arrays):
-            adam_st = opt_state[0]
-            # Permute user state into balanced-group order (one zero pad
-            # row at index un backs the unused filler slots).
+        # Shared grouped-epoch scaffolding: permute user state into
+        # balanced-group order (one zero pad row at index un backs the
+        # unused filler slots), scan the groups, un-permute at the end.
+        # The per-protocol closures only provide the batch encoding and
+        # kernel call.
+        def perm_in(params, adam_st):
             pin = lambda a: jnp.pad(  # noqa: E731
                 a, ((0, 1), (0, 0)))[old_idx]
-            P, mP, vP = (pin(x) for x in (params["P"], adam_st.mu["P"],
-                                          adam_st.nu["P"]))
-            Q, mQ, vQ = params["Q"], adam_st.mu["Q"], adam_st.nu["Q"]
+            return (pin(params["P"]), pin(adam_st.mu["P"]),
+                    pin(adam_st.nu["P"]))
+
+        def slice_p(P, mP, vP, g0):
+            slc = lambda a: jax.lax.dynamic_slice(  # noqa: E731
+                a, (g0, 0), (group_rows, d))
+            return slc(P), slc(mP), slc(vP)
+
+        def update_p(P, mP, vP, p_g, mp_g, vp_g, g0):
+            return (jax.lax.dynamic_update_slice(P, p_g, (g0, 0)),
+                    jax.lax.dynamic_update_slice(mP, mp_g, (g0, 0)),
+                    jax.lax.dynamic_update_slice(vP, vp_g, (g0, 0)))
+
+        def scan_groups(group_body, carry, key, arrays):
             gkeys = jax.random.split(key, n_groups)
+            carry, _ = jax.lax.scan(
+                group_body, carry,
+                (jnp.arange(n_groups, dtype=jnp.int32), gkeys,
+                 arrays["grouped_static"], n_sents_arr))
+            return carry
+
+        def sentinel_ids(inval, ids):
+            return jnp.where(inval, i_pad - 1, ids).astype(jnp.int32)
+
+        def epoch_pairwise(params, opt_state, key, arrays):
+            adam_st = opt_state[0]
+            P, mP, vP = perm_in(params, adam_st)
+            Q, mQ, vQ = params["Q"], adam_st.mu["Q"], adam_st.nu["Q"]
 
             def group_body(carry, xs):
                 P, mP, vP, Q, mQ, vQ, loss_total = carry
@@ -502,26 +539,19 @@ class Trainer:
                 g0 = g * group_rows
                 u = jnp.where(inval, u_pad - 1,
                               batch["u"] - g0).astype(jnp.int32)
-                i = jnp.where(inval, i_pad - 1,
-                              batch["i"]).astype(jnp.int32)
-                j = jnp.where(inval, i_pad - 1,
-                              batch["j"]).astype(jnp.int32)
-                slc = lambda a: jax.lax.dynamic_slice(  # noqa: E731
-                    a, (g0, 0), (group_rows, d))
+                i = sentinel_ids(inval, batch["i"])
+                j = sentinel_ids(inval, batch["j"])
+                p_g, mp_g, vp_g = slice_p(P, mP, vP, g0)
                 p_g, Q, mp_g, vp_g, mQ, vQ, loss = fused_bpr_epoch(
-                    slc(P), Q, slc(mP), slc(vP), mQ, vQ, u, i, j,
+                    p_g, Q, mp_g, vp_g, mQ, vQ, u, i, j,
                     adam_st.count + g * steps_eq,
                     lr=lr, reg=reg, blk=blk, interpret=interpret)
-                P = jax.lax.dynamic_update_slice(P, p_g, (g0, 0))
-                mP = jax.lax.dynamic_update_slice(mP, mp_g, (g0, 0))
-                vP = jax.lax.dynamic_update_slice(vP, vp_g, (g0, 0))
+                P, mP, vP = update_p(P, mP, vP, p_g, mp_g, vp_g, g0)
                 return (P, mP, vP, Q, mQ, vQ,
                         loss_total + loss - nsent * LOG2), None
 
-            (P, mP, vP, Q, mQ, vQ, loss_total), _ = jax.lax.scan(
-                group_body, (P, mP, vP, Q, mQ, vQ, 0.0),
-                (jnp.arange(n_groups, dtype=jnp.int32), gkeys,
-                 arrays["grouped_static"], n_sents_arr))
+            P, mP, vP, Q, mQ, vQ, loss_total = scan_groups(
+                group_body, (P, mP, vP, Q, mQ, vQ, 0.0), key, arrays)
             new_st = adam_st._replace(
                 count=adam_st.count + steps_total,
                 mu={"P": mP[new_idx], "Q": mQ},
@@ -532,16 +562,10 @@ class Trainer:
 
         def epoch_pointwise(params, opt_state, key, arrays):
             adam_st = opt_state[0]
-            # Permute user state into balanced-group order (one zero pad
-            # row at index un backs the unused filler slots).
-            pin = lambda a: jnp.pad(  # noqa: E731
-                a, ((0, 1), (0, 0)))[old_idx]
-            P, mP, vP = (pin(x) for x in (params["P"], adam_st.mu["P"],
-                                          adam_st.nu["P"]))
+            P, mP, vP = perm_in(params, adam_st)
             Q, mQ, vQ = params["Q"], adam_st.mu["Q"], adam_st.nu["Q"]
             h, mh, vh = (params["h_gmf"], adam_st.mu["h_gmf"],
                          adam_st.nu["h_gmf"])
-            gkeys = jax.random.split(key, n_groups)
 
             def group_body(carry, xs):
                 P, mP, vP, Q, mQ, vQ, h, mh, vh, loss_total = carry
@@ -557,25 +581,20 @@ class Trainer:
                 uz = jnp.where(
                     inval, u_pad,
                     (batch["u"] - g0 + 1) * z).astype(jnp.int32)
-                i = jnp.where(inval, i_pad - 1,
-                              batch["i"]).astype(jnp.int32)
-                slc = lambda a: jax.lax.dynamic_slice(  # noqa: E731
-                    a, (g0, 0), (group_rows, d))
+                i = sentinel_ids(inval, batch["i"])
+                p_g, mp_g, vp_g = slice_p(P, mP, vP, g0)
                 (p_g, Q, h, mp_g, vp_g, mQ, vQ, mh, vh,
                  loss) = fused_gmf_epoch(
-                    slc(P), Q, h, slc(mP), slc(vP), mQ, vQ, mh, vh,
+                    p_g, Q, h, mp_g, vp_g, mQ, vQ, mh, vh,
                     uz, i, adam_st.count + g * steps_eq,
                     lr=lr, reg=reg, blk=blk, interpret=interpret)
-                P = jax.lax.dynamic_update_slice(P, p_g, (g0, 0))
-                mP = jax.lax.dynamic_update_slice(mP, mp_g, (g0, 0))
-                vP = jax.lax.dynamic_update_slice(vP, vp_g, (g0, 0))
+                P, mP, vP = update_p(P, mP, vP, p_g, mp_g, vp_g, g0)
                 return (P, mP, vP, Q, mQ, vQ, h, mh, vh,
                         loss_total + loss - nsent * LOG2), None
 
-            (P, mP, vP, Q, mQ, vQ, h, mh, vh, loss_total), _ = jax.lax.scan(
+            (P, mP, vP, Q, mQ, vQ, h, mh, vh, loss_total) = scan_groups(
                 group_body, (P, mP, vP, Q, mQ, vQ, h, mh, vh, 0.0),
-                (jnp.arange(n_groups, dtype=jnp.int32), gkeys,
-                 arrays["grouped_static"], n_sents_arr))
+                key, arrays)
             new_st = adam_st._replace(
                 count=adam_st.count + steps_total,
                 mu={"P": mP[new_idx], "Q": mQ, "h_gmf": mh},
