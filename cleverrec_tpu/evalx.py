@@ -35,6 +35,7 @@ import numpy as np
 import jax
 import jax.numpy as jnp
 
+from cleverrec_tpu import ranking
 from cleverrec_tpu.common import cdiv
 from cleverrec_tpu.data.arrays import DeviceData
 from cleverrec_tpu.metrics import PAD_ITEM, ranking_metrics_topks
@@ -64,9 +65,13 @@ class Evaluator:
                            and cfg.bool("eval.fused_kernel", fused_default))
         # Catalogs too large for a dense [B, I] score matrix stream item
         # chunks with a carried running top-K (ops/topk.streaming_topk).
+        # An EXPLICIT eval.fused_kernel=true beats the streaming DEFAULT
+        # (an explicit eval.stream=true still wins over everything).
+        fused_forced = self._use_fused and "eval.fused_kernel" in cfg
         stream = (not self.candidate_eval and mesh is None
                   and cfg.bool("eval.stream", device_data.item_nums
-                               > cfg.int("eval.stream_threshold", 500_000)))
+                               > cfg.int("eval.stream_threshold", 500_000)
+                               and not fused_forced))
         if self.candidate_eval:
             self.mode = "candidate"
         elif mesh is not None:
@@ -100,90 +105,32 @@ class Evaluator:
         # leak arbitrary ids into the metrics (PAD_ITEM is ignored there).
         return jnp.where(jnp.isfinite(v), items, PAD_ITEM)
 
-    def _masked_full_scores(self, params, aux, u, seen_rows):
-        scores = self.model.score_all(params, u, aux)      # [B, I]
-        if self.model.cml_like:
-            scores = -scores
-        b, item_nums = scores.shape
-        # Exclude seen train items: scatter seen ids (sentinel == item_nums
-        # lands in the spill column and is sliced off).
-        seen = jnp.zeros((b, item_nums + 1), dtype=bool)
-        seen = seen.at[jnp.arange(b)[:, None], seen_rows].set(True)[:, :item_nums]
-        return jnp.where(seen, -jnp.inf, scores)
-
+    # Full-catalog rankers: the shared backends (ranking.py) return
+    # (values, items) with masked slots at -inf; the Evaluator converts
+    # to PAD_ITEM id lists for the metric formulas.  A user with fewer
+    # than kmax unseen items must not surface seen ones (the
+    # reference's rank-time skip can't either).
     def _rank_full(self, params, aux, u, seen_rows):
-        scores = self._masked_full_scores(params, aux, u, seen_rows)
-        v, items = jax.lax.top_k(scores, self.kmax)
-        # A user with fewer than kmax unseen items must not surface seen
-        # ones (the reference's rank-time skip can't either).
+        v, items = ranking.rank_dense(self.model, params, aux, u,
+                                      seen_rows, self.kmax)
         return jnp.where(jnp.isfinite(v), items, PAD_ITEM)
 
     def _rank_full_sharded(self, params, aux, u, seen_rows):
-        """Item-axis-sharded ranking: scores constrained to
-        P(None, 'model'), per-shard top-K + all_gather merge."""
-        from jax.sharding import NamedSharding, PartitionSpec as P
-        from cleverrec_tpu.ops import topk as topk_ops
-        scores = self._masked_full_scores(params, aux, u, seen_rows)
-        n_shards = self.mesh.shape["model"]
-        pad = (-scores.shape[1]) % n_shards
-        if pad:
-            scores = jnp.pad(scores, ((0, 0), (0, pad)),
-                             constant_values=-jnp.inf)
-        scores = jax.lax.with_sharding_constraint(
-            scores, NamedSharding(self.mesh, P(None, "model")))
-        v, items = topk_ops.sharded_topk_scores(scores, self.kmax, self.mesh)
+        v, items = ranking.rank_sharded(self.model, params, aux, u,
+                                        seen_rows, self.kmax, self.mesh)
         return jnp.where(jnp.isfinite(v), items, PAD_ITEM)
 
     def _rank_full_stream(self, params, aux, u, seen_rows):
-        """Streaming full-catalog ranking: lax.scan over item chunks with
-        a carried running top-K — memory O(B * chunk) instead of the
-        dense O(B * I) score matrix (the catalog-axis scaling path,
-        SURVEY.md section 5.7)."""
-        from cleverrec_tpu.ops.topk import streaming_topk
-        item_nums = self.dd.item_nums
-        cml = self.model.cml_like
-        chunk = self.cfg.int("eval.stream_chunk", 4096)
-
-        def score_chunk(chunk_ids):
-            cand = jnp.broadcast_to(chunk_ids[None, :],
-                                    (u.shape[0], chunk_ids.shape[0]))
-            s = self.model.score_candidates(params, u, cand, aux)
-            if cml:
-                s = -s
-            # Mask this chunk's seen items via the sorted seen rows
-            # (binary search per cell — no [B, I] materialization).
-            idx = jax.vmap(jnp.searchsorted)(seen_rows, cand)
-            idx_c = jnp.minimum(idx, seen_rows.shape[1] - 1)
-            hit = jnp.take_along_axis(seen_rows, idx_c, axis=1) == cand
-            return jnp.where(hit, -jnp.inf, s)
-
-        v, items = streaming_topk(score_chunk, item_nums, self.kmax,
-                                  chunk=chunk)
+        v, items = ranking.rank_stream(
+            self.model, params, aux, u, seen_rows, self.dd.item_nums,
+            self.kmax, chunk=self.cfg.int("eval.stream_chunk", 4096))
         return jnp.where(jnp.isfinite(v), items, PAD_ITEM)
 
     def _rank_full_fused(self, params, aux, u, seen_bits):
-        """Pallas path for dot-decomposable models: one fused
-        score+bitmap-mask kernel, then top_k."""
-        from cleverrec_tpu.ops.pallas_scores import fused_dot_topk_scores
-        u_vecs, table, bias = self.model.dot_decomposition(params, u, aux)
-        if self.model.cml_like:
-            # Negate INSIDE the dot (-u).q so the kernel's -3e38 seen mask
-            # stays the worst score; never negate after masking.
-            u_vecs = -u_vecs
-            bias = None if bias is None else -bias
-        interpret = jax.default_backend() != "tpu"
-        scores, item_map = fused_dot_topk_scores(u_vecs, table, seen_bits,
-                                                 interpret=interpret)
-        if bias is not None:
-            # Bias after masking keeps masked slots at -3e38 (bias is
-            # bounded); ranking unaffected.  Scores are in the kernel's
-            # permuted column order, so permute the bias to match.
-            scores = scores + jnp.pad(bias, (0, item_map.shape[0]
-                                             - bias.shape[0]))[item_map][None, :]
-        v, idx = jax.lax.top_k(scores, self.kmax)
-        items = item_map[idx]
-        # Kernel masks with a finite -3e38 sentinel; same PAD guard.
-        return jnp.where(v > -1e37, items, PAD_ITEM)
+        v, items = ranking.rank_fused(
+            self.model, params, aux, u, seen_bits, self.kmax,
+            interpret=jax.default_backend() != "tpu")
+        return jnp.where(jnp.isfinite(v), items, PAD_ITEM)
 
     # -- one-call device evaluation --------------------------------------
     def _build_batches(self):

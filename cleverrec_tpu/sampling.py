@@ -184,21 +184,37 @@ def sample_not_in_popular(key: Array, table: MemberTable, e: Array,
     """Popularity-proportional negatives avoiding entity e's set.
 
     pop_cdf: [id_range] cumulative item-popularity distribution.  Draws
-    TRIES candidates by CDF inversion and keeps the first unseen (the
-    popularity-biased analog of ``sample_not_in``; used when
-    ``neg_sampling=popularity`` — see Chen et al. 2017 on sampling
-    strategies for implicit CF)."""
-    uni = jax.random.uniform(key, shape + (TRIES,))
-    cand = jnp.searchsorted(pop_cdf, uni.reshape(-1)).reshape(
-        uni.shape).astype(jnp.int32)
-    cand = jnp.clip(cand, 0, pop_cdf.shape[0] - 1)
-    if len(shape) == 2:
-        b, k = shape
-        bad = member(table, e, cand.reshape(b, k * TRIES)).reshape(cand.shape)
-    else:
-        bad = member(table, e, cand)
+    TRIES candidates by CDF inversion, keeps the first unseen, then runs
+    corrective redraw rounds like ``_reject`` (the popularity-biased
+    analog of ``sample_not_in``; used when ``neg_sampling=popularity`` —
+    see Chen et al. 2017 on sampling strategies for implicit CF).
+
+    The corrective rounds matter MORE here than in the uniform sampler:
+    the per-draw collision probability is the user's seen POPULARITY
+    MASS, not seen density — a heavy user whose ratings concentrate in
+    the catalog head can hold >=0.9 of the mass, making all-TRIES-seen
+    a percent-level event rather than a negligible one."""
+
+    def draw(k, shp):
+        uni = jax.random.uniform(k, shp)
+        cand = jnp.searchsorted(pop_cdf, uni.reshape(-1)).reshape(
+            uni.shape).astype(jnp.int32)
+        return jnp.clip(cand, 0, pop_cdf.shape[0] - 1)
+
+    key0, key1 = jax.random.split(key)
+    cand = draw(key0, shape + (TRIES,))
+    bad = member(table, e, cand)
     first = jnp.argmax(~bad, axis=-1)
-    return jnp.take_along_axis(cand, first[..., None], axis=-1)[..., 0]
+    j = jnp.take_along_axis(cand, first[..., None], axis=-1)[..., 0]
+
+    def body(i, j):
+        new = draw(jax.random.fold_in(key1, i), j.shape)
+        both = jnp.stack([j, new], axis=-1)
+        bad2 = member(table, e, both)
+        take_new = bad2[..., 0] & ~bad2[..., 1]
+        return jnp.where(take_new, new, j)
+
+    return jax.lax.fori_loop(0, EXTRA_ROUNDS, body, j)
 
 
 def _draw_negatives(key, seen, u, item_nums, shape, pop_cdf=None):

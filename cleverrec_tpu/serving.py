@@ -24,14 +24,22 @@ from __future__ import annotations
 import jax
 import jax.numpy as jnp
 
+from cleverrec_tpu import ranking
+
 # Catalogs above this use the streaming backend by default: the dense
-# path materializes [B, I] scores + a [B, I+1] bool mask per call.
+# AND fused paths materialize [B, I_pad] scores per call.
 _STREAM_THRESHOLD = 32768
 
 
-def _pick_backend(model, device_data, filter_seen: bool) -> str:
+def _pick_backend(model, device_data, filter_seen: bool,
+                  mesh=None) -> str:
+    if mesh is not None:
+        # Item-table shardings only stay resident if the scoring path
+        # is sharded too (mirrors the Evaluator's mesh routing).
+        return "sharded"
     decomposable = hasattr(model, "dot_decomposition")
     if (decomposable and jax.default_backend() == "tpu"
+            and model.meta.item_nums <= _STREAM_THRESHOLD
             and (not filter_seen or device_data.seen.bits is not None)):
         return "fused"
     if model.meta.item_nums > _STREAM_THRESHOLD:
@@ -50,96 +58,65 @@ def build_retrieval_fn(model, params, arrays, device_data, k: int = 10,
     -inf score.  ``backend``: auto | dense | fused | stream | sharded.
     """
     item_nums = model.meta.item_nums
-    cml = model.cml_like
     if backend == "auto":
-        backend = _pick_backend(model, device_data, filter_seen)
+        backend = _pick_backend(model, device_data, filter_seen, mesh)
     if backend == "sharded" and mesh is None:
         raise ValueError("backend='sharded' needs a mesh")
     if backend == "fused" and not hasattr(model, "dot_decomposition"):
         raise ValueError(f"{model.name}: no dot decomposition — "
                          "fused retrieval unavailable")
+    if backend == "fused" and filter_seen and device_data.seen.bits is None:
+        raise ValueError("fused retrieval with filter_seen needs the "
+                         "packed seen bitmaps (catalog exceeded the "
+                         "bitmap budget) — use backend='stream'")
 
-    seen_rows = jnp.asarray(device_data.seen.rows)
+    # The seen-rows table is only uploaded for backends that read it.
+    if backend in ("dense", "stream", "sharded") and filter_seen:
+        seen_rows = jnp.asarray(device_data.seen.rows)
+    else:
+        seen_rows = None
+    rows_of = (lambda u: seen_rows[u]) if seen_rows is not None else (
+        lambda u: jnp.zeros((u.shape[0], 1), jnp.int32))
 
-    def dense_scores(u):
-        scores = model.score_all(params, u, arrays)
-        if cml:
-            scores = -scores
-        if filter_seen:
-            rows = seen_rows[u]
-            b = u.shape[0]
-            mask = jnp.zeros((b, item_nums + 1), dtype=bool)
-            mask = mask.at[jnp.arange(b)[:, None], rows].set(True)
-            scores = jnp.where(mask[:, :item_nums], -jnp.inf, scores)
-        return scores
+    def pad_ids(v, items):
+        return jnp.where(jnp.isfinite(v), items, -1), v
 
     if backend == "dense":
         def retrieve(u):
-            v, items = jax.lax.top_k(dense_scores(u), k)
-            return jnp.where(jnp.isfinite(v), items, -1), v
+            v, items = ranking.rank_dense(model, params, arrays, u,
+                                          rows_of(u), k, filter_seen)
+            return pad_ids(v, items)
 
     elif backend == "fused":
-        from cleverrec_tpu.ops.pallas_scores import fused_dot_topk_scores
+        interpret = jax.default_backend() != "tpu"
         if filter_seen:
             bits_all = jnp.asarray(device_data.seen.bits)
+            bits_of = lambda u: bits_all[u]  # noqa: E731
         else:
-            bits_all = jnp.zeros(
-                (model.meta.user_nums, (item_nums + 31) // 32), jnp.uint32)
-        interpret = jax.default_backend() != "tpu"
+            # One zero row indexed for every user — NOT a [U, W] zero
+            # table (that once planned a multi-GB dead allocation).
+            zero_row = jnp.zeros((1, (item_nums + 31) // 32), jnp.uint32)
+            bits_of = lambda u: zero_row[jnp.zeros_like(u)]  # noqa: E731
 
         def retrieve(u):
-            u_vecs, table, bias = model.dot_decomposition(params, u, arrays)
-            if cml:
-                u_vecs = -u_vecs
-                bias = None if bias is None else -bias
-            scores, item_map = fused_dot_topk_scores(
-                u_vecs, table, bits_all[u], interpret=interpret)
-            if bias is not None:
-                scores = scores + jnp.pad(
-                    bias, (0, item_map.shape[0] - bias.shape[0])
-                )[item_map][None, :]
-            v, idx = jax.lax.top_k(scores, k)
-            # Kernel masks with a finite -3e38 sentinel.
-            return jnp.where(v > -1e37, item_map[idx], -1), v
+            v, items = ranking.rank_fused(model, params, arrays, u,
+                                          bits_of(u), k,
+                                          interpret=interpret)
+            return pad_ids(v, items)
 
     elif backend == "stream":
-        from cleverrec_tpu.ops.topk import streaming_topk
-
         def retrieve(u):
-            rows = seen_rows[u]
-
-            def score_chunk(chunk_ids):
-                cand = jnp.broadcast_to(chunk_ids[None, :],
-                                        (u.shape[0], chunk_ids.shape[0]))
-                s = model.score_candidates(params, u, cand, arrays)
-                if cml:
-                    s = -s
-                if filter_seen:
-                    idx = jax.vmap(jnp.searchsorted)(rows, cand)
-                    idx_c = jnp.minimum(idx, rows.shape[1] - 1)
-                    hit = jnp.take_along_axis(rows, idx_c, axis=1) == cand
-                    s = jnp.where(hit, -jnp.inf, s)
-                return s
-
-            v, items = streaming_topk(score_chunk, item_nums, k,
-                                      chunk=stream_chunk)
-            return jnp.where(jnp.isfinite(v), items, -1), v
+            v, items = ranking.rank_stream(
+                model, params, arrays, u, rows_of(u), item_nums, k,
+                chunk=stream_chunk, filter_seen=filter_seen)
+            return pad_ids(v, items)
 
     elif backend == "sharded":
-        from jax.sharding import NamedSharding, PartitionSpec as P
-        from cleverrec_tpu.ops.topk import sharded_topk_scores
-        n_shards = mesh.shape["model"]
-
         def retrieve(u):
-            scores = dense_scores(u)
-            pad = (-scores.shape[1]) % n_shards
-            if pad:
-                scores = jnp.pad(scores, ((0, 0), (0, pad)),
-                                 constant_values=-jnp.inf)
-            scores = jax.lax.with_sharding_constraint(
-                scores, NamedSharding(mesh, P(None, "model")))
-            v, items = sharded_topk_scores(scores, k, mesh)
-            return jnp.where(jnp.isfinite(v), items, -1), v
+            v, items = ranking.rank_sharded(model, params, arrays, u,
+                                            rows_of(u), k, mesh,
+                                            filter_seen)
+            return pad_ids(v, items)
 
     else:
         raise ValueError(f"unknown retrieval backend {backend!r}")
