@@ -146,3 +146,24 @@ def test_trainer_aot_compile(blocky):
     assert np.isfinite(loss)
     res = trainer.evaluate(params)
     assert 0 <= res[10][0] <= 1
+
+
+def test_eval_fused_explicit_beats_stream_default(toy_dataset):
+    """An explicit eval.fused_kernel=true wins over the streaming
+    DEFAULT; an explicit eval.stream=true still wins over both."""
+    from cleverrec_tpu.evalx import Evaluator
+    ov = {"data.split_way": "rs", "test.neg_samples": "0", "epoches": "1",
+          "batch_size": "64", "embed_size": "8", "lr": "0.05",
+          "is_pairwise": "True", "loss_func": "bpr", "reg": "0.01",
+          "eval.stream_threshold": "1"}       # catalog > threshold
+    cfg1 = base_config(toy_dataset, **ov, **{"eval.fused_kernel": "True"})
+    cfg2 = base_config(toy_dataset, **ov)
+    cfg3 = base_config(toy_dataset, **ov, **{"eval.fused_kernel": "True",
+                                             "eval.stream": "True"})
+    data = load_ranking_data(cfg1)
+    model = make_model(cfg1, DataMeta(data.user_nums, data.item_nums))
+    from cleverrec_tpu.data.arrays import build_device_data
+    dd = build_device_data(data)
+    assert Evaluator(model, dd, cfg1).mode == "full_fused"
+    assert Evaluator(model, dd, cfg2).mode == "full_stream"
+    assert Evaluator(model, dd, cfg3).mode == "full_stream"

@@ -169,3 +169,13 @@ def test_cml_retrieval_orders_by_ascending_distance(toy_dataset):
                                            k=5, backend="stream",
                                            stream_chunk=8)(u)
     np.testing.assert_array_equal(np.asarray(s_items), np.asarray(items))
+
+
+def test_pick_backend_mesh_and_thresholds(toy_dataset):
+    from cleverrec_tpu.parallel.mesh import make_mesh
+    from cleverrec_tpu.serving import _pick_backend
+    model, params, tr = _trained(toy_dataset)
+    # mesh always routes to sharded (mirrors the Evaluator)
+    assert _pick_backend(model, tr.dd, True, make_mesh(2, 4)) == "sharded"
+    # off-TPU: dense for small catalogs
+    assert _pick_backend(model, tr.dd, True) in ("dense", "stream")
