@@ -39,7 +39,6 @@ class DeviceData:
     test_users: np.ndarray       # [T] int32
     cand: np.ndarray | None      # [T, C] int32, pad == 0 (masked) — candidate eval
     cand_mask: np.ndarray | None  # [T, C] bool
-    n_truth: np.ndarray | None   # [T] int32 — ground-truth count per test user
     real_padded: np.ndarray      # [T, Tmax] int32, PAD_ITEM-padded (host metrics)
     # Social (optional).
     friends_padded: np.ndarray | None = None  # [U, F] int32, sentinel == user_nums
@@ -65,19 +64,17 @@ def build_device_data(data: RankingData) -> DeviceData:
 
     test_users = np.fromiter(data.ui_test.keys(), dtype=np.int32,
                              count=len(data.ui_test))
-    cand = cand_mask = n_truth = None
+    cand = cand_mask = None
     if data.candidate_eval:
         neg = data.neg_samples
         cand_lists = [data.ui_test[int(u)] for u in test_users]
         width = max(len(c) for c in cand_lists)
         cand = np.zeros((len(test_users), width), dtype=np.int32)
         cand_mask = np.zeros((len(test_users), width), dtype=bool)
-        n_truth = np.empty(len(test_users), dtype=np.int32)
         reals = []
         for r, c in enumerate(cand_lists):
             cand[r, : len(c)] = c
             cand_mask[r, : len(c)] = True
-            n_truth[r] = len(c) - neg
             reals.append(c[neg:])
         real_padded = pad_lists(reals)
     else:
@@ -87,6 +84,6 @@ def build_device_data(data: RankingData) -> DeviceData:
         user_nums=data.user_nums, item_nums=data.item_nums,
         pos_u=pos_u, pos_i=pos_i, seen=seen,
         test_users=test_users, cand=cand, cand_mask=cand_mask,
-        n_truth=n_truth, real_padded=real_padded,
+        real_padded=real_padded,
         friends_padded=data.friends_padded,
     )

@@ -28,7 +28,7 @@ Implementation differences (behavior-preserving, documented):
 from __future__ import annotations
 
 import os
-from dataclasses import dataclass, field
+from dataclasses import dataclass
 
 import numpy as np
 import pandas as pd
@@ -51,7 +51,6 @@ class RankingData:
     # SAMN-style padded friends matrix [user_nums, max_friends] with the
     # sentinel row id == user_nums for missing friends; None if no social.
     friends_padded: np.ndarray | None = None
-    item_set: set[int] = field(default_factory=set)
 
     def stats_line(self) -> str:
         return (f"user_nums={self.user_nums}, item_nums={self.item_nums}, "
@@ -113,6 +112,10 @@ def _split_loo(df: pd.DataFrame) -> tuple[pd.DataFrame, pd.DataFrame]:
 def _split_random(df: pd.DataFrame, ratios: tuple[float, float, float],
                   rng: np.random.Generator) -> tuple[pd.DataFrame, pd.DataFrame]:
     r1, r2, r3 = ratios
+    if r1 < 0 or r3 < 0 or r1 + r3 > 1 + 1e-9:
+        raise ValueError(
+            f"data.split_ratio train+test = {r1}+{r3} > 1: the slices "
+            "would overlap and leak train rows into the test set")
     n = len(df)
     perm = rng.permutation(n)
     n_train = int(round(r1 * n))
@@ -128,11 +131,19 @@ def _sample_candidates(ui_train: dict, ui_test: dict, item_nums: int,
     """Per test user: ``neg_samples`` unseen-in-train items without
     replacement, ground truth appended LAST (RankingPreprocess.py:120-129)."""
     all_items = np.arange(item_nums, dtype=np.int64)
+    mask = np.ones(item_nums, dtype=bool)
     out = {}
     for u, truth in ui_test.items():
         seen = np.asarray(ui_train.get(u, []), dtype=np.int64)
-        pool = all_items if seen.size == 0 else np.setdiff1d(all_items, seen,
-                                                             assume_unique=False)
+        if seen.size == 0:
+            pool = all_items
+        else:
+            # O(I) boolean mask (setdiff1d re-sorted the catalog per
+            # user); flatnonzero yields the same sorted pool, so the
+            # rng.choice draw stream is unchanged.
+            mask[seen] = False
+            pool = np.flatnonzero(mask)
+            mask[seen] = True
         negs = rng.choice(pool, size=neg_samples, replace=False)
         out[u] = negs.tolist() + list(truth)
     return out
@@ -201,7 +212,6 @@ def load_ranking_data(cfg: Config, rng: np.random.Generator | None = None,
         ui_train=ui_train, ui_test=ui_test, ratings_num=ratings_num,
         candidate_eval=candidate_eval, neg_samples=neg_samples,
         user_friends=user_friends, friends_padded=friends_padded,
-        item_set=set(range(item_nums)),
     )
     if logger is not None:
         logger.info(" Data: dataset=%s, split_way=%s, neg_samples=%d, %s",

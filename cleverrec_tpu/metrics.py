@@ -36,32 +36,30 @@ def pad_lists(lists, pad_value: int = PAD_ITEM, width: int | None = None) -> np.
     return out
 
 
-def ranking_metrics(real: np.ndarray, rec: np.ndarray, k: int,
-                    standard_mrr: bool = False):
-    """Vectorized HR/MRR/NDCG at cutoff ``k``.
+def _real_ranks(real: np.ndarray, rec: np.ndarray, k: int):
+    """First-occurrence rank of each real item in the top-k list.
 
-    Args:
-      real: [B, T] ground-truth item ids, PAD_ITEM-padded.
-      rec:  [B, R] recommended item ids in rank order (R >= k),
-            PAD_ITEM-padded; only the first ``k`` columns are considered.
-    Returns:
-      (hr, mrr, ndcg): three float64 arrays of shape [B].
-    """
+    Returns (rank [B, T] with k = miss, valid [B, T], n_real [B]).  The
+    [B, T, k] match tensor is the expensive part — callers evaluating
+    several cutoffs build it ONCE at max(topks) and derive each cutoff
+    with ``rank < k``."""
     real = np.asarray(real)
     rec = np.asarray(rec)[:, :k]
-    B, T = real.shape
     valid = real != PAD_ITEM                              # [B, T]
-    n_real = valid.sum(axis=1)                            # [B]
-    n_real_safe = np.maximum(n_real, 1)
-
-    # First-occurrence rank of each real item inside the top-k list.
     matches = real[:, :, None] == rec[:, None, :]         # [B, T, k]
     matches &= valid[:, :, None] & (rec != PAD_ITEM)[:, None, :]
     found = matches.any(axis=2)                           # [B, T]
     rank = np.where(found, matches.argmax(axis=2), k)     # [B, T], k = miss
+    return rank, valid, valid.sum(axis=1)
 
+
+def _metrics_at(rank: np.ndarray, valid: np.ndarray, n_real: np.ndarray,
+                k: int, standard_mrr: bool):
+    """HR/MRR/NDCG at cutoff ``k`` from precomputed first-hit ranks."""
+    T = valid.shape[1]
+    n_real_safe = np.maximum(n_real, 1)
+    found = rank < k
     hit = found.sum(axis=1).astype(np.float64)
-    inv_rank = np.where(found, 1.0 / (rank + 1.0), 0.0)
     dcg = np.where(found, 1.0 / np.log2(rank + 2.0), 0.0).sum(axis=1)
 
     # IDCG over |real| ideal slots (reference accumulates 1/log2(id+2) for
@@ -76,7 +74,7 @@ def ranking_metrics(real: np.ndarray, rec: np.ndarray, k: int,
         best = np.where(found, rank, k).min(axis=1)
         mrr = np.where(best < k, 1.0 / (best + 1.0), 0.0)
     else:
-        mrr = inv_rank.sum(axis=1)
+        mrr = np.where(found, 1.0 / (rank + 1.0), 0.0).sum(axis=1)
     ndcg = dcg / idcg
     # Users with zero real items (shouldn't happen; defensive): zero out.
     empty = n_real == 0
@@ -86,10 +84,32 @@ def ranking_metrics(real: np.ndarray, rec: np.ndarray, k: int,
     return hr, mrr, ndcg
 
 
+def ranking_metrics(real: np.ndarray, rec: np.ndarray, k: int,
+                    standard_mrr: bool = False):
+    """Vectorized HR/MRR/NDCG at cutoff ``k``.
+
+    Args:
+      real: [B, T] ground-truth item ids, PAD_ITEM-padded.
+      rec:  [B, R] recommended item ids in rank order (R >= k),
+            PAD_ITEM-padded; only the first ``k`` columns are considered.
+    Returns:
+      (hr, mrr, ndcg): three float64 arrays of shape [B].
+    """
+    rank, valid, n_real = _real_ranks(real, rec, k)
+    return _metrics_at(rank, valid, n_real, k, standard_mrr)
+
+
 def ranking_metrics_topks(real: np.ndarray, rec: np.ndarray, topks,
                           standard_mrr: bool = False):
-    """Metrics at several cutoffs: returns {k: (hr, mrr, ndcg)}."""
-    return {k: ranking_metrics(real, rec, k, standard_mrr) for k in topks}
+    """Metrics at several cutoffs: returns {k: (hr, mrr, ndcg)}.
+
+    The [B, T, kmax] match tensor is built once; each cutoff is a cheap
+    ``rank < k`` slice (a per-k rebuild tripled the compare work and
+    memory at ml-1m scale)."""
+    kmax = max(topks)
+    rank, valid, n_real = _real_ranks(real, rec, kmax)
+    return {k: _metrics_at(rank, valid, n_real, k, standard_mrr)
+            for k in topks}
 
 
 def rmse_mae(y: np.ndarray, y_pre: np.ndarray):

@@ -30,7 +30,15 @@ def _checkpointer():
 
 def save_checkpoint(path: str, params: Any, opt_state: Any = None,
                     epoch: int = 0, key=None) -> str:
-    """Write a train-state checkpoint; returns the directory written."""
+    """Write a train-state checkpoint; returns the directory written.
+
+    Crash-safe: the state is written to a fresh sibling directory and
+    only swapped into ``path`` after the write finalizes (Orbax's
+    force=True deletes the existing checkpoint FIRST — a preemption
+    mid-save would otherwise destroy the only copy exactly when long
+    runs die)."""
+    import shutil
+
     path = os.path.abspath(path)
     state = {"params": params, "epoch": jnp.asarray(epoch)}
     if opt_state is not None:
@@ -38,8 +46,19 @@ def save_checkpoint(path: str, params: Any, opt_state: Any = None,
     if key is not None:
         state["key"] = key
     ckptr = _checkpointer()
-    ckptr.save(path, state, force=True)
+    tmp = path + ".inprogress"
+    if os.path.exists(tmp):
+        shutil.rmtree(tmp)
+    ckptr.save(tmp, state, force=True)
     ckptr.wait_until_finished()
+    old = path + ".old"
+    if os.path.exists(old):
+        shutil.rmtree(old)
+    if os.path.exists(path):
+        os.rename(path, old)            # keep the previous copy until
+    os.rename(tmp, path)                # the new one is in place
+    if os.path.exists(old):
+        shutil.rmtree(old)
     return path
 
 
@@ -71,8 +90,19 @@ def graft_neumf(neumf_params: dict, gmf_params: dict,
     out["P_mlp"] = mlp_params["P"]
     out["Q_mlp"] = mlp_params["Q"]
     out["h_mlp"] = mlp_params["h_mlp"]
+    # Only layers the TARGET actually has: a deeper pretrained MLP would
+    # otherwise graft phantom W_k/b_k params that the tower never reads
+    # but the optimizer and every checkpoint would carry.
     for k, v in mlp_params.items():
         if k.startswith(("W_", "b_")):
+            if k not in neumf_params:
+                raise ValueError(
+                    f"mlp_pretrain layer {k!r} has no slot in the target "
+                    "NeuMF (layers config mismatch)")
+            if v.shape != neumf_params[k].shape:
+                raise ValueError(
+                    f"mlp_pretrain layer {k!r} shape {v.shape} != target "
+                    f"{neumf_params[k].shape} (layers config mismatch)")
             out[k] = v
     out["h_neumf"] = 0.5 * jnp.concatenate(
         [gmf_params["h_gmf"], mlp_params["h_mlp"]], axis=0)

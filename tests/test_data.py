@@ -92,7 +92,6 @@ def test_device_data_packing(toy_dataset):
         assert dd.cand[r, : len(cand)].tolist() == cand
         assert dd.cand_mask[r, : len(cand)].all()
         assert not dd.cand_mask[r, len(cand):].any()
-        assert dd.n_truth[r] == len(cand) - data.neg_samples
 
 
 def test_social_max_friends_cap(toy_social_dataset):
