@@ -41,8 +41,9 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-from cleverrec_tpu.common import hinge_loss, init_param
+from cleverrec_tpu.common import pairwise_loss, init_param
 from cleverrec_tpu.models.base import Aux, Params, RecModel
+from cleverrec_tpu.models.modules import relu_mlp_logits
 from cleverrec_tpu.sampling import build_member_table
 
 
@@ -108,9 +109,15 @@ class _DualDomainBase(RecModel):
 
     def _relation(self, params, a, b):
         """mlp_type 0: elementwise product; else an MLP tower on concat
-        (RML_DGATs.py:105-120)."""
+        (RML_DGATs.py:105-120).  Operands may be broadcastable (eval
+        passes [B, 1, d] vs [B, C, d]); concatenate requires equal
+        leading dims, so broadcast explicitly (the reference tiles both
+        sides in its is_test path)."""
         if self.mlp_type == 0:
             return a * b
+        shape = jnp.broadcast_shapes(a.shape, b.shape)
+        a = jnp.broadcast_to(a, shape)
+        b = jnp.broadcast_to(b, shape)
         x = jnp.concatenate([a, b], axis=-1)
         for lid in range(self.mlp_type):
             x = jax.nn.relu(x @ params[f"W_mlp_{lid}"]
@@ -129,8 +136,12 @@ class _DualDomainBase(RecModel):
         d_uj = jnp.sum(jnp.square(ue_i + uj_vec - je), axis=1)
         d_uv = jnp.sum(jnp.square(ue_s + uv_vec - ve), axis=1)
         d_uw = jnp.sum(jnp.square(ue_s + uw_vec - we), axis=1)
-        loss_i = hinge_loss(d_ui - d_uj, self.margin, weight=w_i)
-        loss_s = hinge_loss(d_uv - d_uw, self.margin, weight=w_s)
+        # The reference dispatches get_loss(self.loss_func, ...) here
+        # (RML_DGATs.py / SoHRML.py) — honor a configured bpr too.
+        loss_i = pairwise_loss(self.loss_func, d_ui - d_uj,
+                               margin=self.margin, weight=w_i)
+        loss_s = pairwise_loss(self.loss_func, d_uv - d_uw,
+                               margin=self.margin, weight=w_s)
         wc_i = w_i[:, None]
         wc_s = w_s[:, None]
         reg_nbr = (jnp.sum(jnp.square((ue_i - un_i) * wc_i))
@@ -285,6 +296,9 @@ class RML_DGATs(_DualDomainBase):
 
 class SoHRML(_DualDomainBase):
     name = "SoHRML"
+    # [B, chunk, d] relation intermediates: keep chunks small like
+    # RML_DGATs.
+    SCORE_ALL_CHUNK = 512
 
     def __init__(self, cfg, meta):
         super().__init__(cfg, meta)
@@ -398,7 +412,7 @@ class SoHRML(_DualDomainBase):
         if self.att_type == 1:
             return jax.nn.relu(jnp.sum(re * ce, axis=1))
         x = jnp.concatenate([re, ce], axis=1)
-        return jax.nn.relu(x @ params["W"] + params["b"]) @ params["h"]
+        return relu_mlp_logits(x, params["W"], params["b"], params["h"])
 
     @staticmethod
     def _row_softmax(scores, rows, n_rows):
@@ -469,10 +483,23 @@ class SoHRML(_DualDomainBase):
 
     def score_all(self, params: Params, u, aux: Aux):
         # Full-catalog scoring via the propagated embeddings (the reference
-        # left this branch unimplemented, SoHRML.py:232-236).
+        # left this branch unimplemented, SoHRML.py:232-236).  Items are
+        # chunked: the [B, I, d] relation/diff intermediates would cost
+        # d times the [B, I] score budget at social-catalog scale.
         u_g, i_g, _ = self._propagate(params, aux, train=False)
-        items = jnp.arange(self.meta.item_nums, dtype=jnp.int32)
-        r = self._relation(params, u_g[u][:, None, :], i_g[items][None, :, :])
-        diff = (params["P"][u][:, None, :] + r
-                - params["Q"][items][None, :, :])
-        return jnp.sum(jnp.square(diff), axis=-1)
+        item_nums = self.meta.item_nums
+        chunk = min(self.SCORE_ALL_CHUNK, item_nums)
+        n_chunks = -(-item_nums // chunk)
+        items = (jnp.arange(n_chunks * chunk, dtype=jnp.int32)
+                 % item_nums).reshape(n_chunks, chunk)
+        ug, pu = u_g[u], params["P"][u]
+
+        def one(chunk_items):
+            r = self._relation(params, ug[:, None, :],
+                               i_g[chunk_items][None, :, :])
+            diff = pu[:, None, :] + r - params["Q"][chunk_items][None, :, :]
+            return jnp.sum(jnp.square(diff), axis=-1)
+
+        scores = jax.lax.map(one, items)            # [n_chunks, B, chunk]
+        scores = jnp.moveaxis(scores, 0, 1).reshape(u.shape[0], -1)
+        return scores[:, :item_nums]

@@ -31,7 +31,8 @@ import numpy as np
 from cleverrec_tpu.common import (init_param, l2_loss, pairwise_loss,
                                   sigmoid_xent_loss)
 from cleverrec_tpu.models.base import Aux, Params, RecModel
-from cleverrec_tpu.models.modules import masked_history_attention
+from cleverrec_tpu.models.modules import (masked_history_attention,
+                                          relu_mlp_logits)
 
 
 class FISM(RecModel):
@@ -148,8 +149,8 @@ class NAIS(RecModel):
                 [pe, jnp.broadcast_to(qi[:, None, :], pe.shape)], axis=-1)
         else:
             joint = pe * qi[:, None, :]
-        logits = (jax.nn.relu(joint @ params["W"] + params["b"])
-                  @ params["h"])                              # [B, H]
+        logits = relu_mlp_logits(joint, params["W"], params["b"],
+                                 params["h"])                              # [B, H]
         return masked_history_attention(pe, mask, logits, self.beta)
 
     def _scores(self, params, aux, u, i):
@@ -201,8 +202,8 @@ class NAIS(RecModel):
                                   (g, t, h, qi.shape[-1]))], axis=-1)
         else:
             joint = pe[:, None, :, :] * qi[:, :, None, :]    # [G, T, H, d]
-        logits = (jax.nn.relu(joint @ params["W"] + params["b"])
-                  @ params["h"])                             # [G, T, H]
+        logits = relu_mlp_logits(joint, params["W"], params["b"],
+                                 params["h"])                             # [G, T, H]
         att = jax.vmap(masked_history_attention,
                        in_axes=(None, None, 1, None),
                        out_axes=1)(pe, mask, logits, self.beta)  # [G, T, d]
@@ -241,8 +242,8 @@ class NAIS(RecModel):
                     axis=-1)
             else:
                 joint = pe[:, None, :, :] * qi[:, :, None, :]  # [B,cc,H,d]
-            logits = (jax.nn.relu(joint @ params["W"] + params["b"])
-                      @ params["h"])                           # [B, cc, H]
+            logits = relu_mlp_logits(joint, params["W"], params["b"],
+                                 params["h"])                           # [B, cc, H]
             att = jax.vmap(masked_history_attention,
                            in_axes=(None, None, 1, None),
                            out_axes=1)(pe, mask, logits, self.beta)

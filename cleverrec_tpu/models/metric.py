@@ -28,7 +28,8 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-from cleverrec_tpu.common import clip_rows_by_norm, hinge_loss, l2_loss
+from cleverrec_tpu.common import (clip_rows_by_norm, l2_loss,
+                                  pairwise_loss)
 from cleverrec_tpu.models.base import Aux, Params, RecModel
 from cleverrec_tpu.models.modules import segment_mean_embeddings
 
@@ -139,7 +140,9 @@ class LRML(RecModel):
         ie = params["Q"][batch["i"]]
         je = params["Q"][batch["j"]]
         diff = self._dist(params, ue, ie) - self._dist(params, ue, je)
-        main = hinge_loss(diff, self.margin, weight=w)
+        # Reference dispatches get_loss(self.loss_func, ...) (LRML.py:61).
+        main = pairwise_loss(self.loss_func, diff, margin=self.margin,
+                             weight=w)
         wc = w[:, None]
         return main + self.reg * (l2_loss(ue * wc) + l2_loss(ie * wc)
                                   + l2_loss(je * wc))
@@ -201,7 +204,10 @@ class TransCF(RecModel):
         jn = i_nbr_all[j]
         d_ui = jnp.sum(jnp.square(ue + un * in_ - ie), axis=1)
         d_uj = jnp.sum(jnp.square(ue + un * jn - je), axis=1)
-        main = hinge_loss(d_ui - d_uj, self.margin, weight=w)
+        # Reference dispatches get_loss(self.loss_func, ...)
+        # (TransCF.py:56).
+        main = pairwise_loss(self.loss_func, d_ui - d_uj,
+                             margin=self.margin, weight=w)
         # Neighborhood + distance regularizers (TransCF.py:65-71).
         wc = w[:, None]
         reg_nbr = (jnp.sum(jnp.square((ue - un) * wc))
@@ -215,3 +221,28 @@ class TransCF(RecModel):
         ie = params["Q"][i]
         r = u_nbr_all[u] * i_nbr_all[i]
         return jnp.sum(jnp.square(ue + r - ie), axis=1)
+
+    def score_all(self, params: Params, u, aux: Aux):
+        """Full-catalog branch parity quirk (TransCF.py:79-85): the
+        reference's _unit_clipping reassigns u_embed BEFORE _predict
+        builds this branch, so full-catalog ranking uses
+        ||clip(u) + u_nbr * i_nbr - Q||^2 while the loo/candidate
+        branch keeps the pre-clipping ui_dist (our score_pairs) — the
+        same ordering quirk CML reproduces above."""
+        u_nbr_all, i_nbr_all = self._nbr_tables(params, aux)
+        ue = clip_rows_by_norm(params["P"][u])
+        un = u_nbr_all[u]
+        item_nums = self.meta.item_nums
+        chunk = min(self.SCORE_ALL_CHUNK, item_nums)
+        n_chunks = -(-item_nums // chunk)
+        items = (jnp.arange(n_chunks * chunk, dtype=jnp.int32)
+                 % item_nums).reshape(n_chunks, chunk)
+
+        def one(chunk_items):
+            r = un[:, None, :] * i_nbr_all[chunk_items][None, :, :]
+            diff = ue[:, None, :] + r - params["Q"][chunk_items][None, :, :]
+            return jnp.sum(jnp.square(diff), axis=-1)
+
+        scores = jax.lax.map(one, items)
+        scores = jnp.moveaxis(scores, 0, 1).reshape(u.shape[0], -1)
+        return scores[:, :item_nums]

@@ -28,7 +28,8 @@ import numpy as np
 
 from cleverrec_tpu.common import bpr_loss, l2_loss, pairwise_loss
 from cleverrec_tpu.models.base import Aux, Params, RecModel
-from cleverrec_tpu.sampling import MemberTable, build_member_table
+from cleverrec_tpu.models.modules import relu_mlp_logits
+from cleverrec_tpu.sampling import build_member_table
 
 
 class _SocialTripleBase(RecModel):
@@ -58,8 +59,8 @@ class _SocialTripleBase(RecModel):
         keep = has[device_data.pos_u]
         self._pos_u = device_data.pos_u[keep]
         self._pos_i = device_data.pos_i[keep]
-        return {"spu": MemberTable(rows=t.rows, lens=t.lens, bits=t.bits),
-                "spu_suk": suk_arr}
+        # complement_budget=0 above => t.complement is already None.
+        return {"spu": t, "spu_suk": suk_arr}
 
     def epoch_pairs(self, device_data):
         return self._pos_u, self._pos_i
@@ -159,9 +160,8 @@ class TBPR(_SocialTripleBase):
         keep = has[device_data.pos_u]
         self._pos_u = device_data.pos_u[keep]
         self._pos_i = device_data.pos_i[keep]
-        strip = lambda t: MemberTable(rows=t.rows, lens=t.lens,  # noqa: E731
-                                      bits=t.bits)
-        return {"tie_strong": strip(t_s), "tie_weak": strip(t_w)}
+        # complement_budget=0 above => no complement planes to strip.
+        return {"tie_strong": t_s, "tie_weak": t_w}
 
     def _reg_terms(self, params, batch, w):
         wc = w[:, None]
@@ -267,8 +267,8 @@ class SAMN(RecModel):
         f_vec = (atten_key @ params["Mem"]) * fe           # [B, F, d]
         # Friend-level attention; masked slots keep their softmax mass
         # (reference behavior, SAMN.py:77-85).
-        logits = (jax.nn.relu(f_vec @ params["W3"] + params["b"])
-                  @ params["h"])                           # [B, F]
+        logits = relu_mlp_logits(f_vec, params["W3"], params["b"],
+                                 params["h"])              # [B, F]
         att = jax.nn.softmax(logits, axis=1)
         u_frien = jnp.einsum("bf,bfd->bd", att, f_vec)
         return ue + u_frien

@@ -206,3 +206,51 @@ def test_nais_bucketed_histories(toy_dataset):
     # Same ballpark (different shuffle stream -> not identical).
     for k in r_b:
         assert abs(r_b[k][0] - r0[k][0]) < 0.35, (k, r_b[k], r0[k])
+
+
+def test_sohrml_mlp_type_eval_regression(toy_dataset, toy_social_dataset):
+    """mlp_type >= 1 once crashed every eval call: _relation concatenated
+    broadcastable-but-unequal shapes ([B,1,d] vs [B,C,d])."""
+    spec = dict(MODEL_OVERRIDES["SoHRML"])
+    spec.pop("social", None)
+    spec["mlp_type"] = "1"
+    o = dict(COMMON, **spec, recommender="SoHRML")
+    o["social_file"] = "trusts.csv"
+    cfg2 = base_config(toy_social_dataset, **o)
+    data2 = load_ranking_data(cfg2)
+    model2 = make_model(cfg2, DataMeta(data2.user_nums, data2.item_nums))
+    tr = Trainer(model2, data2, cfg2)
+    params, opt = tr.init_state()
+    params, opt, loss = tr.train_epoch(params, opt)
+    assert np.isfinite(loss)
+    res = tr.evaluate(params)                 # crashed before the fix
+    for k, (hr, mrr, ndcg) in res.items():
+        assert 0.0 <= hr <= 1.0
+
+
+def test_transcf_full_catalog_uses_clipped_users(toy_dataset,
+                                                 toy_social_dataset):
+    """Reference parity (TransCF.py:79-85): the full-catalog branch
+    ranks ||clip(u) + u_nbr*i_nbr - Q||^2 (clipping reassigns u_embed
+    before _predict); the candidate branch keeps raw u."""
+    from cleverrec_tpu.common import clip_rows_by_norm
+    cfg, data, model = _setup("TransCF", toy_dataset, toy_social_dataset)
+    tr = Trainer(model, data, cfg)
+    params, _ = tr.init_state()
+    # Inflate P so clipping actually bites.
+    params = dict(params, P=params["P"] * 50.0)
+    aux = tr.arrays
+    u = jnp.asarray(np.arange(6), jnp.int32)
+    got = np.asarray(model.score_all(params, u, aux))
+    u_nbr, i_nbr = model._nbr_tables(params, aux)
+    ue = np.asarray(clip_rows_by_norm(params["P"][u]))
+    r = np.asarray(u_nbr)[np.asarray(u)][:, None, :] * np.asarray(i_nbr)[None, :, :]
+    want = ((ue[:, None, :] + r - np.asarray(params["Q"])[None, :, :]) ** 2
+            ).sum(-1)
+    np.testing.assert_allclose(got, want, rtol=1e-4, atol=1e-4)
+    # Candidate scoring stays RAW (pre-clipping ui_dist).
+    pair = np.asarray(model.score_pairs(params, u, jnp.zeros_like(u), aux))
+    raw_u = np.asarray(params["P"][u])
+    r0 = np.asarray(u_nbr)[np.asarray(u)] * np.asarray(i_nbr)[0][None, :]
+    want_pair = ((raw_u + r0 - np.asarray(params["Q"])[0][None, :]) ** 2).sum(-1)
+    np.testing.assert_allclose(pair, want_pair, rtol=1e-4, atol=1e-4)
