@@ -119,7 +119,14 @@ def main(argv=None):
     if args.tune:
         from cleverrec_tpu.tuning import run_grid
         logger = get_logger(cfg.get("log.dir"), cfg.recommender + "_tune")
-        run_grid(cfg, logger=logger)
+        mesh = None
+        if args.mesh:
+            from cleverrec_tpu.parallel.mesh import make_mesh
+            n_data, n_model = (int(x) for x in args.mesh.lower().split("x"))
+            mesh = make_mesh(n_data, n_model)
+        if args.resume or args.export_serving:
+            logger.info("--resume/--export-serving are ignored with --tune")
+        run_grid(cfg, logger=logger, mesh=mesh)
         return 0
     run_experiment(cfg, mesh_shape=args.mesh, resume_from=args.resume,
                    export_serving=args.export_serving)

@@ -93,7 +93,10 @@ class Config:
         model = (overrides or {}).get("recommender", values.get("recommender"))
         if model:
             values["recommender"] = model
-            conf_dir = conf_dir or values.get("config_dir", "./conf")
+            # --set config_dir=... must steer the model-file lookup too.
+            conf_dir = (conf_dir
+                        or (overrides or {}).get("config_dir")
+                        or values.get("config_dir", "./conf"))
             model_path = os.path.join(conf_dir, f"{model}.properties")
             if os.path.exists(model_path):
                 mp = configparser.ConfigParser()
@@ -106,22 +109,29 @@ class Config:
         return cls(values)
 
     # -- validation -------------------------------------------------------
+    @staticmethod
+    def _dequote(v: Any) -> str:
+        """INI-style quote stripping, matching Config.str (the reference
+        ships quoted values like atten_type='prod')."""
+        s = str(v).strip()
+        if len(s) >= 2 and s[0] == s[-1] and s[0] in "'\"":
+            s = s[1:-1]
+        return s
+
     def _validate(self) -> None:
         v = self._v
         if "init_method" in v:
-            m = str(v["init_method"]).strip()
+            m = self._dequote(v["init_method"])
             m = _INIT_ALIASES.get(m, m)
             if m not in _VALID_INITS:
                 raise ValueError(f"unknown init_method {v['init_method']!r}")
             v["init_method"] = m
-        if "optimizer" in v and str(v["optimizer"]) not in _VALID_OPTIMIZERS:
-            raise ValueError(f"unknown optimizer {v['optimizer']!r}")
-        if "loss_func" in v and str(v["loss_func"]) not in _VALID_LOSSES:
-            raise ValueError(f"unknown loss_func {v['loss_func']!r}")
-        if "data.format" in v and str(v["data.format"]) not in _VALID_FORMATS:
-            raise ValueError(f"unknown data.format {v['data.format']!r}")
-        if "data.split_way" in v and str(v["data.split_way"]) not in _VALID_SPLITS:
-            raise ValueError(f"unknown data.split_way {v['data.split_way']!r}")
+        for key, valid in (("optimizer", _VALID_OPTIMIZERS),
+                           ("loss_func", _VALID_LOSSES),
+                           ("data.format", _VALID_FORMATS),
+                           ("data.split_way", _VALID_SPLITS)):
+            if key in v and self._dequote(v[key]) not in valid:
+                raise ValueError(f"unknown {key} {v[key]!r}")
 
     # -- generic accessors ------------------------------------------------
     def __contains__(self, key: str) -> bool:
@@ -180,6 +190,13 @@ class Config:
     def with_overrides(self, **kw: Any) -> "Config":
         d = dict(self._v)
         d.update(kw)
+        # Overriding an alias SOURCE (e.g. reg_gmf for GMF) must win over
+        # the canonical key materialized at construction — drop the stale
+        # dst so __init__ re-aliases from the fresh source value.
+        aliases = _MODEL_KEY_ALIASES.get(d.get("recommender", ""), {})
+        for src, dst in aliases.items():
+            if src in kw and dst not in kw:
+                d.pop(dst, None)
         return Config(d)
 
     # -- common typed fields (reference: Recommender.py:16-28) ------------

@@ -175,23 +175,31 @@ def build_cune_friends(ui_train: dict[int, list[int]], user_nums: int,
     walks = _deep_walks(w, walk_count, walk_length, rng)
     emb = _sgns_embeddings(walks, user_nums, walk_dim, window_size, rng)
 
-    # Cosine top-K over users that appear in the CUNet.
+    # Cosine top-K over users that appear in the CUNet, computed in row
+    # BLOCKS: a dense [active, active] similarity matrix is O(U^2)
+    # memory (multi-GB at Epinions scale) when only the top-K per row is
+    # needed.
     active = np.unique(np.concatenate([np.asarray(p) for p in walks])
                        if walks else np.zeros(0, np.int64))
     norms = np.linalg.norm(emb, axis=1, keepdims=True)
-    unit = emb / np.maximum(norms, 1e-12)
-    sims = jnp.asarray(unit[active]) @ jnp.asarray(unit[active]).T
-    sims = np.array(sims)  # writable host copy
-    np.fill_diagonal(sims, -np.inf)
-    k = min(topk_f, max(len(active) - 1, 1))
-    top = np.argpartition(-sims, kth=k - 1, axis=1)[:, :k]
-    # Order each row by similarity descending.
-    row_sims = np.take_along_axis(sims, top, axis=1)
-    order = np.argsort(-row_sims, axis=1)
-    top = np.take_along_axis(top, order, axis=1)
+    unit = (emb / np.maximum(norms, 1e-12))[active]
+    n_act = len(active)
+    k = min(topk_f, max(n_act - 1, 1))
+    unit_dev = jnp.asarray(unit)
+    block = 4096
+    top_rows = []
+    for r0 in range(0, n_act, block):
+        sims = np.array(unit_dev[r0: r0 + block] @ unit_dev.T)
+        rows = np.arange(r0, min(r0 + block, n_act))
+        sims[np.arange(len(rows)), rows] = -np.inf       # self
+        top = np.argpartition(-sims, kth=k - 1, axis=1)[:, :k]
+        row_sims = np.take_along_axis(sims, top, axis=1)
+        order = np.argsort(-row_sims, axis=1)
+        top_rows.append(np.take_along_axis(top, order, axis=1))
+    top = np.concatenate(top_rows) if top_rows else np.zeros((0, k), int)
 
     friends = {int(active[r]): [int(active[c]) for c in top[r]]
-               for r in range(len(active))}
+               for r in range(n_act)}
     spu, suk = build_spu(ui_train, friends)
     return friends, spu, suk
 
@@ -224,8 +232,15 @@ def build_tie_partitioned_spu(ui_train: dict[int, list[int]],
         nu = friend_sets.get(u, set())
         for v in fs:
             nv = friend_sets.get(v, set())
-            union = len(nu | nv)
-            t = (len(nu & nv) / union) if union else 0.0
+            # Jaccard over COMMON NEIGHBORS: the endpoints themselves are
+            # excluded (u in N(v) / v in N(u) is the tie being measured,
+            # not shared structure — counting them deflates t for every
+            # reciprocal pair and zeroes mutually-tied users with no
+            # other overlap).
+            nu_x = nu - {u, v}
+            nv_x = nv - {u, v}
+            union = len(nu_x | nv_x)
+            t = (len(nu_x & nv_x) / union) if union else 0.0
             strengths[(u, v)] = t
             if t > 0:
                 all_pos.append(t)

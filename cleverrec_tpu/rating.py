@@ -230,15 +230,21 @@ class FMTrainer:
         return rmse_mae(self.data.y_t, y_pre)
 
 
-def run_rating(cfg: Config, logger=None, mesh=None):
-    data = load_rating_data(cfg)
+def make_rating_model(cfg: Config, data):
+    """Build the configured rating model from the registry (FFM needs
+    the field count from the loaded data)."""
     name = cfg.recommender
-    if name == "FFM":
-        model = FFM(cfg, data.feature_nums, n_fields=data.x_idx_tr.shape[1])
-    elif name == "FM":
-        model = FM(cfg, data.feature_nums)
-    else:
+    if name not in _RATING_MODELS:
         raise KeyError(f"unknown rating model {name!r}; "
                        f"available: {sorted(_RATING_MODELS)}")
+    cls = _RATING_MODELS[name]
+    if name == "FFM":
+        return cls(cfg, data.feature_nums, n_fields=data.x_idx_tr.shape[1])
+    return cls(cfg, data.feature_nums)
+
+
+def run_rating(cfg: Config, logger=None, mesh=None):
+    data = load_rating_data(cfg)
+    model = make_rating_model(cfg, data)
     trainer = FMTrainer(model, data, cfg, logger=logger, mesh=mesh)
     return trainer.run()

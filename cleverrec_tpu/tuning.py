@@ -19,7 +19,7 @@ from typing import Any, Mapping, Sequence
 
 import numpy as np
 
-from cleverrec_tpu.config import Config
+from cleverrec_tpu.config import Config, _parse_list
 
 
 def grid_from_config(cfg: Config) -> dict[str, list]:
@@ -33,24 +33,45 @@ def grid_from_config(cfg: Config) -> dict[str, list]:
             continue
         s = str(raw)
         if "," in s or s.strip().startswith("["):
-            grid[key] = [cast(x) for x in
-                         s.strip().lstrip("[").rstrip("]").split(",")]
+            grid[key] = _parse_list(raw, cast)
     return grid
 
 
 def run_grid(cfg: Config, grid: Mapping[str, Sequence[Any]] | None = None,
-             logger=None):
-    """Run every grid combination; returns (best, all_results) ranked by
-    NDCG@topk[0] (the reference's best-metric criterion)."""
-    from cleverrec_tpu.data import load_ranking_data
-    from cleverrec_tpu.models import make_model
-    from cleverrec_tpu.models.base import DataMeta
-    from cleverrec_tpu.train import Trainer
-
+             logger=None, mesh=None):
+    """Run every grid combination; returns (best, all_results) — ranked
+    by NDCG@topk[0] for ranking models (the reference's best-metric
+    criterion) or by lowest RMSE for rating models (FM/FFM)."""
     grid = dict(grid) if grid else grid_from_config(cfg)
     if not grid:
         raise ValueError("no grid axes: pass grid= or list-valued config")
     log = logger.info if logger else (lambda *a: None)
+    keys = sorted(grid)
+    combos = list(itertools.product(*(grid[k] for k in keys)))
+
+    results = []
+    if cfg.model_type == "rating":
+        from cleverrec_tpu.data.libfm import load_rating_data
+        from cleverrec_tpu.rating import FMTrainer, make_rating_model
+        data = load_rating_data(cfg)              # preprocess ONCE
+        for combo in combos:
+            overrides = {k: str(v) for k, v in zip(keys, combo)}
+            trial_cfg = cfg.with_overrides(**overrides)
+            log("== trial %s", overrides)
+            model = make_rating_model(trial_cfg, data)
+            best = FMTrainer(model, data, trial_cfg, logger=logger,
+                             mesh=mesh).run()
+            results.append({"params": dict(zip(keys, combo)),
+                            "best": best})
+        top = min(results, key=lambda r: r["best"]["rmse"])
+        log("== best trial: %s -> RMSE=%.4f", top["params"],
+            top["best"]["rmse"])
+        return top, results
+
+    from cleverrec_tpu.data import load_ranking_data
+    from cleverrec_tpu.models import make_model
+    from cleverrec_tpu.models.base import DataMeta
+    from cleverrec_tpu.train import Trainer
 
     # Preprocess ONCE (main_tuning.py:33-36).
     base = cfg.with_overrides(**{k: str(v[0]) for k, v in grid.items()})
@@ -58,14 +79,12 @@ def run_grid(cfg: Config, grid: Mapping[str, Sequence[Any]] | None = None,
     data = load_ranking_data(base, rng=rng, logger=logger)
     meta = DataMeta(data.user_nums, data.item_nums)
 
-    keys = sorted(grid)
-    results = []
-    for combo in itertools.product(*(grid[k] for k in keys)):
+    for combo in combos:
         overrides = {k: str(v) for k, v in zip(keys, combo)}
         trial_cfg = cfg.with_overrides(**overrides)
         log("== trial %s", overrides)
         model = make_model(trial_cfg, meta)
-        trainer = Trainer(model, data, trial_cfg, logger=logger)
+        trainer = Trainer(model, data, trial_cfg, logger=logger, mesh=mesh)
         best = trainer.run()
         results.append({"params": dict(zip(keys, combo)), "best": best})
     top = max(results, key=lambda r: r["best"]["ndcg"])
