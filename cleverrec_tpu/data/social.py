@@ -22,6 +22,17 @@ import numpy as np
 import scipy.sparse as sp
 
 
+def flatten_friend_edges(user_friends: dict[int, list[int]]
+                         ) -> tuple[np.ndarray, np.ndarray]:
+    """{u: [v, ...]} -> flat (u, v) edge arrays (int32)."""
+    sf_u, sf_v = [], []
+    for u, friends in user_friends.items():
+        for v in friends:
+            sf_u.append(u)
+            sf_v.append(v)
+    return np.asarray(sf_u, np.int32), np.asarray(sf_v, np.int32)
+
+
 def build_spu(ui_train: dict[int, list[int]],
               user_friends: dict[int, list[int]]):
     """Returns (SPu, suk): {u: sorted social items}, {u: aligned counts}."""

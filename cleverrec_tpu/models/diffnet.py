@@ -23,6 +23,7 @@ import jax.numpy as jnp
 import numpy as np
 
 from cleverrec_tpu.common import init_param, l2_loss, pairwise_loss
+from cleverrec_tpu.data.social import flatten_friend_edges
 from cleverrec_tpu.models.base import Aux, Params, RecModel
 from cleverrec_tpu.models.gcn import LightGCN
 
@@ -50,13 +51,9 @@ class DiffNet(RecModel):
     def build_aux(self, device_data, data) -> dict:
         if data.user_friends is None:
             raise ValueError("DiffNet requires social_file")
-        sf_u, sf_v = [], []
-        for u, fs in data.user_friends.items():
-            for v in fs:
-                sf_u.append(u)
-                sf_v.append(v)
-        s_row, s_col, s_w = _mean_edges(np.asarray(sf_u, np.int64),
-                                        np.asarray(sf_v, np.int64),
+        sf_u, sf_v = flatten_friend_edges(data.user_friends)
+        s_row, s_col, s_w = _mean_edges(sf_u.astype(np.int64),
+                                        sf_v.astype(np.int64),
                                         self.meta.user_nums)
         # Consumed-item mean edges (u <- i).
         r_row, r_col, r_w = _mean_edges(device_data.pos_u.astype(np.int64),
@@ -152,10 +149,13 @@ class DiffNetPlusPlus(DiffNet):
                 aux["r_w"][:, None] * hi[aux["r_col"]], aux["r_row"],
                 num_segments=self.meta.user_nums)
             g = jax.nn.softmax(params[f"gate_{lid}"])
-            hu = hu + g[0] * social + g[1] * interest
+            # Both layer-(k+1) updates consume layer-k embeddings (the
+            # published DiffNet++ recurrence): the item aggregation reads
+            # the PRE-update hu, not the same-layer fused one.
             hi = hi + jax.ops.segment_sum(
                 aux["i_w"][:, None] * hu[aux["i_col"]], aux["i_row"],
                 num_segments=self.meta.item_nums)
+            hu = hu + g[0] * social + g[1] * interest
         return hu, hi
 
     def _user_final(self, params, aux):  # pragma: no cover - via score paths

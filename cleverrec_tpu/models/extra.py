@@ -110,7 +110,12 @@ class DMF(RecModel):
 
     def _cosine(self, ue, ie):
         num = jnp.sum(ue * ie, axis=-1)
-        den = (jnp.linalg.norm(ue, axis=-1) * jnp.linalg.norm(ie, axis=-1))
+        # sqrt(sum + eps) instead of linalg.norm: the norm's gradient is
+        # NaN at an exactly-zero row (a dead-ReLU tower output), and the
+        # downstream maximum() floors do NOT stop it (0 * NaN = NaN in
+        # the backward pass) — one such row would NaN the whole pytree.
+        den = (jnp.sqrt(jnp.sum(ue * ue, axis=-1) + 1e-12)
+               * jnp.sqrt(jnp.sum(ie * ie, axis=-1) + 1e-12))
         return jnp.maximum(num / jnp.maximum(den, 1e-8), self.mu)
 
     def loss(self, params: Params, batch, aux: Aux):
@@ -213,14 +218,11 @@ class EATNN(RecModel):
     def build_aux(self, device_data, data) -> dict:
         if data.user_friends is None:
             raise ValueError("EATNN requires social_file")
-        import numpy as np
-        sf_u, sf_v = [], []
-        for u, friends in data.user_friends.items():
-            for v in friends:
-                sf_u.append(u)
-                sf_v.append(v)
-        return {"sf_u_e": np.asarray(sf_u, np.int32),
-                "sf_v_e": np.asarray(sf_v, np.int32)}
+        from cleverrec_tpu.data.social import flatten_friend_edges
+        sf_u, sf_v = flatten_friend_edges(data.user_friends)
+        if sf_u.size == 0:
+            raise ValueError("EATNN: social_file has no friend edges")
+        return {"sf_u_e": sf_u, "sf_v_e": sf_v}
 
     def init(self, key) -> Params:
         d = self.embed_size
@@ -253,13 +255,21 @@ class EATNN(RecModel):
         s_i = jnp.sum(uv * params["Q"][batch["i"]], axis=1)
         s_j = jnp.sum(uv * params["Q"][batch["j"]], axis=1)
         main = pairwise_loss(self.loss_func, s_i - s_j, weight=w)
-        # Social-domain auxiliary task: friend pairs should be close in the
-        # social-domain user space (sampled from the flat friend list).
+        # Social-domain auxiliary task: friend pairs should be close in
+        # the social-domain user space — a fresh uniform batch of edges
+        # per STEP (the trainer threads dropout_key).  A deterministic
+        # hash of the user id here once froze each user to the same
+        # single edge forever, leaving most edges without gradient.
         n_f = aux["sf_u_e"].shape[0]
-        idx = (batch["u"].astype(jnp.uint32)
-               * jnp.uint32(2654435761)) % jnp.uint32(max(n_f, 1))
-        fu = aux["sf_u_e"][idx.astype(jnp.int32)]
-        fv = aux["sf_v_e"][idx.astype(jnp.int32)]
+        key = batch.get("dropout_key")
+        if key is not None:
+            idx = jax.random.randint(key, batch["u"].shape, 0, n_f)
+        else:   # keyless call (tests/serving): any fixed spread works
+            idx = (batch["u"].astype(jnp.uint32)
+                   * jnp.uint32(2654435761)) % jnp.uint32(max(n_f, 1))
+            idx = idx.astype(jnp.int32)
+        fu = aux["sf_u_e"][idx]
+        fv = aux["sf_v_e"][idx]
         su = self._user_vec(params, fu, "social")
         sv = self._user_vec(params, fv, "social")
         social = jnp.sum(jnp.square(su - sv) * w[:, None])

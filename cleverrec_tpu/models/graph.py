@@ -42,6 +42,7 @@ import jax.numpy as jnp
 import numpy as np
 
 from cleverrec_tpu.common import pairwise_loss, init_param
+from cleverrec_tpu.data.social import flatten_friend_edges
 from cleverrec_tpu.models.base import Aux, Params, RecModel
 from cleverrec_tpu.models.modules import relu_mlp_logits
 from cleverrec_tpu.sampling import build_member_table
@@ -49,13 +50,9 @@ from cleverrec_tpu.sampling import build_member_table
 
 def _social_arrays(user_friends, user_nums):
     """Flat positive friend pairs + a membership table for w-negatives."""
-    sf_u, sf_v = [], []
-    for u, friends in user_friends.items():
-        for v in friends:
-            sf_u.append(u)
-            sf_v.append(v)
+    sf_u, sf_v = flatten_friend_edges(user_friends)
     tbl = build_member_table(user_friends, user_nums, user_nums)
-    return (np.asarray(sf_u, np.int32), np.asarray(sf_v, np.int32), tbl)
+    return (sf_u, sf_v, tbl)
 
 
 def _uniform_row_values(rows, n_rows) -> np.ndarray:

@@ -69,7 +69,6 @@ def sharded_topk_scores(scores: Array, k: int, mesh: Mesh,
     top-k, shards all_gather the (k * n_shards) candidates, one merge
     yields the exact global top-k, replicated.
     """
-    n_shards = mesh.shape[axis]
 
     def local(scores_shard):
         shard_i = scores_shard.shape[1]
