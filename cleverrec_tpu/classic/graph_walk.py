@@ -36,11 +36,13 @@ class PersonalRank:
         return self
 
     def recommend(self, users, n: int) -> np.ndarray:
+        # One factorized solve for the whole batch (matrix RHS) — a
+        # per-user loop ran thousands of separate triangular solves.
         u_n = self.data.user_nums
-        scores = np.empty((len(users), self.data.item_nums))
-        for r, user in enumerate(users):
-            e = np.zeros(u_n + self.data.item_nums)
-            e[int(user)] = 1.0
-            rank = (1.0 - self.alpha) * self._solver(e)
-            scores[r] = rank[u_n:]
+        nodes = u_n + self.data.item_nums
+        E = np.zeros((nodes, len(users)))
+        E[np.asarray(users, dtype=np.int64),
+          np.arange(len(users))] = 1.0
+        rank = (1.0 - self.alpha) * self._solver(E)
+        scores = rank[u_n:].T
         return topn_from_scores(scores, self.data.seen_mask(users), n)

@@ -86,8 +86,6 @@ class LFM:
             u_all = pos_u[p_idx]
             # Popularity-biased candidate: invert the CDF on uniforms,
             # reject seen items.
-            def draw_bad(q):
-                return member(seen, u_all, q)
             uni = jax.random.uniform(skey, u_all.shape + (16,))
             cand = jnp.searchsorted(cdf, uni.reshape(-1)).reshape(
                 uni.shape).astype(jnp.int32)
@@ -98,6 +96,11 @@ class LFM:
                                         axis=-1)[..., 0]
             i_all = jnp.where(is_pos, pos_i[p_idx], j_all)
             y_all = is_pos.astype(jnp.float32)
+            # A heavy user can reject ALL 16 popularity-biased draws;
+            # argmax(all-False)=0 would then train a SEEN item toward
+            # label 0 — zero-weight those rows instead.
+            all_bad = jnp.all(bad, axis=-1) & ~is_pos
+            w_all = jnp.where(all_bad, 0.0, 1.0)
 
             def step(carry, xs):
                 params, opt_state = carry
@@ -107,7 +110,7 @@ class LFM:
                 return (optax.apply_updates(params, upd), opt_state), l
 
             xs = tuple(a.reshape(steps, b) for a in
-                       (u_all, i_all, y_all, valid))
+                       (u_all, i_all, y_all, valid * w_all))
             (params, opt_state), losses = jax.lax.scan(
                 step, (params, opt_state), xs)
             return params, opt_state, losses.mean()

@@ -51,7 +51,12 @@ def _topk_sparsify(s: sp.csr_matrix, k: int) -> sp.csr_matrix:
 
 
 class UserCF:
+    VALID_SIMS = ("cosine", "iif", "jacard")
+
     def __init__(self, k: int = 80, sim_type: str = "cosine"):
+        if sim_type not in self.VALID_SIMS:
+            raise ValueError(f"unknown sim_type {sim_type!r}; "
+                             f"valid: {self.VALID_SIMS}")
         self.k = k
         self.sim_type = sim_type
 
@@ -83,9 +88,14 @@ class UserCF:
 
 
 class ItemCF:
+    VALID_SIMS = ("cosine", "iuf")
+
     def __init__(self, k: int = 10, sim_type: str = "cosine",
                  alpha: float = 0.5, normalize: bool = False,
                  rank_time_topk: bool = False):
+        if sim_type not in self.VALID_SIMS:
+            raise ValueError(f"unknown sim_type {sim_type!r}; "
+                             f"valid: {self.VALID_SIMS}")
         self.k = k
         self.sim_type = sim_type
         self.alpha = alpha

@@ -106,7 +106,6 @@ class RatingItemCF(_KnnBase):
         self.sim_k = self._topk_mask(sim, self.k)
         self.r = r
         self.mask = msk
-        self.global_mean = (r.sum() / max(msk.sum(), 1.0))
         return self
 
     def predict(self, users, items) -> np.ndarray:

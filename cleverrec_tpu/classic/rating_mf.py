@@ -64,6 +64,10 @@ class _ImplicitMFBase:
                                  dtype=jnp.float32)
         if self.use_trust:
             tp = np.asarray(list(trust_pairs or []), dtype=np.int64)
+            # Empty trust graph: keep a shape-stable placeholder edge but
+            # ZERO its loss weight (a trained fake (0,0) edge pushed user
+            # 0's embeddings toward w_0 . p_0 = 1 every step).
+            t_weight = 1.0 if len(tp) else 0.0
             if len(tp) == 0:
                 tp = np.zeros((1, 2), np.int64)
             tu = jnp.asarray(tp[:, 0].astype(np.int32))
@@ -120,7 +124,7 @@ class _ImplicitMFBase:
             total = main + reg * l2
             if use_trust:
                 t_pred = jnp.sum(p["W"][tv] * p["P"][tu], axis=1)
-                total = total + reg_t * (
+                total = total + reg_t * t_weight * (
                     jnp.mean(jnp.square(1.0 - t_pred))
                     + jnp.mean(jnp.square(p["W"][tv])))
             return total

@@ -37,11 +37,14 @@ class TagBasedModel:
         if self.variant == "SimpleTagBased":
             self._scores_mat = (ut @ ti).tocsr()
         else:
-            tag_pen = sp.diags(1.0 / np.log1p(np.maximum(tag_users, 1e-9)))
+            # Degrees clamp to >= 1: log1p of a ~0 degree would turn the
+            # popularity PENALTY into a ~1e9 boost for zero-train-degree
+            # entities.
+            tag_pen = sp.diags(1.0 / np.log1p(np.maximum(tag_users, 1.0)))
             m = (ut @ tag_pen @ ti).tocsr()
             if self.variant == "TFIDF++":
                 item_pen = sp.diags(
-                    1.0 / np.log1p(np.maximum(item_users, 1e-9)))
+                    1.0 / np.log1p(np.maximum(item_users, 1.0)))
                 m = (m @ item_pen).tocsr()
             self._scores_mat = m
         return self

@@ -148,9 +148,10 @@ class TimeUserCF:
         return self
 
     def recommend(self, users, n: int) -> np.ndarray:
-        scores = np.asarray(self.sim[users] @ self.r_w.todense())
-        return topn_from_scores(np.asarray(scores),
-                                self.data.seen_mask(users), n)
+        # ndarray @ csr computes the same [B, I] block without ever
+        # densifying the full user-item matrix.
+        scores = np.asarray(self.sim[users] @ self.r_w)
+        return topn_from_scores(scores, self.data.seen_mask(users), n)
 
 
 class SessionGraph:

@@ -64,7 +64,8 @@ def read_columns(path: str, sep: str, n_cols: int,
     # bail to pandas when any needed field isn't a plain number.
     try:
         with open(path, "r") as f:
-            f.readline()  # header (skipped by the parser too)
+            if skip_header:
+                f.readline()  # header (skipped by the parser too)
             probe = f.readline().rstrip("\r\n").split(sep)
         if len(probe) < n_cols:
             return None

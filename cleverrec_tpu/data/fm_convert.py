@@ -56,10 +56,21 @@ def convert_dataset(root_dir: str, dataset: str, file_name: str, sep: str,
     <dataset>.train.libfm / <dataset>.test.libfm next to it."""
     path = os.path.join(root_dir, dataset, file_name)
     with open(path) as f:
-        f.readline()
+        first = f.readline().rstrip("\r\n")
         n_fields = len(f.readline().rstrip("\r\n").split(sep))
+
+    def _numeric(line: str) -> bool:
+        try:
+            [float(x) for x in line.split(sep)[:2]]
+            return True
+        except ValueError:
+            return False
+
+    # Headerless files (e.g. ml-100k u.data) must keep their first row —
+    # a blanket header=0 silently dropped one rating.
+    header = None if _numeric(first) else 0
     names = ["u_id", "i_id", "rating", "time"][: max(min(n_fields, 4), 3)]
-    df = pd.read_csv(path, sep=sep, header=0, names=names,
+    df = pd.read_csv(path, sep=sep, header=header, names=names,
                      usecols=list(range(len(names))), engine="python")
     out_dir = out_dir or os.path.join(root_dir, dataset)
     out_train = os.path.join(out_dir, f"{dataset}.train.libfm")

@@ -43,7 +43,7 @@ def _read_libfm(path: str, feature_map: dict, real_valued: bool):
             row_i, row_v = [], []
             for col in parts[1:]:
                 if real_valued and ":" in col:
-                    tok, val = col.split(":")
+                    tok, val = col.rsplit(":", 1)
                     row_v.append(float(val))
                 else:
                     tok = col

@@ -118,3 +118,26 @@ def test_fm_mesh_matches_single_device(libfm_dataset):
                                    rtol=2e-4, atol=2e-5)
     # The feature tables are actually sharded on the mesh run.
     assert "model" in t1.params["vif"].sharding.spec
+
+
+def test_convert_dataset_keeps_headerless_first_row(tmp_path):
+    """A blanket header=0 silently dropped the first rating of headerless
+    files like ml-100k's u.data."""
+    from cleverrec_tpu.data.fm_convert import convert_dataset
+    ds = tmp_path / "hx"
+    ds.mkdir()
+    rows = [f"{u}\t{i}\t{3 + (u + i) % 3}\t{1000 + u}"
+            for u in range(30) for i in range(4)]
+    (ds / "r.tsv").write_text("\n".join(rows) + "\n")
+    train, test = convert_dataset(str(tmp_path), "hx", "r.tsv", "\t",
+                                  test_size=0.25, seed=0)
+    n = sum(1 for _ in open(train)) + sum(1 for _ in open(test))
+    assert n == len(rows)
+    # And WITH a header the header line must not become a data row.
+    (ds / "h.csv").write_text("user_id,item_id,rating,time\n"
+                              + "\n".join(r.replace("\t", ",")
+                                          for r in rows) + "\n")
+    train2, test2 = convert_dataset(str(tmp_path), "hx", "h.csv", ",",
+                                    test_size=0.25, seed=0)
+    n2 = sum(1 for _ in open(train2)) + sum(1 for _ in open(test2))
+    assert n2 == len(rows)
