@@ -35,6 +35,13 @@ MODEL_OVERRIDES = {
             "reg": "0.01", "lr": "0.001", "neg_ratio": "4"},
     "CML": {"is_pairwise": "True", "loss_func": "hinge", "margin": "1.0",
             "reg": "0.1", "lr": "0.05", "neg_ratio": "10"},
+    # conf/NeuMF.properties tower at the family's embed 128.
+    "NeuMF": {"is_pairwise": "False", "loss_func": "cross_entropy",
+              "layers": "[128,64,32]", "reg1": "0.01", "reg2": "0.01",
+              "lr": "0.001", "neg_ratio": "4"},
+    "MLP": {"is_pairwise": "False", "loss_func": "cross_entropy",
+            "layers": "[128,64,32]", "reg": "0.01", "lr": "0.001",
+            "neg_ratio": "4"},
 }
 
 
@@ -63,21 +70,30 @@ def build_trainer(name: str, fused: bool):
 
 
 def marginal_epoch_s(tr, chain: int = 16) -> float:
+    import jax
+
     p, o = tr.init_state()
+    sync = lambda t: np.asarray(jax.tree.leaves(t)[0][:1])  # noqa: E731
     # Warm both the 1-block and chain-block programs.
     p, o, _ = tr.train_epochs(p, o, 1)
     p, o, _ = tr.train_epochs(p, o, chain)
+    # Minimum over repeats per arm: first-call dispatch spikes on this
+    # tunneled backend run to ~0.5s — an "accept when tn > t1" retry
+    # once paired a spiked t1 with a normal tn and reported a ~0 (even
+    # 20x-understated) marginal epoch.
+    t1s, tns = [], []
     for _ in range(3):
         t0 = time.time()
         p, o, _ = tr.train_epochs(p, o, 1)
-        np.asarray(p["P"][:1])
-        t1 = time.time() - t0
+        sync(p)
+        t1s.append(time.time() - t0)
         t0 = time.time()
         p, o, _ = tr.train_epochs(p, o, chain)
-        np.asarray(p["P"][:1])
-        tn = time.time() - t0
-        if tn > t1:  # dispatch-noise guard (async tunnel)
-            return (tn - t1) / (chain - 1)
+        sync(p)
+        tns.append(time.time() - t0)
+    t1, tn = min(t1s), min(tns)
+    if tn > t1:
+        return (tn - t1) / (chain - 1)
     return max(tn / chain, 1e-9)
 
 

@@ -82,15 +82,67 @@ class GMF(RecModel):
         return params["P"][u] * params["h_gmf"], params["Q"], None
 
 
+def _stable_bce(logits, y):
+    """Per-row sigmoid cross-entropy, the exact common.sigmoid_xent_loss
+    form (max(x,0) - x*z + log1p(exp(-|x|)))."""
+    return (jnp.maximum(logits, 0.0) - logits * y
+            + jnp.log1p(jnp.exp(-jnp.abs(logits))))
+
+
+def _dotg(x, w):
+    return jax.lax.dot_general(x, w, (((1,), (0,)), ((), ())),
+                               preferred_element_type=jnp.float32)
+
+
 class MLP(RecModel):
     name = "MLP"
     sampler = "pointwise"
+    # Tower objective: eligible for the generic VMEM-resident fused
+    # pointwise epoch (ops/pallas_train.py fused_mlp_epoch) — the
+    # per-row loss below is differentiated inside the kernel.
+    fused_protocol = "pointwise_mlp"
 
     def __init__(self, cfg, meta):
         super().__init__(cfg, meta)
         cfg.require("layers", "reg")
         self.layers = cfg.int_list("layers")
         self.reg = cfg.float("reg")
+        self._fused_spec = None
+
+    def fused_mlp_spec(self):
+        """Static spec for the fused pointwise epoch: table grouping,
+        dense param order, the per-row loss (MLP.loss verbatim over
+        kernel-shaped values: dense 1-D params arrive as [1, n]), and
+        VMEM-planning widths.  Cached so the jit key (the row_loss
+        closure identity) is stable across epochs."""
+        if self._fused_spec is not None:
+            return self._fused_spec
+        L = len(self.layers)
+        reg = self.reg
+        dense = (tuple(f"W_{lid}" for lid in range(L))
+                 + tuple(f"b_{lid}" for lid in range(L)) + ("h_mlp",))
+
+        def row_loss(pe, qe, dv, y, w):
+            pe = pe * w
+            qe = qe * w
+            x = jnp.concatenate([pe, qe], axis=1)
+            for lid in range(L):
+                x = jax.nn.relu(_dotg(x, dv[lid]) + dv[L + lid])
+            logits = jax.lax.dot_general(
+                x, dv[2 * L], (((1,), (1,)), ((), ())),
+                preferred_element_type=jnp.float32)         # [blk, 1]
+            main = jnp.sum(_stable_bce(logits, y) * w)
+            return main + reg * (l2_loss(pe) + l2_loss(qe))
+
+        half = self.layers[0] // 2
+        self._fused_spec = {
+            "u": ("P",), "i": ("Q",), "dense": dense,
+            "row_loss": row_loss, "tw_u": half, "tw_i": half,
+            "dense_elems": sum(w * (w // 2) + w // 2 for w in self.layers)
+            + self.layers[-1] // 2,
+            "act_cols": self.layers[0] + sum(w // 2 for w in self.layers),
+        }
+        return self._fused_spec
 
     def init(self, key) -> Params:
         half = self.layers[0] // 2
@@ -132,6 +184,7 @@ class MLP(RecModel):
 class NeuMF(RecModel):
     name = "NeuMF"
     sampler = "pointwise"
+    fused_protocol = "pointwise_mlp"
 
     def __init__(self, cfg, meta):
         super().__init__(cfg, meta)
@@ -140,6 +193,47 @@ class NeuMF(RecModel):
         self.layers = cfg.int_list("layers")
         self.reg1 = cfg.float("reg1")
         self.reg2 = cfg.float("reg2")
+        self._fused_spec = None
+
+    def fused_mlp_spec(self):
+        """Fused-epoch spec (see MLP.fused_mlp_spec): the GMF and MLP
+        user tables ride ONE concatenated [U, d + l0/2] gather (same on
+        the item side), and NeuMF.loss is reproduced verbatim over the
+        split slices."""
+        if self._fused_spec is not None:
+            return self._fused_spec
+        L = len(self.layers)
+        d, reg1, reg2 = self.embed_size, self.reg1, self.reg2
+        dense = (tuple(f"W_{lid}" for lid in range(L))
+                 + tuple(f"b_{lid}" for lid in range(L)) + ("h_neumf",))
+
+        def row_loss(pe, qe, dv, y, w):
+            pe = pe * w
+            qe = qe * w
+            ug, um = pe[:, :d], pe[:, d:]
+            ig, im = qe[:, :d], qe[:, d:]
+            x = jnp.concatenate([um, im], axis=1)
+            for lid in range(L):
+                x = jax.nn.relu(_dotg(x, dv[lid]) + dv[L + lid])
+            z = jnp.concatenate([ug * ig, x], axis=1)
+            logits = jax.lax.dot_general(
+                z, dv[2 * L], (((1,), (1,)), ((), ())),
+                preferred_element_type=jnp.float32)         # [blk, 1]
+            main = jnp.sum(_stable_bce(logits, y) * w)
+            return (main + reg1 * (l2_loss(ug) + l2_loss(ig))
+                    + reg2 * (l2_loss(um) + l2_loss(im)))
+
+        half = self.layers[0] // 2
+        self._fused_spec = {
+            "u": ("P_gmf", "P_mlp"), "i": ("Q_gmf", "Q_mlp"),
+            "dense": dense, "row_loss": row_loss,
+            "tw_u": d + half, "tw_i": d + half,
+            "dense_elems": sum(w * (w // 2) + w // 2 for w in self.layers)
+            + d + self.layers[-1] // 2,
+            "act_cols": 2 * d + self.layers[0]
+            + sum(w // 2 for w in self.layers) + self.layers[-1] // 2,
+        }
+        return self._fused_spec
 
     def init(self, key) -> Params:
         half = self.layers[0] // 2

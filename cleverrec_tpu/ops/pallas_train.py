@@ -414,6 +414,232 @@ def fused_gmf_epoch(p, q, h, mp, vp, mq, vq, mh, vh, uz_idx, i_idx, t0,
             mh_o[0], vh_o[0], jnp.sum(loss) - steps * padb * LOG2)
 
 
+def _mlp_kernel(t0_ref, uz_ref, i_ref, *refs,
+                steps: int, blk: int, nd: int, row_loss, lr: float,
+                b1: float, b2: float, eps: float):
+    """Generic pointwise epoch kernel body (NeuMF/MLP family).
+
+    The per-row objective is NOT hand-differentiated: ``row_loss`` (a
+    pure function of the gathered user/item rows, the dense tower
+    params, and the label/validity columns) is reverse-differentiated
+    with ``jax.value_and_grad`` INSIDE the kernel — the transpose ops it
+    produces (matmul transposes, relu selects) all lower to Mosaic.
+    User-side and item-side embedding tables arrive pre-CONCATENATED on
+    the feature axis (e.g. NeuMF's [P_gmf | P_mlp]), so one one-hot
+    gather/scatter pair per side covers every table: 4 table-width MXU
+    matmuls per block regardless of how many logical tables the model
+    has.  Dense (tower) grads accumulate into VMEM scratch across the
+    step's blocks; everything gets the same dense Adam update at step
+    end.
+
+    Labels ride the user id sign (uz = (u+1)*(2y-1), u_pad = invalid);
+    the label/validity lane rows become [blk, 1] columns via mat-vecs
+    against the user one-hot (its columns each sum to 1), so no
+    cross-lane transpose is ever needed.  Invalid rows are masked by an
+    EXPLICIT weight column (a tower with biases scores nonzero on
+    all-zero sentinel embeddings, so the BPR/GMF kernels'
+    constant-bias trick does not apply): their loss and every gradient
+    contribution vanish identically, and no host-side loss correction
+    is needed.
+
+    Ref layout (after the 3 index streams): 3A HBM inputs (A = 2 + nd
+    params in order [pu, qi, *dense], then their mu, then nu), 3A
+    resident VMEM outputs in the same order, the per-step loss vector,
+    A gradient scratch buffers, one DMA semaphore.
+    """
+    import jax.experimental.pallas as pl
+
+    A = 2 + nd
+    hbm = refs[:3 * A]
+    res = refs[3 * A:6 * A]
+    loss_ref = refs[6 * A]
+    grads = refs[6 * A + 1:6 * A + 1 + A]
+    sem = refs[-1]
+    p_res, m_res, v_res = res[:A], res[A:2 * A], res[2 * A:]
+    pu_ref, qi_ref = p_res[0], p_res[1]
+
+    s = pl.program_id(0)
+    u_pad = pu_ref.shape[0]
+    i_pad = qi_ref.shape[0]
+    n_rb = uz_ref.shape[1]             # idx blocks are [1, B//blk, blk]
+
+    @pl.when(s == 0)
+    def _load_state():
+        _load_resident(tuple(zip(hbm, res)), sem)
+
+    for g in grads:
+        g[...] = jnp.zeros_like(g)
+    ones_u = jnp.ones((u_pad, 1), jnp.float32)
+
+    def block(kb, loss):
+        row = pl.ds(kb, 1)             # dynamic sublane, static lanes
+        uz = uz_ref[0, row, :]                          # [1, blk] signed
+        y_t = (uz > 0).astype(jnp.float32)
+        w_t = (jnp.abs(uz) != u_pad).astype(jnp.float32)
+        oh_u = _onehot_t(jnp.abs(uz) - 1, u_pad, blk)
+        oh_i = _onehot_t(i_ref[0, row, :], i_pad, blk)
+        # Lane rows -> [blk, 1] columns: each one-hot column sums to 1.
+        lane2col = lambda v_t: jax.lax.dot_general(  # noqa: E731
+            oh_u * v_t, ones_u, (((0,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32)
+        y_c, w_c = lane2col(y_t), lane2col(w_t)
+        pe = _mxu_gather(oh_u, pu_ref)                  # [blk, tw_u]
+        qe = _mxu_gather(oh_i, qi_ref)                  # [blk, tw_i]
+        dense_vals = tuple(r[...] for r in p_res[2:])
+        lval, (g_pe, g_qe, g_dv) = jax.value_and_grad(
+            row_loss, argnums=(0, 1, 2))(pe, qe, dense_vals, y_c, w_c)
+        grads[0][...] += jnp.dot(oh_u, g_pe,
+                                 preferred_element_type=jnp.float32)
+        grads[1][...] += jnp.dot(oh_i, g_qe,
+                                 preferred_element_type=jnp.float32)
+        for k in range(nd):
+            grads[2 + k][...] += g_dv[k]
+        return loss + lval
+
+    loss_ref[s] = jax.lax.fori_loop(0, n_rb, block, 0.0)
+
+    bc1, bc2 = _adam_step(t0_ref, s, b1, b2)
+    for k in range(A):
+        _adam_apply(p_res[k], m_res[k], v_res[k], grads[k][...], bc1, bc2,
+                    lr=lr, b1=b1, b2=b2, eps=eps)
+
+
+@functools.partial(jax.jit, static_argnames=(
+    "row_loss", "lr", "b1", "b2", "eps", "blk", "interpret"))
+def fused_mlp_epoch(pu, qi, dense, mpu, mqi, mdense, vpu, vqi, vdense,
+                    uz_idx, i_idx, t0, *, row_loss, lr: float,
+                    b1: float = 0.9, b2: float = 0.999, eps: float = 1e-8,
+                    blk: int = 256, interpret: bool = False):
+    """One full pointwise NeuMF/MLP-family training epoch in a single
+    Pallas program, with every parameter + its Adam moments
+    VMEM-resident.
+
+    pu/qi: [U, tw_u]/[I, tw_i] feature-axis-CONCATENATED user/item
+    tables; dense: tuple of tower params (1-D entries are lifted to
+    [1, n] for the kernel and returned in their original shape);
+    m*/v*: matching Adam moments (dense moments as tuples in the same
+    order).  uz_idx: [steps, B] sign-encoded user rows ((u+1) positive,
+    -(u+1) negative, u_pad invalid); i_idx: [steps, B] item rows
+    (sentinel i_pad-1 for invalid).  ``row_loss(pe, qe, dense, y, w)``
+    must return the batch loss SUM with the validity column w applied
+    to both the per-row loss and (by construction of the model's scan
+    loss) its regularizers — models supply it via ``fused_mlp_spec``.
+
+    Returns (pu, qi, dense, mpu, mqi, mdense, vpu, vqi, vdense,
+    loss_total); loss_total needs NO sentinel correction (explicit
+    masking)."""
+    from jax.experimental import pallas as pl
+    from jax.experimental.pallas import tpu as pltpu
+
+    steps, b = uz_idx.shape
+    u_real, tw_u = pu.shape
+    i_real, tw_i = qi.shape
+    u_pad, i_pad = sentinel_dims(u_real, i_real)
+    nd = len(dense)
+    d_shapes = tuple(x.shape for x in dense)
+    lift = lambda x: x[None, :] if x.ndim == 1 else x  # noqa: E731
+    dense, mdense, vdense = (tuple(lift(x) for x in t)
+                             for t in (dense, mdense, vdense))
+    pads = lambda a, n: jnp.pad(a, ((0, n - a.shape[0]), (0, 0)))  # noqa: E731
+    pu, mpu, vpu = (pads(x, u_pad) for x in (pu, mpu, vpu))
+    qi, mqi, vqi = (pads(x, i_pad) for x in (qi, mqi, vqi))
+    padb = (_round_up(b, blk) - b) if b % blk else 0
+    if padb:
+        uz_idx = jnp.pad(uz_idx, ((0, 0), (0, padb)),
+                         constant_values=u_pad)
+        i_idx = jnp.pad(i_idx, ((0, 0), (0, padb)),
+                        constant_values=i_pad - 1)
+        b = b + padb
+    uz_idx, i_idx = (a.reshape(steps, b // blk, blk)
+                     for a in (uz_idx, i_idx))
+
+    full = lambda shape: pl.BlockSpec(  # noqa: E731
+        shape, lambda s: tuple(0 for _ in shape),
+        memory_space=pltpu.VMEM)
+    hbm = pl.BlockSpec(memory_space=pl.ANY)
+    idx = pl.BlockSpec((1, b // blk, blk), lambda s: (s, 0, 0),
+                       memory_space=pltpu.VMEM)
+
+    arrs = ((pu, qi) + dense + (mpu, mqi) + mdense
+            + (vpu, vqi) + vdense)
+    shapes = tuple(a.shape for a in arrs)
+    outs = pl.pallas_call(
+        functools.partial(_mlp_kernel, steps=steps, blk=blk, nd=nd,
+                          row_loss=row_loss, lr=lr, b1=b1, b2=b2, eps=eps),
+        grid=(steps,),
+        in_specs=[pl.BlockSpec(memory_space=pltpu.SMEM),    # t0
+                  idx, idx] + [hbm] * len(arrs),
+        out_specs=tuple(full(sh) for sh in shapes)
+        + (pl.BlockSpec(memory_space=pltpu.SMEM),),         # loss
+        out_shape=tuple(jax.ShapeDtypeStruct(sh, jnp.float32)
+                        for sh in shapes)
+        + (jax.ShapeDtypeStruct((steps,), jnp.float32),),
+        scratch_shapes=[pltpu.VMEM(sh, jnp.float32)
+                        for sh in shapes[:2 + nd]]
+        + [pltpu.SemaphoreType.DMA((len(arrs),))],
+        interpret=interpret,
+    )(jnp.asarray([t0], jnp.int32), uz_idx, i_idx, *arrs)
+
+    A = 2 + nd
+    unlift = lambda t: tuple(  # noqa: E731
+        x.reshape(sh) for x, sh in zip(t, d_shapes))
+    group = lambda k: (outs[k * A][:u_real], outs[k * A + 1][:i_real],  # noqa: E731
+                       unlift(outs[k * A + 2:(k + 1) * A]))
+    (pu_o, qi_o, dense_o) = group(0)
+    (mpu_o, mqi_o, mdense_o) = group(1)
+    (vpu_o, vqi_o, vdense_o) = group(2)
+    return (pu_o, qi_o, dense_o, mpu_o, mqi_o, mdense_o,
+            vpu_o, vqi_o, vdense_o, jnp.sum(outs[-1]))
+
+
+def plan_fused_mlp(u_real: int, i_real: int, tw_u: int, tw_i: int,
+                   dense_elems: int, b: int, act_cols: int):
+    """Block size for the generic pointwise (NeuMF/MLP) fused epoch, or
+    None (scan fallback).  Charges 4 copies of every param (3 state +
+    grad scratch), the two one-hot blocks, the double-buffered index
+    streams, and ~3x the forward activation columns for the in-kernel
+    AD's forward + transpose temporaries."""
+    u_pad, i_pad = sentinel_dims(u_real, i_real)
+    state = 4 * 4 * (u_pad * tw_u + i_pad * tw_i + dense_elems)
+    for blk in (256, 128):
+        lanes = max(blk, 128)
+        onehots = 4 * lanes * (u_pad + i_pad)
+        idx = 2 * 2 * 4 * (_round_up(b, blk) // blk) * lanes
+        acts = 4 * lanes * act_cols * 3
+        if state + onehots + idx + acts < FUSED_VMEM_BUDGET:
+            return blk
+    return None
+
+
+def plan_fused_mlp_grouped(u_real: int, i_real: int, tw_u: int,
+                           tw_i: int, dense_elems: int, b: int,
+                           act_cols: int, force_g: int | None = None):
+    """Grouped plan for the generic pointwise (NeuMF/MLP) fused epoch:
+    when plan_fused_mlp returns None, split users into G mass-balanced
+    groups and run one fused_mlp_epoch launch per group with only that
+    PU-slice (+ moments) resident; the item-side concat table and every
+    dense tower param stay fully resident and get dense Adam every
+    step.  Same user-axis block-coordinate semantics as
+    plan_fused_grouped.  Returns (n_groups, group_rows, blk) or None."""
+    limit = int(15.5 * 2 ** 20)
+    for g in ((force_g,) if force_g
+              else (2, 4, 8, 16, 32, 64, 128, 256, 512, 1024)):
+        rows = _round_up(cdiv(u_real, g), 128)
+        u_pad, i_pad = sentinel_dims(rows, i_real)
+        state = 4 * 4 * (u_pad * tw_u + i_pad * tw_i + dense_elems)
+        # XLA pins the per-group slice temporaries next to the kernel
+        # (see grouped_blk's calibration note).
+        slices = 8 * 4 * tw_u * rows
+        for blk in (256, 128):
+            lanes = max(blk, 128)
+            onehots = 4 * lanes * (u_pad + i_pad)
+            idx = 2 * 2 * 4 * (_round_up(b, blk) // blk) * lanes
+            acts = 4 * lanes * act_cols * 3
+            if state + slices + onehots + idx + acts < limit:
+                return g, rows, blk
+    return None
+
+
 def _cml_kernel(t0_ref, u_ref, i_ref, n_ref,
                 hbm_p, hbm_q, hbm_mp, hbm_vp, hbm_mq, hbm_vq,
                 p_ref, q_ref, mp_ref, vp_ref, mq_ref, vq_ref, loss_ref,
@@ -423,12 +649,26 @@ def _cml_kernel(t0_ref, u_ref, i_ref, n_ref,
                 b1: float, b2: float, eps: float):
     """CML (metric-learning hinge) epoch kernel body.
 
-    Per pair: K negative gathers twice — pass 1 finds the min distance
-    and imposter count (the WARP weight log(rank+1) is gradient-dead: the
-    imposter mask is boolean, models/metric.py:66-70), pass 2 re-derives
-    the argmin by bitwise-equal distance and scatters its gradient with
-    the VALUE rows zeroed for non-selected pairs (the one-hot stays
-    dense, so no cross-lane transpose is ever needed).  The covariance
+    Distances to ALL K negatives come from ONE score matrix instead of
+    K gather matmuls run twice: with S_t = Q @ peT ([i_pad, blk]) and
+    the norm expansion ||pe - q_c||^2 = ||q_c||^2 - 2*S_t + ||pe||^2,
+    the full distance matrix D_t costs a single MXU matmul.  The K
+    negative ids per pair become a MULTIPLICITY mask M_t (sum of K
+    transposed one-hots — VPU compares, no matmuls), and the WARP
+    imposter count / min-negative-distance / argmin selection are all
+    sublane reductions over D_t masked by M_t.  Everything lives in the
+    TRANSPOSED orientation (items on sublanes, pairs on lanes), so the
+    argmin one-hot is born scatter-ready and no cross-lane transpose is
+    ever needed; the two [1, blk] <-> [blk, 1] moves (pair distance
+    d_ui, WARP coefficient) are tiny MXU mat-vecs against ones.  Per
+    block: 7 table-sized matmuls vs 3K+4 for the two-pass gather form
+    (4.9x fewer MXU flops at the reference K=10).
+
+    The WARP weight log(rank+1) is gradient-dead (the imposter mask is
+    boolean, models/metric.py:66-70).  Argmin ties across DISTINCT
+    equal-distance items resolve to the lowest item id (the two-pass
+    form picked the first sample slot) — gradient-equivalent for the
+    measure-one case of duplicate sampled ids.  The covariance
     regularizer (CML.py:63-70) is applied as its closed-form DENSE
     per-step gradient over the resident tables, masked to real rows so
     sentinel rows stay identically zero:
@@ -459,6 +699,17 @@ def _cml_kernel(t0_ref, u_ref, i_ref, n_ref,
     dq_ref[...] = jnp.zeros_like(dq_ref)
     onehot_t = lambda ids_row, n_r: _onehot_t(ids_row, n_r, blk)  # noqa: E731
     gather = _mxu_gather
+    # Hoisted per grid step: Q only changes at the step's Adam update.
+    qn2 = jnp.sum(q_ref[...] * q_ref[...], axis=1, keepdims=True)
+    iota_sub = jax.lax.broadcasted_iota(jnp.int32, (i_pad, blk), 0)
+    ones_d = jnp.ones((1, d), jnp.float32)
+    ones_i = jnp.ones((i_pad, 1), jnp.float32)
+
+    def row_sum(x_t):
+        """[blk, 1] <- sublane-contraction of [i_pad, blk] via MXU."""
+        return jax.lax.dot_general(
+            x_t, ones_i, (((0,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32)
 
     def block(kb, loss):
         row = pl.ds(kb, 1)              # dynamic sublane, static lanes
@@ -466,48 +717,53 @@ def _cml_kernel(t0_ref, u_ref, i_ref, n_ref,
         oh_i = onehot_t(i_ref[0, row, :], i_pad)
         pe = gather(oh_u, p_ref)                        # [blk, d]
         qi = gather(oh_i, q_ref)
-        d_ui = jnp.sum(jnp.square(pe - qi), axis=1, keepdims=True)
+        diff_ui = pe - qi
+        # Direct-form pair distance, lane-oriented: [1, blk].
+        d_ui_t = jax.lax.dot_general(
+            ones_d, diff_ui * diff_ui, (((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32)
+        pe2_t = jax.lax.dot_general(
+            ones_d, pe * pe, (((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32)         # [1, blk]
+        # Score matrix Q @ peT and the expanded distance matrix.
+        s_t = jax.lax.dot_general(
+            q_ref[...], pe, (((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32)         # [i_pad, blk]
+        dist_t = qn2 - 2.0 * s_t + pe2_t
 
-        def neg_dist(k):
+        def accum_mask(k, m):
             # Negative plane k occupies sublane rows k*n_rb .. of the
             # [1, K*n_rb, blk] stream.
             ids = n_ref[0, pl.ds(k * n_rb + kb, 1), :]
-            oh_n = onehot_t(ids, i_pad)
-            qn = gather(oh_n, q_ref)
-            dn = jnp.sum(jnp.square(pe - qn), axis=1, keepdims=True)
-            return oh_n, qn, dn
+            return m + onehot_t(ids, i_pad)
 
-        def pass1(k, carry):
-            d_min, cnt = carry
-            _, _, dn = neg_dist(k)
-            cnt = cnt + (d_ui + margin - dn > 0).astype(jnp.float32)
-            return jnp.minimum(d_min, dn), cnt
-
-        d_min, cnt = jax.lax.fori_loop(
-            0, K, pass1,
-            (jnp.full((blk, 1), 3e38, jnp.float32),
-             jnp.zeros((blk, 1), jnp.float32)))
+        mult_t = jax.lax.fori_loop(
+            0, K, accum_mask, jnp.zeros((i_pad, blk), jnp.float32))
+        hit = mult_t > 0.0
+        cond = (d_ui_t + margin - dist_t > 0).astype(jnp.float32)
+        cnt_t = jnp.sum(mult_t * cond, axis=0, keepdims=True)  # [1, blk]
+        d_min_t = jnp.min(jnp.where(hit, dist_t, 3e38), axis=0,
+                          keepdims=True)
         # WARP weight, reference formula as written (CML.py:50-53).
-        rank = cnt / K * item_nums / K
-        wlog = jnp.log(rank + 1.0)
-        slack = d_ui + margin - d_min
-        coef = wlog * (slack > 0).astype(jnp.float32)   # [blk, 1]
-        loss = loss + jnp.sum(wlog * jnp.maximum(slack, 0.0))
+        rank_t = cnt_t / K * item_nums / K
+        wlog_t = jnp.log(rank_t + 1.0)
+        slack_t = d_ui_t + margin - d_min_t
+        coef_t = wlog_t * (slack_t > 0).astype(jnp.float32)  # [1, blk]
+        loss = loss + jnp.sum(wlog_t * jnp.maximum(slack_t, 0.0))
 
-        def pass2(k, carry):
-            found, q_sel = carry
-            oh_n, qn, dn = neg_dist(k)          # bitwise == pass 1
-            sel = ((dn == d_min) & (found == 0.0)).astype(jnp.float32)
-            dq_ref[...] += jnp.dot(oh_n, (2.0 * coef * sel) * (pe - qn),
-                                   preferred_element_type=jnp.float32)
-            return found + sel, q_sel + sel * qn
+        # Argmin one-hot (scatter-ready): lowest item id among the
+        # bitwise-min-distance sampled negatives of each pair.
+        eq = hit & (dist_t == d_min_t)
+        sel_row_t = jnp.min(jnp.where(eq, iota_sub, i_pad), axis=0,
+                            keepdims=True)               # [1, blk]
+        oh_sel = (iota_sub == sel_row_t).astype(jnp.float32)
+        q_sel = gather(oh_sel, q_ref)                    # [blk, d]
+        coef_c = row_sum(oh_sel * coef_t)                # [blk, 1]
 
-        _, q_sel = jax.lax.fori_loop(
-            0, K, pass2,
-            (jnp.zeros((blk, 1), jnp.float32),
-             jnp.zeros((blk, d), jnp.float32)))
-        d_pe = 2.0 * coef * (q_sel - qi)
-        d_qi = -2.0 * coef * (pe - qi)
+        d_pe = 2.0 * coef_c * (q_sel - qi)
+        d_qi = -2.0 * coef_c * diff_ui
+        dq_ref[...] += jnp.dot(oh_sel, (2.0 * coef_c) * (pe - q_sel),
+                               preferred_element_type=jnp.float32)
         dp_ref[...] += jnp.dot(oh_u, d_pe,
                                preferred_element_type=jnp.float32)
         dq_ref[...] += jnp.dot(oh_i, d_qi,
@@ -654,18 +910,22 @@ def sentinel_dims(u_real: int, i_real: int) -> tuple[int, int]:
 
 
 def vmem_footprint_bytes(u_real: int, i_real: int, d: int, b: int,
-                         blk: int = 256, idx_planes: int = 3) -> int:
+                         blk: int = 256, idx_planes: int = 3,
+                         oh_items: int = 2) -> int:
     """Rough VMEM bytes the fused epoch needs: 6 resident state arrays +
-    dP/dQ scratch + 3 one-hot blocks + streamed index rows (x2 buffers;
-    ``idx_planes`` [steps, b]-shaped index streams — 3 for BPR (u, i, j),
-    2 for GMF (uz, i), 2 + neg_ratio for CML)."""
+    dP/dQ scratch + the live [*, blk] block temporaries + streamed index
+    rows (x2 buffers; ``idx_planes`` [steps, b]-shaped index streams —
+    3 for BPR (u, i, j), 2 for GMF (uz, i), 2 + neg_ratio for CML).
+    ``oh_items`` counts the simultaneously-live [i_pad, blk] f32 blocks:
+    2 for BPR/GMF (item one-hots), 5 for CML (item one-hot, distance
+    matrix, multiplicity mask, argmin one-hot, plus one fusion temp)."""
     u_pad, i_pad = sentinel_dims(u_real, i_real)
     state = 4 * d * (3 * u_pad + 3 * i_pad)
     scratch = 4 * d * (u_pad + i_pad)
     # One-hot buffers physically occupy >= 128 lanes (f32 (8, 128)
     # tiling) no matter how narrow blk is — accounting with raw blk=64
     # once under-planned an 18MB layout past the 16MB VMEM limit.
-    onehots = 4 * max(blk, 128) * (u_pad + 2 * i_pad)
+    onehots = 4 * max(blk, 128) * (u_pad + oh_items * i_pad)
     # Index tiles are [b/blk, blk] int32 per plane, double-buffered by
     # the pipeline; like the one-hots they physically occupy >= 128
     # lanes per row regardless of blk (b is padded to a blk multiple).
@@ -677,7 +937,7 @@ FUSED_VMEM_BUDGET = 13 * 2 ** 20
 
 
 def plan_fused(u_real: int, i_real: int, d: int, b: int,
-               idx_planes: int = 3):
+               idx_planes: int = 3, oh_items: int = 2):
     """Pick a block size that fits the VMEM budget, or None (caller
     falls back to the scan path).  A bf16-compute variant was measured
     and REJECTED: bf16 one-hot construction forces (8,128)->(16,128)
@@ -687,8 +947,8 @@ def plan_fused(u_real: int, i_real: int, d: int, b: int,
     buffers physically occupy >= 128 lanes regardless, so blk=64 has
     blk=128's footprint at half the MXU lane utilization."""
     for blk in (256, 128):
-        if vmem_footprint_bytes(u_real, i_real, d, b, blk,
-                                idx_planes) < FUSED_VMEM_BUDGET:
+        if vmem_footprint_bytes(u_real, i_real, d, b, blk, idx_planes,
+                                oh_items) < FUSED_VMEM_BUDGET:
             return blk
     return None
 

@@ -192,13 +192,55 @@ class Trainer:
         on_tpu = jax.default_backend() == "tpu"
         if not self.cfg.bool("train.fused_kernel", on_tpu):
             return False
+        if proto == "pointwise_mlp":
+            # Generic in-kernel-AD pointwise epoch (NeuMF/MLP): the
+            # model supplies table grouping + per-row loss.  VMEM
+            # overflow falls back to the GROUPED variant (user-axis
+            # block-coordinate Adam; dense tower params stay resident
+            # and advance every step), then to the scan path.
+            from cleverrec_tpu.ops.pallas_train import (
+                plan_fused_mlp, plan_fused_mlp_grouped)
+            spec = self.model.fused_mlp_spec()
+            dims = (self.dd.user_nums, self.dd.item_nums, spec["tw_u"],
+                    spec["tw_i"], spec["dense_elems"], self.batch_size,
+                    spec["act_cols"])
+            self._fused_grouped_plan = None
+            self._fused_plan = plan_fused_mlp(*dims)
+            force_g = self.cfg.int("train.fused_groups", 0)
+            if force_g > 1:
+                self._fused_grouped_plan = plan_fused_mlp_grouped(
+                    *dims, force_g=force_g)
+                if self._fused_grouped_plan is not None:
+                    return True
+            if self._fused_plan is not None:
+                return True
+            if self.cfg.bool("train.fused_grouped", on_tpu):
+                self._fused_grouped_plan = plan_fused_mlp_grouped(*dims)
+            if self._fused_grouped_plan is not None:
+                if self.logger:
+                    g, rows, _ = self._fused_grouped_plan
+                    self.logger.info(
+                        "fused epoch kernel: params exceed the VMEM "
+                        f"budget; using the GROUPED epoch ({g} user "
+                        f"groups x {rows} rows, block-coordinate Adam)")
+                return True
+            if self.logger:
+                self.logger.info(
+                    "fused epoch kernel skipped: params exceed the VMEM "
+                    "budget; using the scan path")
+            return False
         from cleverrec_tpu.ops.pallas_train import (plan_fused,
                                                     plan_fused_grouped)
         planes = {"pairwise_bpr": 3, "pointwise_bce": 2,
                   "cml_hinge": 2 + self.neg_ratio}[proto]
+        # CML's score-matrix kernel keeps ~5 [i_pad, blk] f32 blocks
+        # live at once (distance matrix, multiplicity mask, argmin
+        # one-hot, ...) vs 2 item one-hots for the BPR/GMF kernels.
+        oh = 5 if proto == "cml_hinge" else 2
         self._fused_plan = plan_fused(self.dd.user_nums, self.dd.item_nums,
                                       self.model.embed_size,
-                                      self.batch_size, idx_planes=planes)
+                                      self.batch_size, idx_planes=planes,
+                                      oh_items=oh)
         self._fused_grouped_plan = None
         # train.fused_groups > 1 forces the grouped path (testing and
         # tuning hook); 0 = auto (grouped only on VMEM overflow).
@@ -274,7 +316,9 @@ class Trainer:
         # VMEM-fitting block size is used as-is (capped by B itself).
         blk = min(plan_blk, max(b, 8))
         interpret = jax.default_backend() != "tpu"
-        lr, reg = self.cfg.lr, self.model.reg
+        # pointwise_mlp models (NeuMF) regularize inside row_loss and
+        # may have no single .reg attribute (reg1/reg2).
+        lr, reg = self.cfg.lr, getattr(self.model, "reg", 0.0)
         proto = self.model.fused_protocol
 
         def epoch_pairwise(params, opt_state, key, arrays):
@@ -358,9 +402,66 @@ class Trainer:
             return ({"P": p_n, "Q": q_n}, (new_st,) + tuple(opt_state[1:]),
                     mean_loss)
 
+        def epoch_mlp(params, opt_state, key, arrays):
+            from cleverrec_tpu.ops.pallas_train import fused_mlp_epoch
+            spec = self.model.fused_mlp_spec()
+            pkey, _ = jax.random.split(key)
+            batch = sampling.pointwise_epoch_tensors(
+                pkey, arrays["pointwise_static"], arrays["seen"], item_nums,
+                steps, b, pop_cdf=arrays.get("pop_cdf"))
+            inval = batch["w"] == 0.0
+            z = jnp.where(batch["y"] > 0, 1, -1)
+            uz = jnp.where(inval, u_pad,
+                           (batch["u"] + 1) * z).astype(jnp.int32)
+            i = jnp.where(inval, i_pad - 1, batch["i"]).astype(jnp.int32)
+            adam_st = opt_state[0]
+            cat = lambda t, names: jnp.concatenate(  # noqa: E731
+                [t[n] for n in names], axis=1)
+            dense_of = lambda t: tuple(t[n] for n in spec["dense"])  # noqa: E731
+            outs = fused_mlp_epoch(
+                cat(params, spec["u"]), cat(params, spec["i"]),
+                dense_of(params),
+                cat(adam_st.mu, spec["u"]), cat(adam_st.mu, spec["i"]),
+                dense_of(adam_st.mu),
+                cat(adam_st.nu, spec["u"]), cat(adam_st.nu, spec["i"]),
+                dense_of(adam_st.nu),
+                uz, i, adam_st.count,
+                row_loss=spec["row_loss"], lr=lr, blk=blk,
+                interpret=interpret)
+
+            def offsets(names):
+                offs = [0]
+                for n in names:
+                    offs.append(offs[-1] + params[n].shape[1])
+                return offs
+
+            offs_u, offs_i = offsets(spec["u"]), offsets(spec["i"])
+
+            def split(pu_c, qi_c, dense_t):
+                out = {n: pu_c[:, offs_u[k]:offs_u[k + 1]]
+                       for k, n in enumerate(spec["u"])}
+                out.update({n: qi_c[:, offs_i[k]:offs_i[k + 1]]
+                            for k, n in enumerate(spec["i"])})
+                out.update(dict(zip(spec["dense"], dense_t)))
+                return out
+
+            # Params outside the spec (NeuMF's vestigial h_gmf/h_mlp,
+            # kept for the warm-start graft) pass through unchanged —
+            # exactly what the scan path's optax does with zero grads
+            # and zero moments.
+            new_params = {**params, **split(*outs[0:3])}
+            new_st = adam_st._replace(
+                count=adam_st.count + steps,
+                mu={**adam_st.mu, **split(*outs[3:6])},
+                nu={**adam_st.nu, **split(*outs[6:9])})
+            # Explicit in-kernel masking: no sentinel loss correction.
+            return (new_params, (new_st,) + tuple(opt_state[1:]),
+                    outs[9] / steps)
+
         epoch = {"pairwise_bpr": epoch_pairwise,
                  "pointwise_bce": epoch_pointwise,
-                 "cml_hinge": epoch_cml}[proto]
+                 "cml_hinge": epoch_cml,
+                 "pointwise_mlp": epoch_mlp}[proto]
         self._epoch_body = epoch
         return jax.jit(epoch, donate_argnums=(0, 1))
 
@@ -404,7 +505,13 @@ class Trainer:
         b = self.batch_size
         neg_ratio = self.neg_ratio
         item_nums = self.dd.item_nums
-        d = self.model.embed_size
+        # Per-group slice width on the user axis: the embed size for the
+        # BPR/GMF kernels, the concatenated table width for the generic
+        # pointwise (NeuMF/MLP) kernel.
+        mlp_spec = (self.model.fused_mlp_spec()
+                    if proto == "pointwise_mlp" else None)
+        d = (mlp_spec["tw_u"] if mlp_spec is not None
+             else self.model.embed_size)
         un = self.dd.user_nums
         p_rows = n_groups * group_rows
         pos_u = np.asarray(self.arrays["pos_u"])
@@ -485,7 +592,7 @@ class Trainer:
         u_pad, i_pad = sentinel_dims(group_rows, item_nums)
         blk = min(plan_blk, max(b, 8))
         interpret = jax.default_backend() != "tpu"
-        lr, reg = self.cfg.lr, self.model.reg
+        lr, reg = self.cfg.lr, getattr(self.model, "reg", 0.0)
         steps_total = n_groups * steps_eq
         old_idx = jnp.asarray(old_of_new, jnp.int32)    # un == pad row
         new_idx = jnp.asarray(new_of_old, jnp.int32)
@@ -603,8 +710,81 @@ class Trainer:
                     (new_st,) + tuple(opt_state[1:]),
                     loss_total / steps_total)
 
-        epoch = (epoch_pairwise if proto == "pairwise_bpr"
-                 else epoch_pointwise)
+        def epoch_mlp(params, opt_state, key, arrays):
+            from cleverrec_tpu.ops.pallas_train import fused_mlp_epoch
+            spec = mlp_spec
+            adam_st = opt_state[0]
+            cat = lambda t, names: jnp.concatenate(  # noqa: E731
+                [t[n] for n in names], axis=1)
+            pin = lambda a: jnp.pad(a, ((0, 1), (0, 0)))[old_idx]  # noqa: E731
+            PU, mPU, vPU = (pin(cat(t, spec["u"]))
+                            for t in (params, adam_st.mu, adam_st.nu))
+            QI, mQI, vQI = (cat(t, spec["i"])
+                            for t in (params, adam_st.mu, adam_st.nu))
+            dense_of = lambda t: tuple(t[n] for n in spec["dense"])  # noqa: E731
+            D, mD, vD = (dense_of(t)
+                         for t in (params, adam_st.mu, adam_st.nu))
+
+            def group_body(carry, xs):
+                PU, mPU, vPU, QI, mQI, vQI, D, mD, vD, loss_total = carry
+                g, gkey, static_g, nsent = xs
+                pkey, _ = jax.random.split(gkey)
+                batch = sampling.pointwise_epoch_tensors(
+                    pkey, static_g, arrays["grouped_seen"],
+                    item_nums, steps_eq, b,
+                    pop_cdf=arrays.get("pop_cdf"))
+                inval = batch["w"] == 0.0
+                z = jnp.where(batch["y"] > 0, 1, -1)
+                g0 = g * group_rows
+                uz = jnp.where(
+                    inval, u_pad,
+                    (batch["u"] - g0 + 1) * z).astype(jnp.int32)
+                i = sentinel_ids(inval, batch["i"])
+                pu_g, mpu_g, vpu_g = slice_p(PU, mPU, vPU, g0)
+                (pu_g, QI, D, mpu_g, mQI, mD, vpu_g, vQI, vD,
+                 loss) = fused_mlp_epoch(
+                    pu_g, QI, D, mpu_g, mQI, mD, vpu_g, vQI, vD, uz, i,
+                    adam_st.count + g * steps_eq,
+                    row_loss=spec["row_loss"], lr=lr, blk=blk,
+                    interpret=interpret)
+                PU, mPU, vPU = update_p(PU, mPU, vPU, pu_g, mpu_g,
+                                        vpu_g, g0)
+                # In-kernel validity masking: no sentinel correction.
+                return (PU, mPU, vPU, QI, mQI, vQI, D, mD, vD,
+                        loss_total + loss), None
+
+            (PU, mPU, vPU, QI, mQI, vQI, D, mD, vD,
+             loss_total) = scan_groups(
+                group_body, (PU, mPU, vPU, QI, mQI, vQI, D, mD, vD, 0.0),
+                key, arrays)
+
+            def offsets(names):
+                offs = [0]
+                for n in names:
+                    offs.append(offs[-1] + params[n].shape[1])
+                return offs
+
+            offs_u, offs_i = offsets(spec["u"]), offsets(spec["i"])
+
+            def split(pu_c, qi_c, dense_t):
+                out = {n: pu_c[:, offs_u[k]:offs_u[k + 1]]
+                       for k, n in enumerate(spec["u"])}
+                out.update({n: qi_c[:, offs_i[k]:offs_i[k + 1]]
+                            for k, n in enumerate(spec["i"])})
+                out.update(dict(zip(spec["dense"], dense_t)))
+                return out
+
+            new_st = adam_st._replace(
+                count=adam_st.count + steps_total,
+                mu={**adam_st.mu, **split(mPU[new_idx], mQI, mD)},
+                nu={**adam_st.nu, **split(vPU[new_idx], vQI, vD)})
+            return ({**params, **split(PU[new_idx], QI, D)},
+                    (new_st,) + tuple(opt_state[1:]),
+                    loss_total / steps_total)
+
+        epoch = {"pairwise_bpr": epoch_pairwise,
+                 "pointwise_bce": epoch_pointwise,
+                 "pointwise_mlp": epoch_mlp}[proto]
         self._epoch_body = epoch
         return jax.jit(epoch, donate_argnums=(0, 1))
 
