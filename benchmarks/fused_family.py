@@ -42,6 +42,12 @@ MODEL_OVERRIDES = {
     "MLP": {"is_pairwise": "False", "loss_func": "cross_entropy",
             "layers": "[128,64,32]", "reg": "0.01", "lr": "0.001",
             "neg_ratio": "4"},
+    # Social-triple rows kernel on latent (CUNet) friends; embed 64 so
+    # the 4-plane one-hot set fits the VMEM plan on this catalog.
+    "CUNE_BPR": {"is_pairwise": "True", "loss_func": "bpr", "reg": "0.01",
+                 "embed_size": "64", "lr": "0.001", "neg_ratio": "4",
+                 "walk_count": "5", "walk_length": "10", "walk_dim": "32",
+                 "window_size": "3", "topk_f": "10"},
 }
 
 
@@ -102,7 +108,9 @@ def main(models):
     logging.basicConfig(level=logging.INFO, stream=sys.stdout,
                         format="%(message)s")
     for name in models:
-        rec = {"model": name, "dataset": "ml-100k", "embed_size": 128,
+        rec = {"model": name, "dataset": "ml-100k",
+               "embed_size": int(MODEL_OVERRIDES[name].get(
+                   "embed_size", 128)),
                "batch_size": 6144}
         for fused in (False, True):
             tr = build_trainer(name, fused)

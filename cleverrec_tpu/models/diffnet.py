@@ -195,12 +195,12 @@ class LR_GCCF(LightGCN):
     name = "LR_GCCF"
 
     def _propagate(self, params, aux):
+        from cleverrec_tpu.models.gcn import _adj_apply
         n = self.meta.user_nums + self.meta.item_nums
         ego = jnp.concatenate([params["P"], params["Q"]], axis=0)
         outs = [ego]
         for _ in range(self.n_layers):
-            ego = jax.ops.segment_sum(aux["g_w"][:, None] * ego[aux["g_col"]],
-                                      aux["g_row"], num_segments=n)
+            ego = _adj_apply(aux, ego, n)
             outs.append(ego)
         final = jnp.concatenate(outs, axis=1)
         return final[: self.meta.user_nums], final[self.meta.user_nums:]

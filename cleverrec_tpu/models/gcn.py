@@ -40,6 +40,37 @@ def _bipartite_edges(device_data, user_nums, item_nums):
             w.astype(np.float32))
 
 
+# Dense-adjacency budget: A_hat as a DENSE [n, n] f32 matrix turns each
+# propagation layer into one MXU matmul instead of a gather + scatter
+# over the edge list.  The graph is ~99% zeros, so the matmul "wastes"
+# most of its MACs — but on TPU the segment-sum path is HBM-bound
+# (edge-gather + scatter traffic every step, fwd AND transposed in the
+# backward pass) while the dense matmul is nearly free MXU time:
+# measured 172ms -> ~40ms LightGCN epochs on ml-100k.  ml-1m's 9746
+# nodes need 380MB (fits); Epinions-scale graphs fall back to edges.
+DENSE_ADJ_BUDGET_MB = 512
+
+
+def _graph_aux(device_data, user_nums, item_nums, cfg):
+    rows, cols, w = _bipartite_edges(device_data, user_nums, item_nums)
+    n = user_nums + item_nums
+    budget = cfg.int("graph.dense_budget_mb", DENSE_ADJ_BUDGET_MB)
+    if n * n * 4 <= budget * 2 ** 20:
+        dense = np.zeros((n, n), np.float32)
+        dense[rows, cols] = w
+        return {"g_dense": dense}
+    return {"g_row": rows, "g_col": cols, "g_w": w}
+
+
+def _adj_apply(aux, ego, n):
+    """One A_hat @ E propagation step (dense matmul or segment-sum)."""
+    if "g_dense" in aux:
+        return jnp.dot(aux["g_dense"], ego,
+                       preferred_element_type=jnp.float32)
+    return jax.ops.segment_sum(aux["g_w"][:, None] * ego[aux["g_col"]],
+                               aux["g_row"], num_segments=n)
+
+
 class LightGCN(RecModel):
     name = "LightGCN"
     sampler = "pairwise"
@@ -52,9 +83,8 @@ class LightGCN(RecModel):
         self.n_layers = cfg.int("n_layers", 3)
 
     def build_aux(self, device_data, data) -> dict:
-        rows, cols, w = _bipartite_edges(device_data, self.meta.user_nums,
-                                         self.meta.item_nums)
-        return {"g_row": rows, "g_col": cols, "g_w": w}
+        return _graph_aux(device_data, self.meta.user_nums,
+                          self.meta.item_nums, self.cfg)
 
     def init(self, key) -> Params:
         P, Q = self._embed_tables(
@@ -68,8 +98,7 @@ class LightGCN(RecModel):
         ego = jnp.concatenate([params["P"], params["Q"]], axis=0)
         acc = ego
         for _ in range(self.n_layers):
-            ego = jax.ops.segment_sum(aux["g_w"][:, None] * ego[aux["g_col"]],
-                                      aux["g_row"], num_segments=n)
+            ego = _adj_apply(aux, ego, n)
             acc = acc + ego
         final = acc / (self.n_layers + 1)
         return final[: self.meta.user_nums], final[self.meta.user_nums:]
@@ -117,9 +146,8 @@ class NGCF(RecModel):
         self.message_dropout = cfg.float("message_dropout", 0.1)
 
     def build_aux(self, device_data, data) -> dict:
-        rows, cols, w = _bipartite_edges(device_data, self.meta.user_nums,
-                                         self.meta.item_nums)
-        return {"g_row": rows, "g_col": cols, "g_w": w}
+        return _graph_aux(device_data, self.meta.user_nums,
+                          self.meta.item_nums, self.cfg)
 
     def init(self, key) -> Params:
         d = self.embed_size
@@ -146,8 +174,7 @@ class NGCF(RecModel):
         ego = jnp.concatenate([params["P"], params["Q"]], axis=0)
         outs = [ego]
         for lid in range(self.n_layers):
-            agg = jax.ops.segment_sum(aux["g_w"][:, None] * ego[aux["g_col"]],
-                                      aux["g_row"], num_segments=n)
+            agg = _adj_apply(aux, ego, n)
             side = (agg + ego) @ params[f"W1_{lid}"] + params[f"b1_{lid}"]
             inter = (agg * ego) @ params[f"W2_{lid}"] + params[f"b2_{lid}"]
             ego = jax.nn.leaky_relu(side + inter, 0.2)

@@ -32,26 +32,92 @@ from cleverrec_tpu.models.modules import relu_mlp_logits
 from cleverrec_tpu.sampling import build_member_table
 
 
+def _union_table(ui_train, social_sets, user_nums, item_nums):
+    """MemberTable of seen(u) UNION the given social item sets — the
+    exclusion set of the social-family negative draw.  Built WITH a
+    complement table when it fits the budget (zero-rejection draws)."""
+    union = {}
+    for u, items in ui_train.items():
+        union[u] = list(items)
+    for sets in social_sets:
+        for u, items in sets.items():
+            union.setdefault(u, [])
+            union[u] = union[u] + list(items)
+    # Union members per user can approach catalog size (a user's
+    # friends' items) — skip the max-width rows plane (need_rows=False)
+    # and build the GB-scale complement ON DEVICE from the 32x-smaller
+    # bitmap (complement_from_bits) instead of uploading it.
+    from cleverrec_tpu.sampling import (COMPLEMENT_BUDGET_BYTES,
+                                        complement_from_bits)
+    t = build_member_table(union, user_nums, item_nums,
+                           need_rows=False, complement_budget=0)
+    if (t.bits is not None
+            and user_nums * item_nums * 4 <= COMPLEMENT_BUDGET_BYTES):
+        t = t._replace(complement=complement_from_bits(t.bits, item_nums))
+    return t
+
+
 class _SocialTripleBase(RecModel):
     """Shared SBPR/CUNE machinery: SPu aux tables + restricted epoch."""
 
     sampler = "sbpr"
+    # Multi-plane fused epoch (ops/pallas_train.py fused_rows_epoch):
+    # the per-row triple loss is differentiated inside the kernel.
+    fused_protocol = "rows"
 
     def __init__(self, cfg, meta):
         super().__init__(cfg, meta)
         cfg.require("embed_size", "reg")
         self.embed_size = cfg.int("embed_size")
         self.reg = cfg.float("reg")
+        self._fused_spec = None
+
+    def _rows_pack_unpack(self):
+        """Item table packing for the fused rows kernel: the bias rides
+        as an extra column of Q ([Q | bias[:I]]); the bias vector's
+        trailing (I+1)-th element is the eval-candidate PAD slot — never
+        gathered in training, so it passes through unchanged (zero grads
+        in the scan path too)."""
+        d, item_nums = self.embed_size, self.meta.item_nums
+
+        def pack(t):
+            return (t["P"],
+                    jnp.concatenate([t["Q"], t["bias"][:item_nums, None]],
+                                    axis=1), ())
+
+        def unpack(orig, pu, qi, dense):
+            return {"P": pu, "Q": qi[:, :d],
+                    "bias": jnp.concatenate([qi[:, d],
+                                             orig["bias"][item_nums:]])}
+
+        return pack, unpack
+
+    def _rows_x(self, ue, r):
+        """x(u, m) = <P[u], Q[m]> + bias[m] over packed item rows."""
+        d = self.embed_size
+        return (jnp.sum(ue * r[:, :d], axis=1, keepdims=True)
+                + r[:, d:d + 1])
+
+    def _rows_reg(self, ue, item_rows, w):
+        d = self.embed_size
+        terms = l2_loss(ue * w)
+        for r in item_rows:
+            terms += l2_loss(r[:, :d] * w)
+            terms += l2_loss(r[:, d:d + 1] * w)
+        return terms
 
     # Subclasses fill self._spu/self._suk in build_aux.
-    def _social_aux(self, device_data, spu, suk):
-        # SPu tables are only membership-TESTED (the sbpr negative rejects
-        # against seen UNION SPu); skip the unused complement allocation.
+    def _social_aux(self, device_data, spu, suk, ui_train):
+        # The SPu lists live CSR-flat for the social-item draw (a padded
+        # [U, max_len] plane was ~20x sentinel waste at Epinions scale);
+        # the MemberTable keeps only lens + bitmap (rejection fallback).
+        # The union (seen | SPu) gets its OWN MemberTable so the
+        # negative draw is a zero-rejection complement gather (or a
+        # single-set bitmap rejection) instead of a two-set rejection —
+        # the social epochs are sampler-bound, so this is the hot path.
+        from cleverrec_tpu.sampling import build_csr_lists
         t = build_member_table(spu, self.meta.user_nums, self.meta.item_nums,
-                               complement_budget=0)
-        suk_arr = np.zeros_like(t.rows, dtype=np.float32)
-        for u, counts in suk.items():
-            suk_arr[u, : len(counts)] = counts
+                               complement_budget=0, need_rows=False)
         # Restrict epoch pairs to users with social positives
         # (utils/sampler.py:105-106).
         has = np.zeros(self.meta.user_nums, bool)
@@ -60,7 +126,12 @@ class _SocialTripleBase(RecModel):
         self._pos_u = device_data.pos_u[keep]
         self._pos_i = device_data.pos_i[keep]
         # complement_budget=0 above => t.complement is already None.
-        return {"spu": t, "spu_suk": suk_arr}
+        return {"spu": t,
+                "spu_csr": build_csr_lists(spu, self.meta.user_nums,
+                                           aux=suk),
+                "social_neg": _union_table(ui_train, (spu,),
+                                           self.meta.user_nums,
+                                           self.meta.item_nums)}
 
     def epoch_pairs(self, device_data):
         return self._pos_u, self._pos_i
@@ -108,7 +179,7 @@ class SBPR(_SocialTripleBase):
         if data.user_friends is None:
             raise ValueError("SBPR requires social_file")
         spu, suk = build_spu(data.ui_train, data.user_friends)
-        return self._social_aux(device_data, spu, suk)
+        return self._social_aux(device_data, spu, suk, data.ui_train)
 
     def loss(self, params: Params, batch, aux: Aux):
         w = batch["w"]
@@ -120,6 +191,33 @@ class SBPR(_SocialTripleBase):
         main = (bpr_loss((x_ui - x_uk) / suk, weight=w)
                 + bpr_loss(x_uk - x_uj, weight=w))
         return main + self.reg * self._reg_terms(params, batch, w)
+
+    def fused_rows_spec(self):
+        """Spec for the multi-plane fused epoch: SBPR.loss verbatim over
+        gathered [P[u]] / [Q|bias] rows, suk as a float column."""
+        if self._fused_spec is not None:
+            return self._fused_spec
+        reg = self.reg
+        pack, unpack = self._rows_pack_unpack()
+
+        def row_loss(rows, floats, dense, w):
+            ue, ri, rk, rj = rows
+            x_ui = self._rows_x(ue, ri)
+            x_uk = self._rows_x(ue, rk)
+            x_uj = self._rows_x(ue, rj)
+            suk = jnp.maximum(floats[0], 1.0)
+            main = (jnp.sum(-jax.nn.log_sigmoid((x_ui - x_uk) / suk) * w)
+                    + jnp.sum(-jax.nn.log_sigmoid(x_uk - x_uj) * w))
+            return main + reg * self._rows_reg(ue, (ri, rk, rj), w)
+
+        self._fused_spec = {
+            "planes": (("u", "u"), ("i", "i"), ("k", "i"), ("j", "i")),
+            "floats": ("suk",), "dense": (),
+            "pack": pack, "unpack": unpack, "row_loss": row_loss,
+            "tw_u": self.embed_size, "tw_i": self.embed_size + 1,
+            "dense_elems": 0,
+        }
+        return self._fused_spec
 
 
 class TBPR(_SocialTripleBase):
@@ -146,14 +244,15 @@ class TBPR(_SocialTripleBase):
         from cleverrec_tpu.data.social import build_tie_partitioned_spu
         if data.user_friends is None:
             raise ValueError("TBPR requires social_file")
+        from cleverrec_tpu.sampling import build_csr_lists
         strong, weak = build_tie_partitioned_spu(
             data.ui_train, data.user_friends,
             self.cfg.float("strong_ratio", 0.5))
         meta = self.meta
         t_s = build_member_table(strong, meta.user_nums, meta.item_nums,
-                                 complement_budget=0)
+                                 complement_budget=0, need_rows=False)
         t_w = build_member_table(weak, meta.user_nums, meta.item_nums,
-                                 complement_budget=0)
+                                 complement_budget=0, need_rows=False)
         has = np.zeros(meta.user_nums, bool)
         both = set(strong) & set(weak)
         has[list(both)] = True
@@ -161,7 +260,11 @@ class TBPR(_SocialTripleBase):
         self._pos_u = device_data.pos_u[keep]
         self._pos_i = device_data.pos_i[keep]
         # complement_budget=0 above => no complement planes to strip.
-        return {"tie_strong": t_s, "tie_weak": t_w}
+        return {"tie_strong": t_s, "tie_weak": t_w,
+                "ts_csr": build_csr_lists(strong, meta.user_nums),
+                "tw_csr": build_csr_lists(weak, meta.user_nums),
+                "social_neg": _union_table(data.ui_train, (strong, weak),
+                                           meta.user_nums, meta.item_nums)}
 
     def _reg_terms(self, params, batch, w):
         wc = w[:, None]
@@ -184,6 +287,35 @@ class TBPR(_SocialTripleBase):
                 + bpr_loss(x_ut - x_uj, weight=w))
         return main + self.reg * self._reg_terms(params, batch, w)
 
+    def fused_rows_spec(self):
+        """Spec for the multi-plane fused epoch: TBPR's 4-level BPR
+        chain verbatim over 5 id planes."""
+        if self._fused_spec is not None:
+            return self._fused_spec
+        reg = self.reg
+        pack, unpack = self._rows_pack_unpack()
+
+        def row_loss(rows, floats, dense, w):
+            ue, ri, rs, rt, rj = rows
+            x_ui = self._rows_x(ue, ri)
+            x_us = self._rows_x(ue, rs)
+            x_ut = self._rows_x(ue, rt)
+            x_uj = self._rows_x(ue, rj)
+            main = (jnp.sum(-jax.nn.log_sigmoid(x_ui - x_us) * w)
+                    + jnp.sum(-jax.nn.log_sigmoid(x_us - x_ut) * w)
+                    + jnp.sum(-jax.nn.log_sigmoid(x_ut - x_uj) * w))
+            return main + reg * self._rows_reg(ue, (ri, rs, rt, rj), w)
+
+        self._fused_spec = {
+            "planes": (("u", "u"), ("i", "i"), ("s", "i"), ("t", "i"),
+                       ("j", "i")),
+            "floats": (), "dense": (),
+            "pack": pack, "unpack": unpack, "row_loss": row_loss,
+            "tw_u": self.embed_size, "tw_i": self.embed_size + 1,
+            "dense_elems": 0,
+        }
+        return self._fused_spec
+
 
 class CUNE_BPR(_SocialTripleBase):
     name = "CUNE_BPR"
@@ -201,7 +333,7 @@ class CUNE_BPR(_SocialTripleBase):
             cfg.int("walk_count"), cfg.int("walk_length"),
             cfg.int("walk_dim"), cfg.int("window_size"), cfg.int("topk_f"),
             seed=cfg.seed)
-        return self._social_aux(device_data, spu, suk)
+        return self._social_aux(device_data, spu, suk, data.ui_train)
 
     def init(self, key) -> Params:
         params = super().init(key)
@@ -217,6 +349,42 @@ class CUNE_BPR(_SocialTripleBase):
         main = (bpr_loss(x_ui - x_uk, weight=w)
                 + bpr_loss((x_uk - x_uj) / (params["s"] + 1.0), weight=w))
         return main + self.reg * self._reg_terms(params, batch, w)
+
+    def fused_rows_spec(self):
+        """Spec for the multi-plane fused epoch: CUNE_BPR.loss verbatim;
+        the learned social coefficient s rides as a dense kernel param
+        (delivered as [1, 1], broadcast-compatible with the scalar)."""
+        if self._fused_spec is not None:
+            return self._fused_spec
+        reg = self.reg
+        base_pack, base_unpack = self._rows_pack_unpack()
+
+        def pack(t):
+            pu, qi, _ = base_pack(t)
+            return pu, qi, (t["s"],)
+
+        def unpack(orig, pu, qi, dense):
+            return {**base_unpack(orig, pu, qi, ()), "s": dense[0]}
+
+        def row_loss(rows, floats, dense, w):
+            ue, ri, rk, rj = rows
+            x_ui = self._rows_x(ue, ri)
+            x_uk = self._rows_x(ue, rk)
+            x_uj = self._rows_x(ue, rj)
+            s = dense[0]
+            main = (jnp.sum(-jax.nn.log_sigmoid(x_ui - x_uk) * w)
+                    + jnp.sum(-jax.nn.log_sigmoid(
+                        (x_uk - x_uj) / (s + 1.0)) * w))
+            return main + reg * self._rows_reg(ue, (ri, rk, rj), w)
+
+        self._fused_spec = {
+            "planes": (("u", "u"), ("i", "i"), ("k", "i"), ("j", "i")),
+            "floats": (), "dense": ("s",),
+            "pack": pack, "unpack": unpack, "row_loss": row_loss,
+            "tw_u": self.embed_size, "tw_i": self.embed_size + 1,
+            "dense_elems": 1,
+        }
+        return self._fused_spec
 
 
 class SAMN(RecModel):

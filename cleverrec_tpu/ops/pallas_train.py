@@ -611,6 +611,200 @@ def plan_fused_mlp(u_real: int, i_real: int, tw_u: int, tw_i: int,
     return None
 
 
+def _rows_kernel(t0_ref, *refs, steps: int, blk: int, sides: tuple,
+                 nf: int, nd: int, row_loss, lr: float,
+                 b1: float, b2: float, eps: float):
+    """Generic multi-plane epoch kernel body (social-triple family:
+    SBPR / CUNE_BPR / TBPR, and any protocol whose batch is a set of
+    user/item id planes plus float columns).
+
+    Like _mlp_kernel, the objective is differentiated in-kernel by
+    jax.value_and_grad over ``row_loss(rows, floats, dense, w)``.  Each
+    id plane (``sides[p]`` = 'u' or 'i') gets its own one-hot gather
+    from the corresponding concatenated resident table and its own
+    scatter back; float planes (e.g. SBPR's suk coefficient) become
+    [blk, 1] columns via the mat-vec against plane 0's one-hot.
+    Validity is derived from plane 0 (always user-side): sentinel id
+    u_pad-1 marks an invalid row, and row_loss masks with w — no
+    host-side loss correction.
+
+    Ref layout: P = len(sides) id-plane streams, nf float streams, then
+    3A HBM inputs (A = 2 + nd params: pu, qi, *dense), 3A resident
+    outputs, the per-step loss vector, A gradient scratch buffers, one
+    DMA semaphore."""
+    import jax.experimental.pallas as pl
+
+    P = len(sides)
+    A = 2 + nd
+    plane_refs = refs[:P]
+    float_refs = refs[P:P + nf]
+    rest = refs[P + nf:]
+    hbm = rest[:3 * A]
+    res = rest[3 * A:6 * A]
+    loss_ref = rest[6 * A]
+    grads = rest[6 * A + 1:6 * A + 1 + A]
+    sem = rest[-1]
+    p_res, m_res, v_res = res[:A], res[A:2 * A], res[2 * A:]
+    pu_ref, qi_ref = p_res[0], p_res[1]
+
+    s = pl.program_id(0)
+    u_pad = pu_ref.shape[0]
+    i_pad = qi_ref.shape[0]
+    n_rb = plane_refs[0].shape[1]      # idx blocks are [1, B//blk, blk]
+
+    @pl.when(s == 0)
+    def _load_state():
+        _load_resident(tuple(zip(hbm, res)), sem)
+
+    for g in grads:
+        g[...] = jnp.zeros_like(g)
+    ones_u = jnp.ones((u_pad, 1), jnp.float32)
+
+    def block(kb, loss):
+        row = pl.ds(kb, 1)             # dynamic sublane, static lanes
+        ohs = tuple(
+            _onehot_t(plane_refs[p][0, row, :],
+                      u_pad if sides[p] == "u" else i_pad, blk)
+            for p in range(P))
+        w_t = (plane_refs[0][0, row, :] != u_pad - 1).astype(jnp.float32)
+        lane2col = lambda v_t: jax.lax.dot_general(  # noqa: E731
+            ohs[0] * v_t, ones_u, (((0,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32)
+        w_c = lane2col(w_t)
+        floats = tuple(lane2col(float_refs[f][0, row, :])
+                       for f in range(nf))
+        rows = tuple(
+            _mxu_gather(ohs[p], pu_ref if sides[p] == "u" else qi_ref)
+            for p in range(P))
+        dense_vals = tuple(r[...] for r in p_res[2:])
+        lval, (g_rows, g_dv) = jax.value_and_grad(
+            row_loss, argnums=(0, 2))(rows, floats, dense_vals, w_c)
+        for p in range(P):
+            grads[0 if sides[p] == "u" else 1][...] += jnp.dot(
+                ohs[p], g_rows[p], preferred_element_type=jnp.float32)
+        for k in range(nd):
+            grads[2 + k][...] += g_dv[k]
+        return loss + lval
+
+    loss_ref[s] = jax.lax.fori_loop(0, n_rb, block, 0.0)
+
+    bc1, bc2 = _adam_step(t0_ref, s, b1, b2)
+    for k in range(A):
+        _adam_apply(p_res[k], m_res[k], v_res[k], grads[k][...], bc1, bc2,
+                    lr=lr, b1=b1, b2=b2, eps=eps)
+
+
+@functools.partial(jax.jit, static_argnames=(
+    "sides", "row_loss", "lr", "b1", "b2", "eps", "blk", "interpret"))
+def fused_rows_epoch(pu, qi, dense, mpu, mqi, mdense, vpu, vqi, vdense,
+                     planes, floats, t0, *, sides: tuple, row_loss,
+                     lr: float, b1: float = 0.9, b2: float = 0.999,
+                     eps: float = 1e-8, blk: int = 256,
+                     interpret: bool = False):
+    """One full multi-plane (social-triple family) training epoch in a
+    single Pallas program with all params + Adam moments VMEM-resident.
+
+    pu/qi: [U, tw_u]/[I, tw_i] feature-axis-concatenated user/item
+    tables (e.g. SBPR's [Q | bias-column]); dense: tuple of extra
+    params (0-D/1-D entries are lifted to 2-D for the kernel and
+    returned in their original shape); planes: tuple of [steps, B]
+    int32 id streams, plane p drawing from the user table when
+    sides[p] == 'u' (sentinel u_pad-1 for invalid rows) else the item
+    table (sentinel i_pad-1); floats: tuple of [steps, B] f32 streams
+    delivered to row_loss as [blk, 1] columns.  Plane 0 must be
+    user-side — validity is derived from it.  ``row_loss(rows, floats,
+    dense, w)`` returns the batch loss SUM with w applied (models
+    supply it via ``fused_rows_spec``).
+
+    Returns (pu, qi, dense, mpu, mqi, mdense, vpu, vqi, vdense,
+    loss_total); loss_total needs NO sentinel correction."""
+    from jax.experimental import pallas as pl
+    from jax.experimental.pallas import tpu as pltpu
+
+    steps, b = planes[0].shape
+    u_real, tw_u = pu.shape
+    i_real, tw_i = qi.shape
+    u_pad, i_pad = sentinel_dims(u_real, i_real)
+    nd, nf = len(dense), len(floats)
+    d_shapes = tuple(x.shape for x in dense)
+    lift = lambda x: x.reshape((1, -1)) if x.ndim < 2 else x  # noqa: E731
+    dense, mdense, vdense = (tuple(lift(x) for x in t)
+                             for t in (dense, mdense, vdense))
+    pads = lambda a, n: jnp.pad(a, ((0, n - a.shape[0]), (0, 0)))  # noqa: E731
+    pu, mpu, vpu = (pads(x, u_pad) for x in (pu, mpu, vpu))
+    qi, mqi, vqi = (pads(x, i_pad) for x in (qi, mqi, vqi))
+    padb = (_round_up(b, blk) - b) if b % blk else 0
+    if padb:
+        planes = tuple(
+            jnp.pad(a, ((0, 0), (0, padb)),
+                    constant_values=(u_pad - 1 if sd == "u"
+                                     else i_pad - 1))
+            for a, sd in zip(planes, sides))
+        floats = tuple(jnp.pad(a, ((0, 0), (0, padb))) for a in floats)
+        b = b + padb
+    planes = tuple(a.reshape(steps, b // blk, blk) for a in planes)
+    floats = tuple(a.reshape(steps, b // blk, blk) for a in floats)
+
+    full = lambda shape: pl.BlockSpec(  # noqa: E731
+        shape, lambda s: tuple(0 for _ in shape),
+        memory_space=pltpu.VMEM)
+    hbm = pl.BlockSpec(memory_space=pl.ANY)
+    idx = pl.BlockSpec((1, b // blk, blk), lambda s: (s, 0, 0),
+                       memory_space=pltpu.VMEM)
+
+    arrs = ((pu, qi) + dense + (mpu, mqi) + mdense
+            + (vpu, vqi) + vdense)
+    shapes = tuple(a.shape for a in arrs)
+    outs = pl.pallas_call(
+        functools.partial(_rows_kernel, steps=steps, blk=blk,
+                          sides=sides, nf=nf, nd=nd, row_loss=row_loss,
+                          lr=lr, b1=b1, b2=b2, eps=eps),
+        grid=(steps,),
+        in_specs=[pl.BlockSpec(memory_space=pltpu.SMEM)]    # t0
+        + [idx] * (len(planes) + len(floats))
+        + [hbm] * len(arrs),
+        out_specs=tuple(full(sh) for sh in shapes)
+        + (pl.BlockSpec(memory_space=pltpu.SMEM),),         # loss
+        out_shape=tuple(jax.ShapeDtypeStruct(sh, jnp.float32)
+                        for sh in shapes)
+        + (jax.ShapeDtypeStruct((steps,), jnp.float32),),
+        scratch_shapes=[pltpu.VMEM(sh, jnp.float32)
+                        for sh in shapes[:2 + nd]]
+        + [pltpu.SemaphoreType.DMA((len(arrs),))],
+        interpret=interpret,
+    )(jnp.asarray([t0], jnp.int32), *planes, *floats, *arrs)
+
+    A = 2 + nd
+    unlift = lambda t: tuple(  # noqa: E731
+        x.reshape(sh) for x, sh in zip(t, d_shapes))
+    group = lambda k: (outs[k * A][:u_real], outs[k * A + 1][:i_real],  # noqa: E731
+                       unlift(outs[k * A + 2:(k + 1) * A]))
+    (pu_o, qi_o, dense_o) = group(0)
+    (mpu_o, mqi_o, mdense_o) = group(1)
+    (vpu_o, vqi_o, vdense_o) = group(2)
+    return (pu_o, qi_o, dense_o, mpu_o, mqi_o, mdense_o,
+            vpu_o, vqi_o, vdense_o, jnp.sum(outs[-1]))
+
+
+def plan_fused_rows(u_real: int, i_real: int, tw_u: int, tw_i: int,
+                    dense_elems: int, b: int, n_u_planes: int,
+                    n_i_planes: int, nf: int):
+    """Block size for the generic multi-plane fused epoch, or None
+    (scan fallback).  Charges every plane's one-hot as simultaneously
+    live (they are, within a block)."""
+    u_pad, i_pad = sentinel_dims(u_real, i_real)
+    state = 4 * 4 * (u_pad * tw_u + i_pad * tw_i + dense_elems)
+    for blk in (256, 128):
+        lanes = max(blk, 128)
+        onehots = 4 * lanes * (n_u_planes * u_pad + n_i_planes * i_pad)
+        idx = 2 * (n_u_planes + n_i_planes + nf) * 4 * (
+            _round_up(b, blk) // blk) * lanes
+        acts = 4 * lanes * 4 * (tw_u + tw_i)
+        if state + onehots + idx + acts < FUSED_VMEM_BUDGET:
+            return blk
+    return None
+
+
 def plan_fused_mlp_grouped(u_real: int, i_real: int, tw_u: int,
                            tw_i: int, dense_elems: int, b: int,
                            act_cols: int, force_g: int | None = None):

@@ -73,16 +73,20 @@ def build_member_table(sets: dict[int, list[int]], n_entities: int,
                        id_range: int,
                        bitmap_budget: int = BITMAP_BUDGET_BYTES,
                        complement_budget: int = COMPLEMENT_BUDGET_BYTES,
+                       need_rows: bool = True,
                        ) -> MemberTable:
-    """Host-side construction from {entity: [member ids]}."""
+    """Host-side construction from {entity: [member ids]}.
+
+    ``need_rows=False`` skips the [N, max_set_size] sorted-rows plane
+    when a bitmap or complement covers the table's uses (membership
+    tests and negative draws) — union tables over seen+social sets can
+    have ~catalog-sized members per entity, making the rows plane a
+    GB-scale array that nothing reads.  Rows are still built if neither
+    bitmap nor complement fits its budget (they become the only
+    membership structure)."""
     lens = np.zeros(n_entities, dtype=np.int32)
     for e, ids in sets.items():
         lens[e] = len(set(ids))
-    width = max(int(max(len(v) for v in sets.values()) if sets else 1), 1)
-    rows = np.full((n_entities, width), id_range, dtype=np.int32)
-    for e, ids in sets.items():
-        ids = sorted(set(ids))
-        rows[e, : len(ids)] = np.asarray(ids, dtype=np.int32)
 
     n_words = -(-id_range // 32)
     bits = None
@@ -93,8 +97,19 @@ def build_member_table(sets: dict[int, list[int]], n_entities: int,
             np.bitwise_or.at(bits[e], a >> 5,
                              (np.uint32(1) << (a & 31).astype(np.uint32)))
 
+    fits_complement = n_entities * id_range * 4 <= complement_budget
+    if need_rows or (bits is None and not fits_complement):
+        width = max(int(max(len(v) for v in sets.values()) if sets
+                        else 1), 1)
+        rows = np.full((n_entities, width), id_range, dtype=np.int32)
+        for e, ids in sets.items():
+            ids = sorted(set(ids))
+            rows[e, : len(ids)] = np.asarray(ids, dtype=np.int32)
+    else:
+        rows = np.full((n_entities, 1), id_range, dtype=np.int32)
+
     complement = None
-    if n_entities * id_range * 4 <= complement_budget:
+    if fits_complement:
         # Row e = all ids with e's members moved to the tail; valid prefix
         # length = id_range - lens[e].
         complement = np.tile(np.arange(id_range, dtype=np.int32),
@@ -108,6 +123,36 @@ def build_member_table(sets: dict[int, list[int]], n_entities: int,
                 complement[e, id_range - s.size:] = s
     return MemberTable(rows=rows, lens=lens, bits=bits,
                        complement=complement)
+
+
+def complement_from_bits(bits, id_range: int,
+                         chunk: int = 2048) -> Array:
+    """Device-side complement construction from a membership bitmap:
+    row e = the ids NOT in e's set first (ascending), members after —
+    the exact layout the host builder produces — via a STABLE argsort
+    of the unpacked mask (False rows sort first, ties keep id order).
+
+    Exists because a [N, id_range] complement is GB-scale: building it
+    on host costs a GB-scale host->device transfer (minutes over this
+    container's tunneled chip), while the bitmap it derives from is
+    32x smaller.  Chunked over entities to bound the unpacked-mask
+    working set."""
+    import jax
+
+    iota = jnp.arange(id_range, dtype=jnp.int32)
+    word_idx = iota >> 5
+    shift = (iota & 31).astype(jnp.uint32)
+
+    @jax.jit
+    def unpack_sort(b):
+        words = b[:, word_idx]                         # [C, I] uint32
+        mask = ((words >> shift) & 1).astype(jnp.uint8)
+        return jnp.argsort(mask, axis=1, stable=True).astype(jnp.int32)
+
+    bits = jnp.asarray(bits)
+    outs = [unpack_sort(bits[s:s + chunk])
+            for s in range(0, bits.shape[0], chunk)]
+    return jnp.concatenate(outs, axis=0)
 
 
 def member(table: MemberTable, e: Array, x: Array) -> Array:
@@ -432,8 +477,42 @@ def cml_batch(key, rows, valid, pos_u, pos_i, seen: MemberTable, item_nums,
     return {"u": u, "i": i, "negs": negs, "w": valid}
 
 
+def build_csr_lists(sets: dict[int, list[int]], n_entities: int,
+                    aux: dict[int, list[float]] | None = None):
+    """CSR-flat per-entity lists for device-side uniform draws: returns
+    {"flat": [nnz+1] int32 (one sentinel pad at the end), "off": [N]
+    int32 start offsets, "suk": [nnz+1] float32 aligned aux values
+    (zeros when ``aux`` is None)}.  Callers supply each entity's ids as
+    a SORTED-UNIQUE list with aux aligned (build_spu's contract — the
+    same ordering the old padded [N, max_len] tables carried), so a
+    draw sees the same id at the same slot either way.  Replaces those
+    padded planes: at Epinions scale max |SPu| is ~20x the mean, making
+    the padded tables ~1GB of mostly-sentinel host->device transfer."""
+    off = np.zeros(n_entities, dtype=np.int32)
+    flat, aux_flat = [], []
+    pos = 0
+    for e in range(n_entities):
+        ids = sets.get(e)
+        off[e] = pos
+        if not ids:
+            continue
+        flat.append(np.asarray(ids, dtype=np.int32))
+        if aux is not None:
+            aux_flat.append(np.asarray(aux[e], dtype=np.float32))
+        pos += len(ids)
+    flat = (np.concatenate(flat + [np.zeros(1, np.int32)])
+            if flat else np.zeros(1, np.int32))
+    if aux is not None:
+        suk = (np.concatenate(aux_flat + [np.zeros(1, np.float32)])
+               if aux_flat else np.zeros(1, np.float32))
+    else:
+        suk = np.zeros_like(flat, dtype=np.float32)
+    return {"flat": flat, "off": off, "suk": suk}
+
+
 def sbpr_batch(key, rows, valid, pos_u, pos_i, seen: MemberTable, item_nums,
-               neg_ratio, spu: MemberTable, spu_suk):
+               neg_ratio, spu: MemberTable, spu_csr,
+               social_neg: MemberTable | None = None):
     """(u, i, social item k, negative j, suk) rows (sampler.py:102-141).
 
     The caller must restrict (pos_u, pos_i) to users with non-empty SPu
@@ -441,8 +520,12 @@ def sbpr_batch(key, rows, valid, pos_u, pos_i, seen: MemberTable, item_nums,
     ``spu_suk[u, s]`` pre-counts how many of u's friends consumed
     ``spu.rows[u, s]`` (the reference recomputes this per sample,
     sampler.py:124-130 — it is sample-independent, so we precompute; note
-    spu_suk is aligned with the SORTED spu rows).  The negative is rejected
-    against seen(u) UNION SPu(u) (sampler.py:117-119).
+    spu_suk is aligned with the SORTED spu rows).  The negative avoids
+    seen(u) UNION SPu(u) (sampler.py:117-119): when the caller provides
+    ``social_neg`` (a MemberTable OF THE UNION, models/social.py), the
+    draw is exact via its complement table (zero rejection, one gather)
+    or a single-set rejection via its bitmap; otherwise it rejects
+    against both sets.
     """
     n = pos_u.shape[0]
     p = (rows % (n * neg_ratio)) // neg_ratio
@@ -450,43 +533,54 @@ def sbpr_batch(key, rows, valid, pos_u, pos_i, seen: MemberTable, item_nums,
     i = pos_i[p]
     k_key, j_key = jax.random.split(key)
     # Social item: uniform index into SPu[u] (per-row modulo by the ragged
-    # list length; modulo bias is negligible at int32 range).
+    # list length; modulo bias is negligible at int32 range).  The lists
+    # live CSR-flat (spu_csr/spu_off) — a max-width padded [U, L] plane
+    # was ~20x waste at Epinions scale (max |SPu| 7382 vs mean 327).
     s_raw = jax.random.randint(k_key, u.shape, 0, jnp.iinfo(jnp.int32).max,
                                dtype=jnp.int32)
     s = s_raw % jnp.maximum(spu.lens[u], 1)
-    k = jnp.take_along_axis(spu.rows[u], s[:, None], axis=1)[:, 0]
-    suk = jnp.take_along_axis(spu_suk[u], s[:, None], axis=1)[:, 0]
-    # Negative not in seen(u) nor SPu(u): reject against both sets.
-    j = _reject(j_key, u, item_nums, u.shape,
-                lambda q: member(seen, u, q) | member(spu, u, q))
+    idx = spu_csr["off"][u] + s
+    k = spu_csr["flat"][idx]
+    suk = spu_csr["suk"][idx]
+    if social_neg is not None:
+        j = sample_not_in(j_key, social_neg, u, item_nums, u.shape)
+    else:
+        j = _reject(j_key, u, item_nums, u.shape,
+                    lambda q: member(seen, u, q) | member(spu, u, q))
     return {"u": u, "i": i, "k": k, "j": j,
             "suk": suk.astype(jnp.float32), "w": valid}
 
 
 def tbpr_batch(key, rows, valid, pos_u, pos_i, seen: MemberTable, item_nums,
-               neg_ratio, strong: MemberTable, weak: MemberTable):
+               neg_ratio, strong: MemberTable, weak: MemberTable,
+               ts_csr, tw_csr, social_neg: MemberTable | None = None):
     """(u, i, strong-tie item s, weak-tie item t, negative j) rows for
     TBPR's 4-level chain i > s > t > j (CIKM'16; see
     models/social.py TBPR).  The caller restricts (pos_u, pos_i) to users
-    with BOTH tie classes non-empty; the negative is rejected against
-    seen(u) UNION strong(u) UNION weak(u)."""
+    with BOTH tie classes non-empty; tie items draw from CSR-flat lists
+    (see build_csr_lists); the negative avoids seen(u) UNION strong(u)
+    UNION weak(u) — exactly via ``social_neg`` (the union MemberTable)
+    when provided, else by triple-set rejection."""
     n = pos_u.shape[0]
     p = (rows % (n * neg_ratio)) // neg_ratio
     u = pos_u[p]
     i = pos_i[p]
     s_key, t_key, j_key = jax.random.split(key, 3)
 
-    def draw_from(table, k):
+    def draw_from(table, csr, k):
         raw = jax.random.randint(k, u.shape, 0, jnp.iinfo(jnp.int32).max,
                                  dtype=jnp.int32)
         sel = raw % jnp.maximum(table.lens[u], 1)
-        return jnp.take_along_axis(table.rows[u], sel[:, None], axis=1)[:, 0]
+        return csr["flat"][csr["off"][u] + sel]
 
-    s = draw_from(strong, s_key)
-    t = draw_from(weak, t_key)
-    j = _reject(j_key, u, item_nums, u.shape,
-                lambda q: (member(seen, u, q) | member(strong, u, q)
-                           | member(weak, u, q)))
+    s = draw_from(strong, ts_csr, s_key)
+    t = draw_from(weak, tw_csr, t_key)
+    if social_neg is not None:
+        j = sample_not_in(j_key, social_neg, u, item_nums, u.shape)
+    else:
+        j = _reject(j_key, u, item_nums, u.shape,
+                    lambda q: (member(seen, u, q) | member(strong, u, q)
+                               | member(weak, u, q)))
     return {"u": u, "i": i, "s": s, "t": t, "j": j, "w": valid}
 
 

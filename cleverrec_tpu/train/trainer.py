@@ -162,10 +162,13 @@ class Trainer:
             return sampling.cml_batch(*common, pop_cdf=cdf)
         if s == "sbpr":
             return sampling.sbpr_batch(*common, arrays["spu"],
-                                       arrays["spu_suk"])
+                                       arrays["spu_csr"],
+                                       social_neg=arrays.get("social_neg"))
         if s == "tbpr":
             return sampling.tbpr_batch(*common, arrays["tie_strong"],
-                                       arrays["tie_weak"])
+                                       arrays["tie_weak"],
+                                       arrays["ts_csr"], arrays["tw_csr"],
+                                       social_neg=arrays.get("social_neg"))
         if s == "samn":
             return sampling.samn_batch(*common, arrays["friends_padded"])
         raise NotImplementedError(f"sampler {s!r}")
@@ -192,6 +195,24 @@ class Trainer:
         on_tpu = jax.default_backend() == "tpu"
         if not self.cfg.bool("train.fused_kernel", on_tpu):
             return False
+        if proto == "rows":
+            # Generic multi-plane epoch (SBPR/CUNE/TBPR family): id
+            # planes + float columns, per-row loss differentiated
+            # in-kernel.  No grouped variant (scan fallback).
+            from cleverrec_tpu.ops.pallas_train import plan_fused_rows
+            spec = self.model.fused_rows_spec()
+            n_u = sum(1 for _, sd in spec["planes"] if sd == "u")
+            n_i = len(spec["planes"]) - n_u
+            self._fused_grouped_plan = None
+            self._fused_plan = plan_fused_rows(
+                self.dd.user_nums, self.dd.item_nums, spec["tw_u"],
+                spec["tw_i"], spec["dense_elems"], self.batch_size,
+                n_u, n_i, len(spec["floats"]))
+            if self._fused_plan is None and self.logger:
+                self.logger.info(
+                    "fused epoch kernel skipped: params exceed the VMEM "
+                    "budget; using the scan path")
+            return self._fused_plan is not None
         if proto == "pointwise_mlp":
             # Generic in-kernel-AD pointwise epoch (NeuMF/MLP): the
             # model supplies table grouping + per-row loss.  VMEM
@@ -458,10 +479,63 @@ class Trainer:
             return (new_params, (new_st,) + tuple(opt_state[1:]),
                     outs[9] / steps)
 
+        def epoch_rows(params, opt_state, key, arrays):
+            from cleverrec_tpu.ops.pallas_train import fused_rows_epoch
+            spec = self.model.fused_rows_spec()
+            # Reproduce the scan path's sampling stream EXACTLY: the
+            # same pkey/step-key split, the same epoch permutation, and
+            # the same per-step batch builder — run under lax.scan
+            # (NOT vmap: whole-epoch-width sampling tensors spill every
+            # elementwise intermediate to HBM; measured 757ms vs the
+            # scan arm's in-loop sampling on CUNE/ml-100k).
+            pkey, skey = jax.random.split(key)
+            step_keys = jax.random.split(skey, steps)
+            perm, valid = sampling.epoch_permutation(pkey, rows_total,
+                                                     padded)
+
+            def sample_step(_, xs):
+                k, r, v = xs
+                sk, _ = jax.random.split(k)
+                return None, self._build_batch(sk, r, v, arrays)
+
+            _, batch = jax.lax.scan(
+                sample_step, None,
+                (step_keys, perm.reshape(steps, b),
+                 valid.reshape(steps, b)))
+            inval = batch["w"] == 0.0
+            planes = tuple(
+                jnp.where(inval,
+                          (u_pad - 1) if sd == "u" else (i_pad - 1),
+                          batch[name]).astype(jnp.int32)
+                for name, sd in spec["planes"])
+            flts = tuple(batch[n].astype(jnp.float32)
+                         for n in spec["floats"])
+            adam_st = opt_state[0]
+            sides = tuple(sd for _, sd in spec["planes"])
+            packs = [spec["pack"](t)
+                     for t in (params, adam_st.mu, adam_st.nu)]
+            outs = fused_rows_epoch(
+                packs[0][0], packs[0][1], packs[0][2],
+                packs[1][0], packs[1][1], packs[1][2],
+                packs[2][0], packs[2][1], packs[2][2],
+                planes, flts, adam_st.count,
+                sides=sides, row_loss=spec["row_loss"], lr=lr, blk=blk,
+                interpret=interpret)
+            unpack = spec["unpack"]
+            new_params = {**params, **unpack(params, *outs[0:3])}
+            new_st = adam_st._replace(
+                count=adam_st.count + steps,
+                mu={**adam_st.mu, **unpack(adam_st.mu, *outs[3:6])},
+                nu={**adam_st.nu, **unpack(adam_st.nu, *outs[6:9])})
+            # In-kernel validity masking: no sentinel loss correction.
+            return (new_params, (new_st,) + tuple(opt_state[1:]),
+                    outs[9] / steps)
+
         epoch = {"pairwise_bpr": epoch_pairwise,
                  "pointwise_bce": epoch_pointwise,
                  "cml_hinge": epoch_cml,
-                 "pointwise_mlp": epoch_mlp}[proto]
+                 "pointwise_mlp": epoch_mlp,
+                 "rows": epoch_rows}[proto]
         self._epoch_body = epoch
         return jax.jit(epoch, donate_argnums=(0, 1))
 

@@ -822,3 +822,44 @@ def test_grouped_mlp_trainer_matches_blockwise_adam_oracle(tmp_path):
     np.testing.assert_allclose(np.asarray(o1[0].nu["W_0"]), v_rest["W_0"],
                                rtol=2e-4, atol=1e-9)
     assert int(o1[0].count) == G * steps_eq
+
+
+@pytest.mark.parametrize("name", ["SBPR", "TBPR", "CUNE_BPR"])
+def test_fused_rows_trainer_matches_scan_trainer(name, toy_social_dataset):
+    """Social-triple Trainer with train.fused_kernel=True reproduces the
+    scan epoch's numerics — the rows path vmaps the SAME per-step batch
+    builder over the SAME step keys, so the sampling stream is identical
+    by construction."""
+    ov = {"epoches": "2", "batch_size": "64", "embed_size": "16",
+          "lr": "0.05", "neg_ratio": "2", "is_pairwise": "True",
+          "loss_func": "bpr", "reg": "0.05", "stddev": "0.1",
+          "recommender": name, "social_file": "trusts.csv"}
+    if name == "TBPR":
+        ov["strong_ratio"] = "0.5"
+    if name == "CUNE_BPR":
+        ov.update({"walk_count": "2", "walk_length": "4", "walk_dim": "8",
+                   "window_size": "2", "topk_f": "3", "reg": "0.01"})
+    cfg_scan = base_config(toy_social_dataset, **ov,
+                           **{"train.fused_kernel": "False"})
+    cfg_fused = base_config(toy_social_dataset, **ov,
+                            **{"train.fused_kernel": "True"})
+    data = load_ranking_data(cfg_scan)
+    model = make_model(cfg_scan, DataMeta(data.user_nums, data.item_nums))
+    t_scan = Trainer(model, data, cfg_scan)
+    t_fused = Trainer(model, data, cfg_fused)
+    assert t_fused._epoch_fn is not t_scan._epoch_fn
+    assert t_fused._fused_plan is not None
+    p0, o0 = t_scan.init_state()
+    p1, o1 = t_fused.init_state()
+    for _ in range(3):
+        p0, o0, l0 = t_scan.train_epoch(p0, o0)
+        p1, o1, l1 = t_fused.train_epoch(p1, o1)
+        assert l1 == pytest.approx(l0, rel=1e-4), (l0, l1)
+    for k in p0:
+        np.testing.assert_allclose(np.asarray(p1[k]), np.asarray(p0[k]),
+                                   rtol=1e-3, atol=1e-4, err_msg=k)
+    assert int(o1[0].count) == int(o0[0].count)
+    r0 = t_scan.evaluate(p0)
+    r1 = t_fused.evaluate(p1)
+    for k in r0:
+        assert r1[k] == pytest.approx(r0[k], abs=2e-4)

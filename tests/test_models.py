@@ -254,3 +254,29 @@ def test_transcf_full_catalog_uses_clipped_users(toy_dataset,
     r0 = np.asarray(u_nbr)[np.asarray(u)] * np.asarray(i_nbr)[0][None, :]
     want_pair = ((raw_u + r0 - np.asarray(params["Q"])[0][None, :]) ** 2).sum(-1)
     np.testing.assert_allclose(pair, want_pair, rtol=1e-4, atol=1e-4)
+
+
+@pytest.mark.parametrize("name", ["LightGCN", "NGCF", "LR_GCCF"])
+def test_gcn_dense_adjacency_matches_edges(name, toy_dataset,
+                                           toy_social_dataset):
+    """The dense-adjacency propagation fast path (one MXU matmul per
+    layer, models/gcn.py _adj_apply) is numerically the same operator
+    as the edge-list segment-sum path."""
+    from cleverrec_tpu.models.gcn import _bipartite_edges
+
+    cfg, data, model = _setup(name, toy_dataset, toy_social_dataset)
+    trainer = Trainer(model, data, cfg)
+    params, _ = trainer.init_state()
+    aux = trainer.arrays
+    assert "g_dense" in aux, "toy graph should fit the dense budget"
+    rows, cols, w = _bipartite_edges(trainer.dd, data.user_nums,
+                                     data.item_nums)
+    aux2 = dict(aux)
+    aux2.pop("g_dense")
+    aux2.update({"g_row": jnp.asarray(rows), "g_col": jnp.asarray(cols),
+                 "g_w": jnp.asarray(w)})
+    u = jnp.arange(8, dtype=jnp.int32)
+    s_dense = model.score_all(params, u, aux)
+    s_edges = model.score_all(params, u, aux2)
+    np.testing.assert_allclose(np.asarray(s_dense), np.asarray(s_edges),
+                               rtol=2e-5, atol=2e-6)

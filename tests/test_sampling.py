@@ -311,3 +311,20 @@ def test_cml_epoch_tensors_layout_and_negatives():
         for jj in row:
             assert int(jj) not in user_items[int(uu)]
     assert (negs[w > 0] >= 3 * n_items // 4).sum() > 0
+
+
+def test_complement_from_bits_matches_host_builder():
+    """Device-side complement (stable argsort of the unpacked bitmap)
+    reproduces the host builder's exact layout: unseen ids ascending,
+    then members ascending."""
+    from cleverrec_tpu.sampling import (build_member_table,
+                                        complement_from_bits)
+    rng = np.random.default_rng(11)
+    n, id_range = 37, 97
+    sets = {e: list(rng.choice(id_range, size=rng.integers(0, 60),
+                               replace=False))
+            for e in range(0, n, 2)}
+    host = build_member_table(sets, n, id_range)
+    assert host.complement is not None and host.bits is not None
+    dev = complement_from_bits(host.bits, id_range, chunk=8)
+    np.testing.assert_array_equal(np.asarray(dev), host.complement)
