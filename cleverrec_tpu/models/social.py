@@ -390,6 +390,13 @@ class CUNE_BPR(_SocialTripleBase):
 class SAMN(RecModel):
     name = "SAMN"
     sampler = "pairwise"
+    # The memory-attended friend vector is item-independent and
+    # dominates the per-row cost (an [F, d] gather + attention + an
+    # [F, d] gradient scatter per pair row): train in the user-GROUPED
+    # pairwise layout so it is computed once per (user, T-cell) group
+    # (Trainer._build_pairwise_grouped_epoch).
+    pairwise_grouped = True
+    TARGET_CHUNK = 128
 
     def __init__(self, cfg, meta):
         super().__init__(cfg, meta)
@@ -456,6 +463,31 @@ class SAMN(RecModel):
         l2_1 = (l2_loss(uv * wc) + l2_loss(ie * wc) + l2_loss(je * wc)
                 + l2_loss(ib * w) + l2_loss(jb * w))
         l2_2 = l2_loss(params["W3"]) + l2_loss(params["b"]) + l2_loss(params["h"])
+        return main + self.reg1 * l2_1 + self.reg2 * l2_2
+
+    def loss_grouped_pairwise(self, params: Params, batch, aux: Aux):
+        """User-grouped pairwise loss: ``gu`` [G] users, ``gi``/``gj``
+        [G, T] positive/negative cells, ``gw`` [G, T] validity.  Each
+        valid (g, t) cell is exactly one flat-protocol pair row — same
+        per-row main loss and regularizers as ``loss`` (uv's per-row L2
+        becomes |uv_g|^2 times the group's valid-cell count) — but the
+        friend attention runs once per GROUP."""
+        gu, gi, gj, gw = batch["gu"], batch["gi"], batch["gj"], batch["gw"]
+        friends = aux["friends_padded"][gu]
+        uv = self._user_vec(params, gu, friends)            # [G, d]
+        ie = params["Q"][gi]                                # [G, T, d]
+        je = params["Q"][gj]
+        ib = params["i_b"][gi]
+        jb = params["i_b"][gj]
+        s_i = jnp.einsum("gd,gtd->gt", uv, ie) + ib
+        s_j = jnp.einsum("gd,gtd->gt", uv, je) + jb
+        main = pairwise_loss(self.loss_func, s_i - s_j, weight=gw)
+        wc = gw[..., None]
+        l2_1 = (0.5 * jnp.sum(jnp.sum(uv * uv, axis=1) * jnp.sum(gw, axis=1))
+                + l2_loss(ie * wc) + l2_loss(je * wc)
+                + l2_loss(ib * gw) + l2_loss(jb * gw))
+        l2_2 = (l2_loss(params["W3"]) + l2_loss(params["b"])
+                + l2_loss(params["h"]))
         return main + self.reg1 * l2_1 + self.reg2 * l2_2
 
     def score_pairs(self, params: Params, u, i, aux: Aux):

@@ -129,6 +129,9 @@ class Trainer:
                   and cfg.bool("train.bucketed_histories", True)):
                 self._bucket_plan = self._build_bucketed_epochs()
                 self._epoch_fn = None
+            elif (getattr(model, "pairwise_grouped", False)
+                  and cfg.bool("train.grouped_pairs", True)):
+                self._epoch_fn = self._build_pairwise_grouped_epoch()
             else:
                 self._epoch_fn = self._build_epoch_fn()
         self._pre_epoch_fn = (jax.jit(model.pre_epoch)
@@ -613,7 +616,10 @@ class Trainer:
             seen_perm = sampling.MemberTable(
                 rows=np.zeros((1, 1), np.int32), lens=lens_perm,
                 bits=None,
-                complement=np.asarray(sn.complement)[safe_old])
+                # Row-permute ON DEVICE: the complement is GB-scale and
+                # (since complement_from_bits) device-resident already.
+                complement=jnp.asarray(sn.complement)[
+                    jnp.asarray(safe_old)])
             # The UNpermuted device complement is dead weight while the
             # grouped path owns training; drop the reference so XLA can
             # free it (eval reads the host-side dd.seen, not this).
@@ -1039,13 +1045,19 @@ class Trainer:
         arrays_k["g_y"] = jnp.asarray(g_y)
         arrays_k["g_w"] = jnp.asarray(g_w)
         arrays_k["g_nun"] = jnp.asarray(g_nun)
-        seen_full = self.arrays["seen"]
+        # Thread the FULL-width seen table through the arrays ARGUMENT
+        # (arrays_k["seen"] is width-truncated for this bucket) — a
+        # closure-captured table is embedded as an HLO constant, and a
+        # GB-scale complement then rides the whole compile.
+        arrays_k["seen_full"] = self.arrays["seen"]
         pop_cdf = self.arrays.get("pop_cdf")
+        has_complement = self.arrays["seen"].complement is not None
 
         def epoch(params, opt_state, key, arrays):
             jkey, pkey, dkey = jax.random.split(key, 3)
             gus = arrays["g_user"]
-            if seen_full.complement is not None and pop_cdf is None:
+            seen_full = arrays["seen_full"]
+            if has_complement and pop_cdf is None:
                 r = jax.random.randint(jkey, (g_pad, tc), 0,
                                        jnp.iinfo(jnp.int32).max,
                                        dtype=jnp.int32)
@@ -1081,6 +1093,111 @@ class Trainer:
             return params, opt_state, jnp.mean(losses)
 
         return jax.jit(epoch, donate_argnums=(0, 1)), steps
+
+    def _build_pairwise_grouped_epoch(self):
+        """User-GROUPED pairwise epoch for models whose per-row user
+        representation is expensive and item-independent (SAMN's
+        memory-attended friend vector): scan steps process G
+        (user, pair-cell-chunk) groups — ``gu`` [G] users, ``gi``/``gj``
+        [G, T] positives/negatives, ``gw`` [G, T] validity — so the user
+        vector is computed (and its friend gradients scattered) ONCE per
+        group instead of once per pair row.  Cell (g, t) is exactly one
+        flat pairwise row: per-user positives are repeated neg_ratio
+        times and a fresh negative is drawn per cell each epoch, the
+        same totals as the flat protocol.  The model consumes groups via
+        ``loss_grouped_pairwise``."""
+        model = self.model
+        optimizer = self.optimizer
+        tc = model.TARGET_CHUNK
+        item_nums = self.dd.item_nums
+        lens = np.asarray(self.dd.seen.lens)
+        nr = self.neg_ratio
+        pos_u = np.asarray(self.arrays["pos_u"])
+        pos_i = np.asarray(self.arrays["pos_i"])
+        order = np.argsort(pos_u, kind="stable")
+        su, si = pos_u[order], pos_i[order]
+        users, starts = np.unique(su, return_index=True)
+        bounds = np.append(starts, len(su))
+
+        deg = np.diff(bounds)
+        n_groups_u = -(-(deg * nr) // tc)
+        g_total = int(n_groups_u.sum())
+        g_per_step = max(self.batch_size // tc, 1)
+        steps = cdiv(g_total, g_per_step)
+        g_pad = steps * g_per_step
+
+        # Vectorized grid fill (a per-user python loop cost ~65s at
+        # Epinions scale): pair-cell i of user k lands at flat slot
+        # group_slot_offset[k] + (i - cell_offset[k]).
+        cells = deg * nr
+        c_off = np.concatenate([[0], np.cumsum(cells)])
+        slot_off = np.concatenate([[0], np.cumsum(n_groups_u * tc)])
+        k_of_cell = np.repeat(np.arange(len(users)), cells)
+        dest = (slot_off[k_of_cell]
+                + (np.arange(int(cells.sum())) - c_off[k_of_cell]))
+        flat_pos = np.full(g_pad * tc, item_nums, np.int32)
+        flat_pos[dest] = np.repeat(si, nr)
+        g_pos = flat_pos.reshape(g_pad, tc)
+        flat_w = np.zeros(g_pad * tc, np.float32)
+        flat_w[dest] = 1.0
+        g_w = flat_w.reshape(g_pad, tc)
+        gu_pad = np.zeros(g_pad, np.int32)
+        gu_pad[:g_total] = np.repeat(users, n_groups_u)
+        g_nun = np.maximum(item_nums - lens[gu_pad], 1).astype(np.int32)
+        self.arrays["pg_user"] = jnp.asarray(gu_pad)
+        self.arrays["pg_pos"] = jnp.asarray(g_pos)
+        self.arrays["pg_w"] = jnp.asarray(g_w)
+        self.arrays["pg_nun"] = jnp.asarray(g_nun)
+        # Read the seen table through the arrays ARGUMENT, never a
+        # closure capture: captured tables embed as HLO constants and a
+        # GB-scale complement then rides the whole (remote) compile.
+        pop_cdf = self.arrays.get("pop_cdf")
+        has_complement = self.arrays["seen"].complement is not None
+        if self.logger:
+            self.logger.info(
+                "grouped pairwise epoch: %d groups x %d cells, %d steps",
+                g_total, tc, steps)
+
+        def epoch(params, opt_state, key, arrays):
+            jkey, pkey, dkey = jax.random.split(key, 3)
+            gus = arrays["pg_user"]
+            seen_full = arrays["seen"]
+            if has_complement and pop_cdf is None:
+                r = jax.random.randint(jkey, (g_pad, tc), 0,
+                                       jnp.iinfo(jnp.int32).max,
+                                       dtype=jnp.int32)
+                idx = r % arrays["pg_nun"][:, None]
+                flat = seen_full.complement.reshape(-1)
+                j = flat[gus[:, None] * seen_full.complement.shape[1] + idx]
+            else:
+                j = sampling._draw_negatives(jkey, seen_full, gus,
+                                             item_nums, (g_pad, tc),
+                                             pop_cdf)
+            j = jnp.where(arrays["pg_w"] > 0, j, item_nums)
+            perm = jax.random.permutation(pkey, g_pad).reshape(steps,
+                                                               g_per_step)
+            dkeys = jax.random.split(dkey, steps)
+
+            def step(carry, xs):
+                params, opt_state = carry
+                sel, dk = xs
+                batch = {"gu": gus[sel], "gi": arrays["pg_pos"][sel],
+                         "gj": j[sel], "gw": arrays["pg_w"][sel],
+                         "dropout_key": dk}
+                loss, grads = jax.value_and_grad(
+                    model.loss_grouped_pairwise)(params, batch, arrays)
+                updates, opt_state = optimizer.update(grads, opt_state,
+                                                      params)
+                params = optax.apply_updates(params, updates)
+                params = model.postprocess(params)
+                return (params, opt_state), loss
+
+            (params, opt_state), losses = jax.lax.scan(
+                step, (params, opt_state), (perm, dkeys))
+            return params, opt_state, jnp.mean(losses)
+
+        self._epoch_body = epoch
+        return jax.jit(epoch, donate_argnums=(0, 1))
 
     def _bucketed_epoch(self, params, opt_state, key):
         total = jnp.zeros(())

@@ -280,3 +280,47 @@ def test_gcn_dense_adjacency_matches_edges(name, toy_dataset,
     s_edges = model.score_all(params, u, aux2)
     np.testing.assert_allclose(np.asarray(s_dense), np.asarray(s_edges),
                                rtol=2e-5, atol=2e-6)
+
+
+def test_samn_grouped_loss_matches_flat(toy_dataset, toy_social_dataset):
+    """SAMN's user-grouped pairwise loss == the flat loss on the same
+    cells: build a grouped batch, flatten its valid cells into flat
+    rows, and compare the two objectives exactly."""
+    cfg, data, model = _setup("SAMN", toy_dataset, toy_social_dataset)
+    trainer = Trainer(model, data, cfg)
+    params, _ = trainer.init_state()
+    aux = trainer.arrays
+    rng = np.random.default_rng(3)
+    G, T = 6, 8
+    gu = rng.integers(0, data.user_nums, G).astype(np.int32)
+    gi = rng.integers(0, data.item_nums, (G, T)).astype(np.int32)
+    gj = rng.integers(0, data.item_nums, (G, T)).astype(np.int32)
+    gw = (rng.random((G, T)) < 0.8).astype(np.float32)
+    batch_g = {"gu": jnp.asarray(gu), "gi": jnp.asarray(gi),
+               "gj": jnp.asarray(gj), "gw": jnp.asarray(gw)}
+    lg = float(model.loss_grouped_pairwise(params, batch_g, aux))
+    batch_f = {"u": jnp.asarray(np.repeat(gu, T)),
+               "i": jnp.asarray(gi.reshape(-1)),
+               "j": jnp.asarray(gj.reshape(-1)),
+               "w": jnp.asarray(gw.reshape(-1))}
+    lf = float(model.loss(params, batch_f, aux))
+    # The flat loss counts the tower L2 (reg2) once per BATCH; both
+    # sides here are one batch, so the objectives match exactly.
+    assert lg == pytest.approx(lf, rel=1e-5)
+
+
+def test_samn_grouped_epoch_trains(toy_dataset, toy_social_dataset):
+    """The grouped pairwise epoch path is selected for SAMN, decreases
+    the loss, and evaluates sanely."""
+    cfg, data, model = _setup("SAMN", toy_dataset, toy_social_dataset)
+    trainer = Trainer(model, data, cfg)
+    assert "pg_user" in trainer.arrays      # grouped path active
+    params, opt = trainer.init_state()
+    losses = []
+    for _ in range(3):
+        params, opt, loss = trainer.train_epoch(params, opt)
+        losses.append(float(loss))
+    assert losses[-1] < losses[0]
+    res = trainer.evaluate(params)
+    for k, (hr, mrr, ndcg) in res.items():
+        assert 0.0 <= hr <= 1.0 and np.isfinite(ndcg)
