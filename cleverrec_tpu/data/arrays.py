@@ -65,15 +65,11 @@ def build_device_data(data: RankingData) -> DeviceData:
     # GB-scale host->device transfer (minutes over this container's
     # tunneled chip).  Build it ON DEVICE from the 32x-smaller bitmap
     # instead — bit-for-bit the same layout (complement_from_bits).
-    from cleverrec_tpu.sampling import (COMPLEMENT_BUDGET_BYTES,
-                                        complement_from_bits)
-    seen = build_member_table(data.ui_train, data.user_nums,
-                              data.item_nums, complement_budget=0)
-    if (seen.bits is not None
-            and data.user_nums * data.item_nums * 4
-            <= COMPLEMENT_BUDGET_BYTES):
-        seen = seen._replace(
-            complement=complement_from_bits(seen.bits, data.item_nums))
+    from cleverrec_tpu.sampling import attach_device_complement
+    seen = attach_device_complement(
+        build_member_table(data.ui_train, data.user_nums, data.item_nums,
+                           complement_budget=0),
+        data.item_nums)
 
     test_users = np.fromiter(data.ui_test.keys(), dtype=np.int32,
                              count=len(data.ui_test))

@@ -121,9 +121,15 @@ class Evaluator:
         return jnp.where(jnp.isfinite(v), items, PAD_ITEM)
 
     def _rank_full_stream(self, params, aux, u, seen_rows):
+        # Chunk-sliced bitmap masking when the packed bitmaps exist
+        # (zero per-query gathers); sorted-rows binary search otherwise.
+        chunk = self.cfg.int("eval.stream_chunk", 4096)
+        bits = (self.dd.seen.bits if self.dd.seen.bits is not None
+                and chunk % 32 == 0 else None)
         v, items = ranking.rank_stream(
             self.model, params, aux, u, seen_rows, self.dd.item_nums,
-            self.kmax, chunk=self.cfg.int("eval.stream_chunk", 4096))
+            self.kmax, chunk=chunk,
+            seen_bits=None if bits is None else jnp.asarray(bits)[u])
         return jnp.where(jnp.isfinite(v), items, PAD_ITEM)
 
     def _rank_full_fused(self, params, aux, u, seen_bits):

@@ -57,7 +57,10 @@ def _graph_aux(device_data, user_nums, item_nums, cfg):
     budget = cfg.int("graph.dense_budget_mb", DENSE_ADJ_BUDGET_MB)
     if n * n * 4 <= budget * 2 ** 20:
         dense = np.zeros((n, n), np.float32)
-        dense[rows, cols] = w
+        # add.at, not assignment: duplicate (u, i) interactions emit the
+        # edge multiple times and segment_sum SUMS them — the dense form
+        # must be the same operator.
+        np.add.at(dense, (rows, cols), w)
         return {"g_dense": dense}
     return {"g_row": rows, "g_col": cols, "g_w": w}
 

@@ -46,15 +46,12 @@ def _union_table(ui_train, social_sets, user_nums, item_nums):
     # Union members per user can approach catalog size (a user's
     # friends' items) — skip the max-width rows plane (need_rows=False)
     # and build the GB-scale complement ON DEVICE from the 32x-smaller
-    # bitmap (complement_from_bits) instead of uploading it.
-    from cleverrec_tpu.sampling import (COMPLEMENT_BUDGET_BYTES,
-                                        complement_from_bits)
-    t = build_member_table(union, user_nums, item_nums,
-                           need_rows=False, complement_budget=0)
-    if (t.bits is not None
-            and user_nums * item_nums * 4 <= COMPLEMENT_BUDGET_BYTES):
-        t = t._replace(complement=complement_from_bits(t.bits, item_nums))
-    return t
+    # bitmap (sampling.attach_device_complement) instead of uploading.
+    from cleverrec_tpu.sampling import attach_device_complement
+    return attach_device_complement(
+        build_member_table(union, user_nums, item_nums,
+                           need_rows=False, complement_budget=0),
+        item_nums)
 
 
 class _SocialTripleBase(RecModel):

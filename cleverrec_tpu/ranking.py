@@ -65,25 +65,70 @@ def rank_sharded(model, params, aux, u, rows, k: int, mesh,
 
 
 def rank_stream(model, params, aux, u, rows, item_nums: int, k: int,
-                chunk: int = 4096, filter_seen: bool = True):
+                chunk: int = 4096, filter_seen: bool = True,
+                seen_bits=None):
     """Streaming ranking: lax.scan over item chunks with a carried
     running top-K — memory O(B * chunk) instead of the dense [B, I]
     score matrix (the catalog-axis scaling path, SURVEY.md section
-    5.7).  Seen masking via binary search over the sorted seen rows."""
+    5.7).
+
+    Dot-decomposable models score each chunk as ONE [B, d] x [d, chunk]
+    matmul against the shared chunk columns (monotone-equivalent
+    ranking, same contract as the fused backend); the generic fallback
+    via score_candidates materializes a [B, chunk, d] gather — 4.3GB at
+    B = chunk = 4096, which both crawled and OOM'd.
+
+    Seen masking: when ``seen_bits`` ([B, ceil(I/32)] packed uint32
+    rows) is given, a chunk's mask is a dynamic SLICE of the bitmap
+    unpacked with broadcast shifts (chunk columns are contiguous ids) —
+    zero per-query gathers.  The sorted-rows binary-search fallback
+    costs log2(L) take_along_axis gathers per chunk (~100ms/call at
+    [256, 4096] on this chip — gathers are ~8ns/element)."""
     from cleverrec_tpu.ops.topk import streaming_topk
     cml = model.cml_like
+    decomp = getattr(model, "dot_decomposition", None)
+    if decomp is not None:
+        uv, table, bias = decomp(params, u, aux)
+        if cml:
+            uv = -uv
+            bias = None if bias is None else -bias
+    if seen_bits is not None:
+        assert chunk % 32 == 0, "bitmap-sliced masking needs 32 | chunk"
+        shifts = (jnp.arange(chunk, dtype=jnp.uint32) & 31)
+        word_of = jnp.arange(chunk, dtype=jnp.int32) >> 5
+        # Pad to whole chunks of words so the tail chunk's dynamic_slice
+        # never clamps (a clamped start misaligns every column).
+        need_w = (-(-item_nums // chunk)) * (chunk // 32)
+        if seen_bits.shape[1] < need_w:
+            seen_bits = jnp.pad(
+                seen_bits, ((0, 0), (0, need_w - seen_bits.shape[1])))
+
+    def mask_seen(s, cand, chunk_ids):
+        if seen_bits is not None:
+            w0 = chunk_ids[0] >> 5
+            words = jax.lax.dynamic_slice(
+                seen_bits, (0, w0), (s.shape[0], chunk // 32))
+            hit = (words[:, word_of] >> shifts[None, :]) & 1
+            return jnp.where(hit.astype(bool), -jnp.inf, s)
+        idx = jax.vmap(jnp.searchsorted)(rows, cand)
+        idx_c = jnp.minimum(idx, rows.shape[1] - 1)
+        hit = jnp.take_along_axis(rows, idx_c, axis=1) == cand
+        return jnp.where(hit, -jnp.inf, s)
 
     def score_chunk(chunk_ids):
         cand = jnp.broadcast_to(chunk_ids[None, :],
                                 (u.shape[0], chunk_ids.shape[0]))
-        s = model.score_candidates(params, u, cand, aux)
-        if cml:
-            s = -s
+        if decomp is not None:
+            s = jnp.dot(uv, table[chunk_ids].T,
+                        preferred_element_type=jnp.float32)
+            if bias is not None:
+                s = s + bias[chunk_ids][None, :]
+        else:
+            s = model.score_candidates(params, u, cand, aux)
+            if cml:
+                s = -s
         if filter_seen:
-            idx = jax.vmap(jnp.searchsorted)(rows, cand)
-            idx_c = jnp.minimum(idx, rows.shape[1] - 1)
-            hit = jnp.take_along_axis(rows, idx_c, axis=1) == cand
-            s = jnp.where(hit, -jnp.inf, s)
+            s = mask_seen(s, cand, chunk_ids)
         return s
 
     return streaming_topk(score_chunk, item_nums, k, chunk=chunk)

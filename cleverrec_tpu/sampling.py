@@ -155,6 +155,19 @@ def complement_from_bits(bits, id_range: int,
     return jnp.concatenate(outs, axis=0)
 
 
+def attach_device_complement(table: MemberTable,
+                             id_range: int) -> MemberTable:
+    """Attach a DEVICE-built complement to a bits-bearing table when the
+    [N, id_range] plane fits the budget (the single policy point for
+    both the seen table and the social union tables)."""
+    if (table.complement is None and table.bits is not None
+            and table.bits.shape[0] * id_range * 4
+            <= COMPLEMENT_BUDGET_BYTES):
+        return table._replace(
+            complement=complement_from_bits(table.bits, id_range))
+    return table
+
+
 def member(table: MemberTable, e: Array, x: Array) -> Array:
     """Is x[b, ...] a member of entity e[b]'s set?
 
@@ -517,10 +530,11 @@ def sbpr_batch(key, rows, valid, pos_u, pos_i, seen: MemberTable, item_nums,
 
     The caller must restrict (pos_u, pos_i) to users with non-empty SPu
     (the reference skips users without social positives, sampler.py:105-106).
-    ``spu_suk[u, s]`` pre-counts how many of u's friends consumed
-    ``spu.rows[u, s]`` (the reference recomputes this per sample,
-    sampler.py:124-130 — it is sample-independent, so we precompute; note
-    spu_suk is aligned with the SORTED spu rows).  The negative avoids
+    ``spu_csr`` is a build_csr_lists dict: ``flat``/``off`` hold each
+    user's sorted-unique SPu items CSR-flat and ``suk`` the aligned
+    friend-consumption counts (the reference recomputes suk per sample,
+    sampler.py:124-130 — it is sample-independent, so we precompute).
+    The negative avoids
     seen(u) UNION SPu(u) (sampler.py:117-119): when the caller provides
     ``social_neg`` (a MemberTable OF THE UNION, models/social.py), the
     draw is exact via its complement table (zero rejection, one gather)

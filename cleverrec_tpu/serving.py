@@ -105,10 +105,15 @@ def build_retrieval_fn(model, params, arrays, device_data, k: int = 10,
             return pad_ids(v, items)
 
     elif backend == "stream":
+        sbits = (jnp.asarray(device_data.seen.bits)
+                 if (filter_seen and device_data.seen.bits is not None
+                     and stream_chunk % 32 == 0) else None)
+
         def retrieve(u):
             v, items = ranking.rank_stream(
                 model, params, arrays, u, rows_of(u), item_nums, k,
-                chunk=stream_chunk, filter_seen=filter_seen)
+                chunk=stream_chunk, filter_seen=filter_seen,
+                seen_bits=None if sbits is None else sbits[u])
             return pad_ids(v, items)
 
     elif backend == "sharded":

@@ -32,6 +32,26 @@ from cleverrec_tpu.models.base import RecModel
 from cleverrec_tpu import sampling
 
 
+def _mlp_unsplit(spec, ref_params, pu_c, qi_c, dense_t):
+    """Invert the fused-epoch feature-axis concatenation: slice the
+    [*, tw_u]/[*, tw_i] tables back into the spec's named params (widths
+    read from ``ref_params``) and zip the dense tuple.  Shared by the
+    plain and grouped pointwise_mlp epoch builders."""
+    def offsets(names):
+        offs = [0]
+        for n in names:
+            offs.append(offs[-1] + ref_params[n].shape[1])
+        return offs
+
+    offs_u, offs_i = offsets(spec["u"]), offsets(spec["i"])
+    out = {n: pu_c[:, offs_u[k]:offs_u[k + 1]]
+           for k, n in enumerate(spec["u"])}
+    out.update({n: qi_c[:, offs_i[k]:offs_i[k + 1]]
+                for k, n in enumerate(spec["i"])})
+    out.update(dict(zip(spec["dense"], dense_t)))
+    return out
+
+
 class Trainer:
     """Single-program trainer (1 chip or data-parallel under pjit).
 
@@ -453,22 +473,7 @@ class Trainer:
                 row_loss=spec["row_loss"], lr=lr, blk=blk,
                 interpret=interpret)
 
-            def offsets(names):
-                offs = [0]
-                for n in names:
-                    offs.append(offs[-1] + params[n].shape[1])
-                return offs
-
-            offs_u, offs_i = offsets(spec["u"]), offsets(spec["i"])
-
-            def split(pu_c, qi_c, dense_t):
-                out = {n: pu_c[:, offs_u[k]:offs_u[k + 1]]
-                       for k, n in enumerate(spec["u"])}
-                out.update({n: qi_c[:, offs_i[k]:offs_i[k + 1]]
-                            for k, n in enumerate(spec["i"])})
-                out.update(dict(zip(spec["dense"], dense_t)))
-                return out
-
+            split = functools.partial(_mlp_unsplit, spec, params)
             # Params outside the spec (NeuMF's vestigial h_gmf/h_mlp,
             # kept for the warm-start graft) pass through unchanged —
             # exactly what the scan path's optax does with zero grads
@@ -620,11 +625,16 @@ class Trainer:
                 # (since complement_from_bits) device-resident already.
                 complement=jnp.asarray(sn.complement)[
                     jnp.asarray(safe_old)])
-            # The UNpermuted device complement is dead weight while the
-            # grouped path owns training; drop the reference so XLA can
-            # free it (eval reads the host-side dd.seen, not this).
+            # The UNpermuted complement is dead weight while the grouped
+            # path owns training.  Since complement_from_bits it is a
+            # DEVICE buffer reachable through BOTH self.arrays["seen"]
+            # and self.dd.seen — drop both references or the GB-scale
+            # buffer stays resident next to its permuted copy (nothing
+            # after this point samples from the unpermuted table; eval
+            # never draws negatives).
             self.arrays["seen"] = self.arrays["seen"]._replace(
                 complement=None)
+            self.dd.seen = self.dd.seen._replace(complement=None)
         else:
             seen_perm = sampling.MemberTable(
                 rows=np.asarray(sn.rows)[safe_old], lens=lens_perm,
@@ -838,22 +848,7 @@ class Trainer:
                 group_body, (PU, mPU, vPU, QI, mQI, vQI, D, mD, vD, 0.0),
                 key, arrays)
 
-            def offsets(names):
-                offs = [0]
-                for n in names:
-                    offs.append(offs[-1] + params[n].shape[1])
-                return offs
-
-            offs_u, offs_i = offsets(spec["u"]), offsets(spec["i"])
-
-            def split(pu_c, qi_c, dense_t):
-                out = {n: pu_c[:, offs_u[k]:offs_u[k + 1]]
-                       for k, n in enumerate(spec["u"])}
-                out.update({n: qi_c[:, offs_i[k]:offs_i[k + 1]]
-                            for k, n in enumerate(spec["i"])})
-                out.update(dict(zip(spec["dense"], dense_t)))
-                return out
-
+            split = functools.partial(_mlp_unsplit, spec, params)
             new_st = adam_st._replace(
                 count=adam_st.count + steps_total,
                 mu={**adam_st.mu, **split(mPU[new_idx], mQI, mD)},

@@ -185,19 +185,24 @@ def test_streaming_eval_matches_full(tmp_path):
                 "lr": "0.05", "recommender": name,
                 "eval.fused_kernel": "False", **ov}
         cfg_full = base_config(toy, **base)
-        cfg_stream = base_config(toy, **{**base, "eval.stream": "True",
-                                         "eval.stream_chunk": "16"})
         data = load_ranking_data(cfg_full)
         model = make_model(cfg_full, DataMeta(data.user_nums,
                                               data.item_nums))
         t_full = Trainer(model, data, cfg_full)
-        t_stream = Trainer(model, data, cfg_stream)
         assert t_full.evaluator.mode == "full"
-        assert t_stream.evaluator.mode == "full_stream"
         params, opt = t_full.init_state()
         params, opt, _ = t_full.train_epoch(params, opt)
         r_full = t_full.evaluate(params)
-        r_stream = t_stream.evaluator.evaluate(params, t_full.arrays)
-        for k in r_full:
-            assert r_stream[k] == pytest.approx(r_full[k], abs=1e-6), \
-                (name, k)
+        # chunk 16: sorted-rows binary-search masking (32 does not
+        # divide it); chunk 32: the chunk-sliced bitmap masking path
+        # including the tail-chunk word padding (60-item catalog).
+        for chunk in ("16", "32"):
+            cfg_stream = base_config(
+                toy, **{**base, "eval.stream": "True",
+                        "eval.stream_chunk": chunk})
+            t_stream = Trainer(model, data, cfg_stream)
+            assert t_stream.evaluator.mode == "full_stream"
+            r_stream = t_stream.evaluator.evaluate(params, t_full.arrays)
+            for k in r_full:
+                assert r_stream[k] == pytest.approx(r_full[k], abs=1e-6), \
+                    (name, chunk, k)

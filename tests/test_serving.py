@@ -63,7 +63,10 @@ def test_backend_equivalence_dense_stream_fused(toy_dataset):
     u = jnp.asarray(np.arange(8), dtype=jnp.int32)
     base_items, base_scores = build_retrieval_fn(
         model, params, tr.arrays, tr.dd, k=5, backend="dense")(u)
-    for backend, kw in (("stream", {"stream_chunk": 7}), ("fused", {})):
+    # stream_chunk 7: sorted-rows searchsorted masking; 32: the
+    # chunk-sliced bitmap masking path (incl. tail-word padding).
+    for backend, kw in (("stream", {"stream_chunk": 7}),
+                        ("stream", {"stream_chunk": 32}), ("fused", {})):
         items, scores = build_retrieval_fn(
             model, params, tr.arrays, tr.dd, k=5, backend=backend, **kw)(u)
         np.testing.assert_array_equal(np.asarray(items),
