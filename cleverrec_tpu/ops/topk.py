@@ -24,18 +24,31 @@ from jax.sharding import Mesh, PartitionSpec as P
 Array = jax.Array
 
 
-def merge_topk(values: Array, ids: Array, k: int) -> tuple[Array, Array]:
-    """Merge candidate blocks: values/ids [B, M] -> top-k [B, k]."""
-    v, idx = jax.lax.top_k(values, k)
+def merge_topk(values: Array, ids: Array, k: int,
+               approx: bool = False) -> tuple[Array, Array]:
+    """Merge candidate blocks: values/ids [B, M] -> top-k [B, k].
+
+    ``approx=True`` selects with jax.lax.approx_max_k — TPU's
+    PartialReduce selection instead of a full sort (lax.top_k lowers to
+    a sort, which dominates streaming retrieval at large catalogs).
+    Default recall_target 0.95 per selection; a true-top-k element
+    dropped in its own chunk's selection stays dropped, so streaming
+    recall ~= the per-chunk recall."""
+    if approx and values.shape[1] > k:
+        v, idx = jax.lax.approx_max_k(values, k)
+    else:
+        v, idx = jax.lax.top_k(values, k)
     return v, jnp.take_along_axis(ids, idx, axis=1)
 
 
 def streaming_topk(score_chunk_fn: Callable[[Array], Array], item_nums: int,
-                   k: int, chunk: int = 4096) -> tuple[Array, Array]:
+                   k: int, chunk: int = 4096,
+                   approx: bool = False) -> tuple[Array, Array]:
     """Running top-k over item chunks.
 
     score_chunk_fn(item_ids [chunk]) -> scores [B, chunk] (already masked:
     seen/invalid items must be -inf).  Returns (values, ids) [B, k].
+    ``approx``: ScaNN-style approximate selection (see merge_topk).
     """
     n_chunks = -(-item_nums // chunk)
     out_shape = jax.eval_shape(score_chunk_fn,
@@ -54,7 +67,7 @@ def streaming_topk(score_chunk_fn: Callable[[Array], Array], item_nums: int,
         i = jnp.concatenate([best_i,
                              jnp.broadcast_to(ids[None, :], scores.shape)],
                             axis=1)
-        return merge_topk(v, i, k), None
+        return merge_topk(v, i, k, approx=approx), None
 
     (values, ids), _ = jax.lax.scan(
         body, (neg, zero_ids), jnp.arange(n_chunks, dtype=jnp.int32))

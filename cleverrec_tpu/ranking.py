@@ -66,7 +66,7 @@ def rank_sharded(model, params, aux, u, rows, k: int, mesh,
 
 def rank_stream(model, params, aux, u, rows, item_nums: int, k: int,
                 chunk: int = 4096, filter_seen: bool = True,
-                seen_bits=None):
+                seen_bits=None, approx: bool = False):
     """Streaming ranking: lax.scan over item chunks with a carried
     running top-K — memory O(B * chunk) instead of the dense [B, I]
     score matrix (the catalog-axis scaling path, SURVEY.md section
@@ -81,9 +81,13 @@ def rank_stream(model, params, aux, u, rows, item_nums: int, k: int,
     Seen masking: when ``seen_bits`` ([B, ceil(I/32)] packed uint32
     rows) is given, a chunk's mask is a dynamic SLICE of the bitmap
     unpacked with broadcast shifts (chunk columns are contiguous ids) —
-    zero per-query gathers.  The sorted-rows binary-search fallback
-    costs log2(L) take_along_axis gathers per chunk (~100ms/call at
-    [256, 4096] on this chip — gathers are ~8ns/element)."""
+    zero per-query gathers.  Without bitmaps (catalog past the bitmap
+    budget), the stream runs UNFILTERED to a top-(k + max_seen) carry
+    and post-filters that short list against the sorted rows — exact
+    (a user's seen items can displace at most max_seen top slots), and
+    O(B * (k + W) * log W) gathers total instead of per-chunk
+    binary searches over every item (which cost log2(L) gathers per
+    query — ~100ms/call at [256, 4096] on this chip)."""
     from cleverrec_tpu.ops.topk import streaming_topk
     cml = model.cml_like
     decomp = getattr(model, "dot_decomposition", None)
@@ -103,17 +107,12 @@ def rank_stream(model, params, aux, u, rows, item_nums: int, k: int,
             seen_bits = jnp.pad(
                 seen_bits, ((0, 0), (0, need_w - seen_bits.shape[1])))
 
-    def mask_seen(s, cand, chunk_ids):
-        if seen_bits is not None:
-            w0 = chunk_ids[0] >> 5
-            words = jax.lax.dynamic_slice(
-                seen_bits, (0, w0), (s.shape[0], chunk // 32))
-            hit = (words[:, word_of] >> shifts[None, :]) & 1
-            return jnp.where(hit.astype(bool), -jnp.inf, s)
-        idx = jax.vmap(jnp.searchsorted)(rows, cand)
-        idx_c = jnp.minimum(idx, rows.shape[1] - 1)
-        hit = jnp.take_along_axis(rows, idx_c, axis=1) == cand
-        return jnp.where(hit, -jnp.inf, s)
+    def mask_seen_bits(s, chunk_ids):
+        w0 = chunk_ids[0] >> 5
+        words = jax.lax.dynamic_slice(
+            seen_bits, (0, w0), (s.shape[0], chunk // 32))
+        hit = (words[:, word_of] >> shifts[None, :]) & 1
+        return jnp.where(hit.astype(bool), -jnp.inf, s)
 
     def score_chunk(chunk_ids):
         cand = jnp.broadcast_to(chunk_ids[None, :],
@@ -127,11 +126,25 @@ def rank_stream(model, params, aux, u, rows, item_nums: int, k: int,
             s = model.score_candidates(params, u, cand, aux)
             if cml:
                 s = -s
-        if filter_seen:
-            s = mask_seen(s, cand, chunk_ids)
+        if filter_seen and seen_bits is not None:
+            s = mask_seen_bits(s, chunk_ids)
         return s
 
-    return streaming_topk(score_chunk, item_nums, k, chunk=chunk)
+    if filter_seen and seen_bits is None:
+        # streaming_topk always yields k columns (-inf padded), so the
+        # widened carry stays >= k even on tiny catalogs.
+        kk = max(k, min(k + rows.shape[1], item_nums))
+        v, ids = streaming_topk(score_chunk, item_nums, kk, chunk=chunk,
+                                approx=approx)
+        idx = jax.vmap(jnp.searchsorted)(rows, ids)
+        idx_c = jnp.minimum(idx, rows.shape[1] - 1)
+        hit = jnp.take_along_axis(rows, idx_c, axis=1) == ids
+        v = jnp.where(hit, -jnp.inf, v)
+        v, sel = jax.lax.top_k(v, k)
+        return v, jnp.take_along_axis(ids, sel, axis=1)
+
+    return streaming_topk(score_chunk, item_nums, k, chunk=chunk,
+                          approx=approx)
 
 
 def rank_fused(model, params, aux, u, seen_bits, k: int,

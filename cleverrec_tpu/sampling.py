@@ -33,6 +33,7 @@ padding so batch shapes stay static.
 
 from __future__ import annotations
 
+import math
 from typing import NamedTuple
 
 import jax
@@ -187,13 +188,14 @@ def member(table: MemberTable, e: Array, x: Array) -> Array:
 
 
 def _reject(key: Array, e: Array, n_range: int, shape: tuple[int, ...],
-            is_bad, extra_rounds: int = EXTRA_ROUNDS) -> Array:
-    """Draw uniforms avoiding ``is_bad`` sets: one vectorized TRIES-wide
-    round (first-good wins), then up to ``extra_rounds`` cheap corrective
-    redraws of the still-bad stragglers.  Residual miss probability is
-    density^(TRIES + extra_rounds) per slot."""
+            is_bad, extra_rounds: int = EXTRA_ROUNDS,
+            tries: int = TRIES) -> Array:
+    """Draw uniforms avoiding ``is_bad`` sets: one vectorized
+    ``tries``-wide round (first-good wins), then up to ``extra_rounds``
+    cheap corrective redraws of the still-bad stragglers.  Residual miss
+    probability is density^(tries + extra_rounds) per slot."""
     key0, key1 = jax.random.split(key)
-    draws = jax.random.randint(key0, shape + (TRIES,), 0, n_range,
+    draws = jax.random.randint(key0, shape + (tries,), 0, n_range,
                                dtype=jnp.int32)
     bad = is_bad(draws)                                   # [*shape, T]
     first = jnp.argmax(~bad, axis=-1)                     # [*shape]
@@ -220,7 +222,11 @@ def sample_not_in(key: Array, table: MemberTable, e: Array, n_range: int,
     shape: output shape with batch leading; shape[0] == e.shape[0].
     Complement path (default for CleverRec-scale tables): EXACT uniform over
     the unseen set via one indexed gather — no rejection; otherwise a
-    vectorized bitmap/binary-search rejection pass.
+    vectorized bitmap/binary-search rejection pass whose width adapts to
+    the table's STATIC density bound (rows.shape[1] / n_range): a sparse
+    100k+ catalog with <=40 seen items per user collides on 0.04% of
+    draws, where the fixed 32-wide round wasted 30 draws + membership
+    tests per slot (~8x of a big-catalog epoch's sampling cost).
     """
     if table.complement is not None:
         n_un = jnp.maximum(n_range - table.lens[e], 1)     # [B]
@@ -233,8 +239,16 @@ def sample_not_in(key: Array, table: MemberTable, e: Array, n_range: int,
             return table.complement[e[:, None], idx]
         idx = r % n_un
         return table.complement[e, idx]
+    w = table.rows.shape[1]
+    if w > 1:           # width-1 rows are need_rows=False stubs: no bound
+        density = min(w / n_range, 0.99)
+        # Per-slot miss <= density^tries <= 2^-24 (+2 corrective rounds).
+        tries = int(min(TRIES, max(2, math.ceil(
+            24.0 / max(-math.log2(density), 1e-6)))))
+    else:
+        tries = TRIES
     return _reject(key, e, n_range, shape,
-                   lambda q: member(table, e, q))
+                   lambda q: member(table, e, q), tries=tries)
 
 
 def sample_not_in_popular(key: Array, table: MemberTable, e: Array,

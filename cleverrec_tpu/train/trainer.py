@@ -1332,10 +1332,17 @@ class Trainer:
                 params, opt_state, loss = self.train_epoch(params, opt_state)
                 losses.append(loss)
             return params, opt_state, losses
+        # train.max_epoch_block caps the scan-over-epochs program size;
+        # 1 disables multi-epoch blocks entirely.  Escape hatch for
+        # backends/catalogs where large scanned programs fault the TPU
+        # worker (observed on the axon backend at a ~100k-item catalog:
+        # 1-epoch programs run, a 2-epoch scan of the same body crashes
+        # the worker process — benchmarks/catalog_scale.py).
+        cap = self.cfg.int("train.max_epoch_block", 32)
         losses: list[float] = []
         remaining = n_epochs
         while remaining > 0:
-            block = min(1 << (remaining.bit_length() - 1), 32)
+            block = min(1 << (remaining.bit_length() - 1), max(cap, 1))
             params, opt_state, block_losses = self._train_block(
                 params, opt_state, block)
             losses.extend(block_losses)

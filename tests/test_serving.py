@@ -182,3 +182,21 @@ def test_pick_backend_mesh_and_thresholds(toy_dataset):
     assert _pick_backend(model, tr.dd, True, make_mesh(2, 4)) == "sharded"
     # off-TPU: dense for small catalogs
     assert _pick_backend(model, tr.dd, True) in ("dense", "stream")
+
+
+def test_stream_approx_retrieval_ranks(toy_dataset):
+    """approx=True (TPU approx_max_k chunk selection) returns a valid
+    ranking; on the CPU backend approx_max_k reduces exactly, so it
+    must equal the exact stream backend here."""
+    model, params, tr = _trained(toy_dataset)
+    u = jnp.asarray(np.arange(8), dtype=jnp.int32)
+    exact_i, exact_v = build_retrieval_fn(
+        model, params, tr.arrays, tr.dd, k=5, backend="stream",
+        stream_chunk=32)(u)
+    approx_i, approx_v = build_retrieval_fn(
+        model, params, tr.arrays, tr.dd, k=5, backend="stream",
+        stream_chunk=32, approx=True)(u)
+    np.testing.assert_array_equal(np.asarray(approx_i),
+                                  np.asarray(exact_i))
+    np.testing.assert_allclose(np.asarray(approx_v),
+                               np.asarray(exact_v), rtol=1e-6)
