@@ -72,6 +72,9 @@ class Evaluator:
                   and cfg.bool("eval.stream", device_data.item_nums
                                > cfg.int("eval.stream_threshold", 500_000)
                                and not fused_forced))
+        self._stream_bits = (device_data.seen.bits is not None
+                             and cfg.int("eval.stream_chunk", 4096)
+                             % 32 == 0)
         if self.candidate_eval:
             self.mode = "candidate"
         elif mesh is not None:
@@ -120,16 +123,16 @@ class Evaluator:
                                         seen_rows, self.kmax, self.mesh)
         return jnp.where(jnp.isfinite(v), items, PAD_ITEM)
 
-    def _rank_full_stream(self, params, aux, u, seen_rows):
-        # Chunk-sliced bitmap masking when the packed bitmaps exist
-        # (zero per-query gathers); sorted-rows binary search otherwise.
-        chunk = self.cfg.int("eval.stream_chunk", 4096)
-        bits = (self.dd.seen.bits if self.dd.seen.bits is not None
-                and chunk % 32 == 0 else None)
+    def _rank_full_stream(self, params, aux, u, seen_rows, seen_bits=None):
+        # Chunk-sliced bitmap masking when the batches carry packed
+        # bitmaps (zero per-query gathers; _build_batches gathers the
+        # TEST USERS' rows — never close over the full [U, W] table,
+        # which would embed as a GB-scale HLO constant); top-(k+W)
+        # post-filtering against the sorted rows otherwise.
         v, items = ranking.rank_stream(
             self.model, params, aux, u, seen_rows, self.dd.item_nums,
-            self.kmax, chunk=chunk,
-            seen_bits=None if bits is None else jnp.asarray(bits)[u])
+            self.kmax, chunk=self.cfg.int("eval.stream_chunk", 4096),
+            seen_bits=seen_bits)
         return jnp.where(jnp.isfinite(v), items, PAD_ITEM)
 
     def _rank_full_fused(self, params, aux, u, seen_bits):
@@ -161,11 +164,12 @@ class Evaluator:
                 nb, bt, dd.cand.shape[1]))
             out["mask"] = jnp.asarray(dd.cand_mask[order].reshape(
                 nb, bt, dd.cand.shape[1]))
-        elif self.mode == "full_fused":
-            bits = dd.seen.bits[users]
+        elif self.mode == "full_fused" or (
+                self.mode == "full_stream" and self._stream_bits):
+            bits = np.asarray(dd.seen.bits)[users]
             out["bits"] = jnp.asarray(bits.reshape(nb, bt, bits.shape[1]))
         else:
-            rows = dd.seen.rows[users]
+            rows = np.asarray(dd.seen.rows)[users]
             out["rows"] = jnp.asarray(rows.reshape(nb, bt, rows.shape[1]))
         return out
 
@@ -211,7 +215,12 @@ class Evaluator:
             elif self.mode == "full_sharded":
                 rec = self._rank_full_sharded(params, aux, b["u"], b["rows"])
             elif self.mode == "full_stream":
-                rec = self._rank_full_stream(params, aux, b["u"], b["rows"])
+                if self._stream_bits:
+                    rec = self._rank_full_stream(params, aux, b["u"],
+                                                 None, b["bits"])
+                else:
+                    rec = self._rank_full_stream(params, aux, b["u"],
+                                                 b["rows"])
             else:
                 rec = self._rank_full(params, aux, b["u"], b["rows"])
             return acc + self._metric_sums(rec, b["real"], b["row_w"]), None

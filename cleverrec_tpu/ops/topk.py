@@ -24,20 +24,9 @@ from jax.sharding import Mesh, PartitionSpec as P
 Array = jax.Array
 
 
-def merge_topk(values: Array, ids: Array, k: int,
-               approx: bool = False) -> tuple[Array, Array]:
-    """Merge candidate blocks: values/ids [B, M] -> top-k [B, k].
-
-    ``approx=True`` selects with jax.lax.approx_max_k — TPU's
-    PartialReduce selection instead of a full sort (lax.top_k lowers to
-    a sort, which dominates streaming retrieval at large catalogs).
-    Default recall_target 0.95 per selection; a true-top-k element
-    dropped in its own chunk's selection stays dropped, so streaming
-    recall ~= the per-chunk recall."""
-    if approx and values.shape[1] > k:
-        v, idx = jax.lax.approx_max_k(values, k)
-    else:
-        v, idx = jax.lax.top_k(values, k)
+def merge_topk(values: Array, ids: Array, k: int) -> tuple[Array, Array]:
+    """Merge candidate blocks: values/ids [B, M] -> top-k [B, k]."""
+    v, idx = jax.lax.top_k(values, k)
     return v, jnp.take_along_axis(ids, idx, axis=1)
 
 
@@ -48,7 +37,15 @@ def streaming_topk(score_chunk_fn: Callable[[Array], Array], item_nums: int,
 
     score_chunk_fn(item_ids [chunk]) -> scores [B, chunk] (already masked:
     seen/invalid items must be -inf).  Returns (values, ids) [B, k].
-    ``approx``: ScaNN-style approximate selection (see merge_topk).
+
+    ``approx=True``: ScaNN-style selection — each fresh chunk is first
+    reduced with jax.lax.approx_max_k (TPU PartialReduce, ~0.95 recall
+    per chunk) and the CARRY is merged exactly, so an element that
+    survives its own chunk's selection is never evicted approximately
+    later (re-approximating the sorted carry would compound recall loss
+    across chunks: the carry sits in fixed leading positions — the
+    adversarial layout for positional partial-reduce binning).  Exact
+    mode pays a full lax.top_k sort of [B, k + chunk] per chunk.
     """
     n_chunks = -(-item_nums // chunk)
     out_shape = jax.eval_shape(score_chunk_fn,
@@ -63,11 +60,13 @@ def streaming_topk(score_chunk_fn: Callable[[Array], Array], item_nums: int,
         valid = ids < item_nums
         scores = score_chunk_fn(jnp.minimum(ids, item_nums - 1))
         scores = jnp.where(valid[None, :], scores, -jnp.inf)
+        cids = jnp.broadcast_to(ids[None, :], scores.shape)
+        if approx and chunk > k:
+            scores, sel = jax.lax.approx_max_k(scores, k)
+            cids = jnp.take_along_axis(cids, sel, axis=1)
         v = jnp.concatenate([best_v, scores], axis=1)
-        i = jnp.concatenate([best_i,
-                             jnp.broadcast_to(ids[None, :], scores.shape)],
-                            axis=1)
-        return merge_topk(v, i, k, approx=approx), None
+        i = jnp.concatenate([best_i, cids], axis=1)
+        return merge_topk(v, i, k), None
 
     (values, ids), _ = jax.lax.scan(
         body, (neg, zero_ids), jnp.arange(n_chunks, dtype=jnp.int32))

@@ -114,6 +114,14 @@ def rank_stream(model, params, aux, u, rows, item_nums: int, k: int,
         hit = (words[:, word_of] >> shifts[None, :]) & 1
         return jnp.where(hit.astype(bool), -jnp.inf, s)
 
+    # The post-filter trick widens the carry by the GLOBAL max seen
+    # count; one power user with a huge history would inflate every
+    # merge, so past this width fall back to exact per-chunk
+    # binary-search masking (slower, skew-immune).
+    post_filter = (filter_seen and seen_bits is None
+                   and rows.shape[1] <= 4096)
+    chunk_mask_rows = filter_seen and seen_bits is None and not post_filter
+
     def score_chunk(chunk_ids):
         cand = jnp.broadcast_to(chunk_ids[None, :],
                                 (u.shape[0], chunk_ids.shape[0]))
@@ -128,9 +136,14 @@ def rank_stream(model, params, aux, u, rows, item_nums: int, k: int,
                 s = -s
         if filter_seen and seen_bits is not None:
             s = mask_seen_bits(s, chunk_ids)
+        elif chunk_mask_rows:
+            idx = jax.vmap(jnp.searchsorted)(rows, cand)
+            idx_c = jnp.minimum(idx, rows.shape[1] - 1)
+            hit = jnp.take_along_axis(rows, idx_c, axis=1) == cand
+            s = jnp.where(hit, -jnp.inf, s)
         return s
 
-    if filter_seen and seen_bits is None:
+    if post_filter:
         # streaming_topk always yields k columns (-inf padded), so the
         # widened carry stays >= k even on tiny catalogs.
         kk = max(k, min(k + rows.shape[1], item_nums))

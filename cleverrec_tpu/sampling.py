@@ -47,7 +47,12 @@ Array = jax.Array
 # (measured ~1.6ms/step for 8 rounds on v5e) — so prefer width to rounds.
 TRIES = 32  # collision prob <= density^TRIES per slot
 EXTRA_ROUNDS = 2
-BITMAP_BUDGET_BYTES = 256 << 20  # fall back to sorted rows above this
+# Bitmaps cost id_range/8 bytes per entity and unlock the cheapest
+# membership test (2 gathers/draw), the fused eval kernel, and the
+# bitmap-sliced streaming mask.  1GB covers a ~170k-item catalog at 50k
+# users on a 16GB-HBM chip whose training state at that scale is <1GB;
+# above it, sorted-rows binary search takes over.
+BITMAP_BUDGET_BYTES = 1 << 30
 
 
 COMPLEMENT_BUDGET_BYTES = 2 << 30  # direct unseen-table sampling cap

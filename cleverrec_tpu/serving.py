@@ -60,7 +60,13 @@ def build_retrieval_fn(model, params, arrays, device_data, k: int = 10,
     ``approx`` (stream backend): ScaNN-style approx_max_k chunk
     selection — TPU PartialReduce instead of the full sort that
     dominates exact streaming at large catalogs (~0.95 recall of the
-    true top-k; ops/topk.merge_topk).
+    true top-k; ops/topk.streaming_topk).
+
+    Score-value contract: rankings agree across backends, but the
+    fused and stream backends score dot-DECOMPOSED logits — monotone
+    transforms of the dense backend's model scores (GMF's sigmoid is
+    dropped; cml_like models drop the per-user ||u||^2 offset).
+    Compare scores across backends only for plain dot models.
     """
     item_nums = model.meta.item_nums
     if backend == "auto":
@@ -75,64 +81,82 @@ def build_retrieval_fn(model, params, arrays, device_data, k: int = 10,
                          "packed seen bitmaps (catalog exceeded the "
                          "bitmap budget) — use backend='stream'")
 
-    # The seen-rows table is only uploaded for backends that read it.
-    if backend in ("dense", "stream", "sharded") and filter_seen:
-        seen_rows = jnp.asarray(device_data.seen.rows)
+    # Everything device-resident (params, aux, seen tables) is threaded
+    # through the jitted function's ARGUMENTS, never closure-captured: a
+    # captured array is embedded as an HLO constant — a 636MB bitmap
+    # once blew the remote compiler's request limit (HTTP 413), and the
+    # embedded copy doubles HBM besides.
+    use_bits = (backend == "fused" and filter_seen) or (
+        backend == "stream" and filter_seen
+        and device_data.seen.bits is not None and stream_chunk % 32 == 0)
+    if use_bits:
+        seen_tbl = jnp.asarray(device_data.seen.bits)
+    elif backend in ("dense", "stream", "sharded") and filter_seen:
+        # Only uploaded when the masking path actually reads it.
+        seen_tbl = jnp.asarray(device_data.seen.rows)
     else:
-        seen_rows = None
-    rows_of = (lambda u: seen_rows[u]) if seen_rows is not None else (
-        lambda u: jnp.zeros((u.shape[0], 1), jnp.int32))
+        seen_tbl = jnp.zeros((1, 1), jnp.int32)
 
     def pad_ids(v, items):
         return jnp.where(jnp.isfinite(v), items, -1), v
 
+    def rows_of(tbl, u):
+        if backend in ("dense", "stream", "sharded") and filter_seen \
+                and not use_bits:
+            return tbl[u]
+        return jnp.zeros((u.shape[0], 1), jnp.int32)
+
     if backend == "dense":
-        def retrieve(u):
+        def impl(params, arrays, tbl, u):
             v, items = ranking.rank_dense(model, params, arrays, u,
-                                          rows_of(u), k, filter_seen)
+                                          rows_of(tbl, u), k, filter_seen)
             return pad_ids(v, items)
 
     elif backend == "fused":
         interpret = jax.default_backend() != "tpu"
-        if filter_seen:
-            bits_all = jnp.asarray(device_data.seen.bits)
-            bits_of = lambda u: bits_all[u]  # noqa: E731
-        else:
-            # One zero row indexed for every user — NOT a [U, W] zero
-            # table (that once planned a multi-GB dead allocation).
-            zero_row = jnp.zeros((1, (item_nums + 31) // 32), jnp.uint32)
-            bits_of = lambda u: zero_row[jnp.zeros_like(u)]  # noqa: E731
 
-        def retrieve(u):
+        def impl(params, arrays, tbl, u):
+            if filter_seen:
+                bits = tbl[u]
+            else:
+                # One zero row indexed for every user — NOT a [U, W]
+                # zero table (that once planned a multi-GB dead
+                # allocation).
+                zero = jnp.zeros((1, (item_nums + 31) // 32), jnp.uint32)
+                bits = zero[jnp.zeros_like(u)]
             v, items = ranking.rank_fused(model, params, arrays, u,
-                                          bits_of(u), k,
-                                          interpret=interpret)
+                                          bits, k, interpret=interpret)
             return pad_ids(v, items)
 
     elif backend == "stream":
-        sbits = (jnp.asarray(device_data.seen.bits)
-                 if (filter_seen and device_data.seen.bits is not None
-                     and stream_chunk % 32 == 0) else None)
-
-        def retrieve(u):
+        def impl(params, arrays, tbl, u):
             v, items = ranking.rank_stream(
-                model, params, arrays, u, rows_of(u), item_nums, k,
+                model, params, arrays, u, rows_of(tbl, u), item_nums, k,
                 chunk=stream_chunk, filter_seen=filter_seen,
-                seen_bits=None if sbits is None else sbits[u],
+                seen_bits=tbl[u] if use_bits else None,
                 approx=approx)
             return pad_ids(v, items)
 
     elif backend == "sharded":
-        def retrieve(u):
+        def impl(params, arrays, tbl, u):
             v, items = ranking.rank_sharded(model, params, arrays, u,
-                                            rows_of(u), k, mesh,
+                                            rows_of(tbl, u), k, mesh,
                                             filter_seen)
             return pad_ids(v, items)
 
     else:
         raise ValueError(f"unknown retrieval backend {backend!r}")
 
-    return jax.jit(retrieve)
+    # Commit to device ONCE: host-numpy leaves passed as jit args would
+    # re-transfer on every call.
+    params = jax.tree_util.tree_map(jnp.asarray, params)
+    arrays = jax.tree_util.tree_map(jnp.asarray, arrays)
+    jitted = jax.jit(impl)
+
+    def retrieve(u):
+        return jitted(params, arrays, seen_tbl, u)
+
+    return retrieve
 
 
 def build_rerank_fn(model, params, arrays, k: int = 10):
