@@ -834,7 +834,7 @@ def plan_fused_mlp_grouped(u_real: int, i_real: int, tw_u: int,
     return None
 
 
-def _cml_kernel(t0_ref, u_ref, i_ref, n_ref,
+def _cml_kernel(t0_ref, gstats_ref, u_ref, i_ref, n_ref, frozen_ref,
                 hbm_p, hbm_q, hbm_mp, hbm_vp, hbm_mq, hbm_vq,
                 p_ref, q_ref, mp_ref, vp_ref, mq_ref, vq_ref, loss_ref,
                 dp_ref, dq_ref, sem,
@@ -874,14 +874,29 @@ def _cml_kernel(t0_ref, u_ref, i_ref, n_ref,
     the column sums of xc vanish, which kills the mean-chain term.)
     Sentinel rows cost margin*log(item_nums/K + 1) each in the loss sum
     (all-zero embeddings -> slack = margin, all K imposters) and are
-    subtracted statically by the caller."""
+    subtracted statically by the caller.
+
+    GROUPED launches (user-axis block-coordinate, fused_cml_epoch's
+    ``frozen`` arg): the covariance population spans ALL real users,
+    so frozen (out-of-group) P rows enter through closed-form partial
+    sums — gstats = [u_real_in_slice, n_out, sum_a, sum_a2, sum_sq]
+    (a = per-row sums of x, sq = ||x||^2) and frozen_ref row 0 = the
+    frozen rows' column sums.  mu is then the exact global mean and the
+    frozen rows' loss terms expand around it; their own gradients are
+    NOT applied while frozen (block-coordinate semantics, pinned by the
+    grouped oracle test).  The mean-chain term still vanishes: the
+    all-rows sums it contracts against are zero whether or not every
+    row is resident.  Ungrouped callers pass zero stats — all frozen
+    terms vanish identically and gstats[0] == u_real."""
     import jax.experimental.pallas as pl
 
     s = pl.program_id(0)
     u_pad, d = p_ref.shape
     i_pad, _ = q_ref.shape
     n_rb = u_ref.shape[1]              # idx blocks are [1, B//blk, blk]
-    n_rows = float(u_real + i_real)
+    ur_dyn = gstats_ref[0]             # real rows in the resident slice
+    n_out = gstats_ref[1]
+    n_rows = ur_dyn + float(i_real) + n_out
 
     @pl.when(s == 0)
     def _load_state():
@@ -893,17 +908,24 @@ def _cml_kernel(t0_ref, u_ref, i_ref, n_ref,
     dq_ref[...] = jnp.zeros_like(dq_ref)
     onehot_t = lambda ids_row, n_r: _onehot_t(ids_row, n_r, blk)  # noqa: E731
     gather = _mxu_gather
-    # Hoisted per grid step: Q only changes at the step's Adam update.
-    qn2 = jnp.sum(q_ref[...] * q_ref[...], axis=1, keepdims=True)
-    iota_sub = jax.lax.broadcasted_iota(jnp.int32, (i_pad, blk), 0)
     ones_d = jnp.ones((1, d), jnp.float32)
-    ones_i = jnp.ones((i_pad, 1), jnp.float32)
-
-    def row_sum(x_t):
-        """[blk, 1] <- sublane-contraction of [i_pad, blk] via MXU."""
-        return jax.lax.dot_general(
-            x_t, ones_i, (((0,), (0,)), ((), ())),
-            preferred_element_type=jnp.float32)
+    # The distance/mask phase walks the item axis in SLABS so its live
+    # buffers are [slab, blk], not [i_pad, blk] — at a 3.5k-item catalog
+    # the full-width working set (distance matrix, multiplicity mask,
+    # compare temporaries, ~10 buffers as compiled) measured 22MB of
+    # scoped VMEM and OOM'd.  slab = the largest 128-multiple divisor of
+    # i_pad <= 1152 (single slab for small catalogs = the original
+    # layout).  Two-level min keeps the argmin semantics: an earlier
+    # slab wins exact ties, i.e. the lowest item id, as before.
+    if i_pad <= 2048:
+        slab = i_pad
+    else:
+        m = i_pad // 128
+        slab = 128 * max(kd for kd in range(1, m + 1)
+                         if m % kd == 0 and kd * 128 <= 1152)
+    n_slab = i_pad // slab
+    iota_slab0 = jax.lax.broadcasted_iota(jnp.int32, (slab, blk), 0)
+    ones_slab = jnp.ones((slab, 1), jnp.float32)
 
     def block(kb, loss):
         row = pl.ds(kb, 1)              # dynamic sublane, static lanes
@@ -919,25 +941,48 @@ def _cml_kernel(t0_ref, u_ref, i_ref, n_ref,
         pe2_t = jax.lax.dot_general(
             ones_d, pe * pe, (((1,), (1,)), ((), ())),
             preferred_element_type=jnp.float32)         # [1, blk]
-        # Score matrix Q @ peT and the expanded distance matrix.
-        s_t = jax.lax.dot_general(
-            q_ref[...], pe, (((1,), (1,)), ((), ())),
-            preferred_element_type=jnp.float32)         # [i_pad, blk]
-        dist_t = qn2 - 2.0 * s_t + pe2_t
 
-        def accum_mask(k, m):
-            # Negative plane k occupies sublane rows k*n_rb .. of the
-            # [1, K*n_rb, blk] stream.
-            ids = n_ref[0, pl.ds(k * n_rb + kb, 1), :]
-            return m + onehot_t(ids, i_pad)
+        def slab_pass(si, carry):
+            d_min_t, cnt_t, sel_row_t = carry
+            s0 = si * slab
+            # Score slab Q[s0:s0+slab] @ peT -> expanded distances.
+            # (Slab norms recomputed from the ref slice: Mosaic has no
+            # dynamic_slice on VALUES, and the VPU cost is negligible.)
+            q_slab = q_ref[pl.ds(s0, slab), :]
+            s_t = jax.lax.dot_general(
+                q_slab, pe, (((1,), (1,)), ((), ())),
+                preferred_element_type=jnp.float32)     # [slab, blk]
+            dist = (jnp.sum(q_slab * q_slab, axis=1, keepdims=True)
+                    - 2.0 * s_t + pe2_t)
+            iota_s = iota_slab0 + s0
 
-        mult_t = jax.lax.fori_loop(
-            0, K, accum_mask, jnp.zeros((i_pad, blk), jnp.float32))
-        hit = mult_t > 0.0
-        cond = (d_ui_t + margin - dist_t > 0).astype(jnp.float32)
-        cnt_t = jnp.sum(mult_t * cond, axis=0, keepdims=True)  # [1, blk]
-        d_min_t = jnp.min(jnp.where(hit, dist_t, 3e38), axis=0,
-                          keepdims=True)
+            def accum_mask(k, m):
+                # Negative plane k occupies sublane rows k*n_rb .. of
+                # the [1, K*n_rb, blk] stream.
+                ids = n_ref[0, pl.ds(k * n_rb + kb, 1), :]
+                return m + (iota_s == jnp.broadcast_to(
+                    ids, (slab, blk))).astype(jnp.float32)
+
+            mult = jax.lax.fori_loop(
+                0, K, accum_mask, jnp.zeros((slab, blk), jnp.float32))
+            hit = mult > 0.0
+            cond = (d_ui_t + margin - dist > 0).astype(jnp.float32)
+            cnt_t = cnt_t + jnp.sum(mult * cond, axis=0, keepdims=True)
+            slab_min = jnp.min(jnp.where(hit, dist, 3e38), axis=0,
+                               keepdims=True)           # [1, blk]
+            eq = hit & (dist == slab_min)
+            slab_sel = jnp.min(jnp.where(eq, iota_s, i_pad), axis=0,
+                               keepdims=True)
+            better = slab_min < d_min_t     # strict: earlier slab (and
+            sel_row_t = jnp.where(better, slab_sel, sel_row_t)  # lowest
+            return (jnp.minimum(d_min_t, slab_min), cnt_t,      # id) wins
+                    sel_row_t)
+
+        d_min_t, cnt_t, sel_row_t = jax.lax.fori_loop(
+            0, n_slab, slab_pass,
+            (jnp.full((1, blk), 3e38, jnp.float32),
+             jnp.zeros((1, blk), jnp.float32),
+             jnp.full((1, blk), i_pad, jnp.int32)))
         # WARP weight, reference formula as written (CML.py:50-53).
         rank_t = cnt_t / K * item_nums / K
         wlog_t = jnp.log(rank_t + 1.0)
@@ -945,19 +990,36 @@ def _cml_kernel(t0_ref, u_ref, i_ref, n_ref,
         coef_t = wlog_t * (slack_t > 0).astype(jnp.float32)  # [1, blk]
         loss = loss + jnp.sum(wlog_t * jnp.maximum(slack_t, 0.0))
 
-        # Argmin one-hot (scatter-ready): lowest item id among the
-        # bitwise-min-distance sampled negatives of each pair.
-        eq = hit & (dist_t == d_min_t)
-        sel_row_t = jnp.min(jnp.where(eq, iota_sub, i_pad), axis=0,
-                            keepdims=True)               # [1, blk]
-        oh_sel = (iota_sub == sel_row_t).astype(jnp.float32)
-        q_sel = gather(oh_sel, q_ref)                    # [blk, d]
-        coef_c = row_sum(oh_sel * coef_t)                # [blk, 1]
+        # Argmin gather + coefficient column, slab by slab (a full-width
+        # [i_pad, blk] argmin one-hot was part of the 17MB VMEM OOM; a
+        # slab one-hot is rebuilt per pass — VPU compares, no storage).
+        def slab_sel(si, carry):
+            q_sel, coef_c = carry
+            s0 = si * slab
+            oh_s = ((iota_slab0 + s0) == sel_row_t).astype(jnp.float32)
+            q_sel = q_sel + gather(oh_s, q_ref[pl.ds(s0, slab), :])
+            coef_c = coef_c + jax.lax.dot_general(
+                oh_s * coef_t, ones_slab, (((0,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32)
+            return q_sel, coef_c
+
+        q_sel, coef_c = jax.lax.fori_loop(
+            0, n_slab, slab_sel,
+            (jnp.zeros((blk, d), jnp.float32),
+             jnp.zeros((blk, 1), jnp.float32)))
 
         d_pe = 2.0 * coef_c * (q_sel - qi)
         d_qi = -2.0 * coef_c * diff_ui
-        dq_ref[...] += jnp.dot(oh_sel, (2.0 * coef_c) * (pe - q_sel),
-                               preferred_element_type=jnp.float32)
+        d_qsel = (2.0 * coef_c) * (pe - q_sel)
+
+        def slab_scatter(si, _):
+            s0 = si * slab
+            oh_s = ((iota_slab0 + s0) == sel_row_t).astype(jnp.float32)
+            dq_ref[pl.ds(s0, slab), :] += jnp.dot(
+                oh_s, d_qsel, preferred_element_type=jnp.float32)
+            return 0
+
+        jax.lax.fori_loop(0, n_slab, slab_scatter, 0)
         dp_ref[...] += jnp.dot(oh_u, d_pe,
                                preferred_element_type=jnp.float32)
         dq_ref[...] += jnp.dot(oh_i, d_qi,
@@ -966,29 +1028,65 @@ def _cml_kernel(t0_ref, u_ref, i_ref, n_ref,
 
     loss = jax.lax.fori_loop(0, n_rb, block, 0.0)
 
-    # -- dense covariance-regularizer gradient + loss, masked to real rows
+    # -- dense covariance-regularizer gradient + loss, masked to real
+    # rows.  The Q side walks the item axis in SLABS: doing the xc /
+    # rowsum / gradient / Adam chain over the full [i_pad, d] table kept
+    # ~5 full-width temporaries live and pushed the grouped ml-1m launch
+    # past the 16MB scoped-VMEM limit.  P (the per-group slice) stays
+    # whole — it is the small axis by construction.
     mask_p = (jax.lax.broadcasted_iota(jnp.int32, (u_pad, 1), 0)
-              < u_real).astype(jnp.float32)
-    mask_q = (jax.lax.broadcasted_iota(jnp.int32, (i_pad, 1), 0)
-              < i_real).astype(jnp.float32)
-    mu = (jnp.sum(p_ref[...] * mask_p, axis=0, keepdims=True)
-          + jnp.sum(q_ref[...] * mask_q, axis=0, keepdims=True)) / n_rows
-    xc_p = (p_ref[...] - mu) * mask_p
-    xc_q = (q_ref[...] - mu) * mask_q
-    s_p = jnp.sum(xc_p, axis=1, keepdims=True)
-    s_q = jnp.sum(xc_q, axis=1, keepdims=True)
-    loss = loss + reg * ((jnp.sum(s_p * s_p) + jnp.sum(s_q * s_q))
-                         - (jnp.sum(xc_p * xc_p)
-                            + jnp.sum(xc_q * xc_q))) / n_rows
-    loss_ref[s] = loss                  # per-step; wrapper tree-sums
-    g_cov = 2.0 * reg / n_rows
-    g_p = dp_ref[...] + g_cov * (s_p - xc_p) * mask_p
-    g_q = dq_ref[...] + g_cov * (s_q - xc_q) * mask_q
+              .astype(jnp.float32) < ur_dyn).astype(jnp.float32)
+    frozen_sum = frozen_ref[0:1, :]                      # [1, d]
+    # Slab widths on the item axis for the elementwise chain (divides
+    # i_pad; small catalogs take one pass).
+    cs = i_pad if i_pad <= 2048 else slab
+    n_cs = i_pad // cs
+    iota_cs = jax.lax.broadcasted_iota(jnp.int32, (cs, 1), 0)
 
+    def qsum_pass(si, acc):
+        mq_mask = ((iota_cs + si * cs) < i_real).astype(jnp.float32)
+        return acc + jnp.sum(q_ref[pl.ds(si * cs, cs), :] * mq_mask,
+                             axis=0, keepdims=True)
+
+    q_colsum = jax.lax.fori_loop(0, n_cs, qsum_pass,
+                                 jnp.zeros((1, d), jnp.float32))
+    mu = (jnp.sum(p_ref[...] * mask_p, axis=0, keepdims=True)
+          + q_colsum + frozen_sum) / n_rows
+    xc_p = (p_ref[...] - mu) * mask_p
+    s_p = jnp.sum(xc_p, axis=1, keepdims=True)
+    # Frozen rows' terms around the global mean: sum_r (a_r - ms)^2 and
+    # sum_r ||x_r - mu||^2 from the carried scalars (zero when ungrouped).
+    ms = jnp.sum(mu)
+    frozen_s2 = gstats_ref[3] - 2.0 * ms * gstats_ref[2] + n_out * ms * ms
+    frozen_xc2 = (gstats_ref[4] - 2.0 * jnp.sum(frozen_sum * mu)
+                  + n_out * jnp.sum(mu * mu))
+    g_cov = 2.0 * reg / n_rows
     bc1, bc2 = _adam_step(t0_ref, s, b1, b2)
+
+    def q_chain(si, acc):
+        s2_acc, xc2_acc = acc
+        sl = pl.ds(si * cs, cs)
+        mq_mask = ((iota_cs + si * cs) < i_real).astype(jnp.float32)
+        xc = (q_ref[sl, :] - mu) * mq_mask
+        s_r = jnp.sum(xc, axis=1, keepdims=True)
+        s2_acc = s2_acc + jnp.sum(s_r * s_r)
+        xc2_acc = xc2_acc + jnp.sum(xc * xc)
+        g = dq_ref[sl, :] + g_cov * (s_r - xc) * mq_mask
+        m = b1 * mq_ref[sl, :] + (1.0 - b1) * g
+        v = b2 * vq_ref[sl, :] + (1.0 - b2) * (g * g)
+        mq_ref[sl, :] = m
+        vq_ref[sl, :] = v
+        q_ref[sl, :] = q_ref[sl, :] - lr * (m / bc1) / (
+            jnp.sqrt(v / bc2) + eps)
+        return s2_acc, xc2_acc
+
+    q_s2, q_xc2 = jax.lax.fori_loop(0, n_cs, q_chain, (0.0, 0.0))
+    loss = loss + reg * ((jnp.sum(s_p * s_p) + q_s2 + frozen_s2)
+                         - (jnp.sum(xc_p * xc_p) + q_xc2
+                            + frozen_xc2)) / n_rows
+    loss_ref[s] = loss                  # per-step; wrapper tree-sums
+    g_p = dp_ref[...] + g_cov * (s_p - xc_p) * mask_p
     _adam_apply(p_ref, mp_ref, vp_ref, g_p, bc1, bc2,
-                lr=lr, b1=b1, b2=b2, eps=eps)
-    _adam_apply(q_ref, mq_ref, vq_ref, g_q, bc1, bc2,
                 lr=lr, b1=b1, b2=b2, eps=eps)
 
 
@@ -1007,7 +1105,7 @@ def fused_cml_epoch(p, q, mp, vp, mq, vq, u_idx, i_idx, n_idx, t0,
                     *, lr: float, reg: float, margin: float,
                     item_nums: int, b1: float = 0.9, b2: float = 0.999,
                     eps: float = 1e-8, blk: int = 256,
-                    interpret: bool = False):
+                    interpret: bool = False, frozen=None):
     """One full CML training epoch in a single Pallas program — the
     metric-learning sibling of ``fused_bpr_epoch``.
 
@@ -1017,6 +1115,13 @@ def fused_cml_epoch(p, q, mp, vp, mq, vq, u_idx, i_idx, n_idx, t0,
     ids U_pad-1 / I_pad-1 in ALL THREE index arrays.  ``item_nums`` is
     the REAL catalog size (the WARP rank formula uses it, not the padded
     table height).
+
+    ``frozen`` (GROUPED launches): a tuple (u_real_in_slice, n_out,
+    sum_a, sum_a2, sum_sq, frozen_sum[d]) of traced values describing
+    the OUT-OF-GROUP real user rows, which enter the covariance
+    regularizer through closed-form partial sums (see _cml_kernel).
+    None = ungrouped: the whole table is resident and the stats are
+    zeros.
 
     Returns (p, q, mp, vp, mq, vq, loss_total); loss_total still includes
     ``cml_sentinel_bias(...)`` per EPOCH-padding sentinel row (the B-pad
@@ -1029,6 +1134,20 @@ def fused_cml_epoch(p, q, mp, vp, mq, vq, u_idx, i_idx, n_idx, t0,
     u_real, d = p.shape
     i_real, _ = q.shape
     u_pad, i_pad = sentinel_dims(u_real, i_real)
+    if frozen is None:
+        gstats = jnp.asarray([float(u_real)] + [0.0] * 7, jnp.float32)
+        frozen_row = jnp.zeros((8, d), jnp.float32)
+    else:
+        ur_dyn, n_out, sum_a, sum_a2, sum_sq, fsum = frozen
+        gstats = jnp.stack([
+            jnp.asarray(ur_dyn, jnp.float32),
+            jnp.asarray(n_out, jnp.float32),
+            jnp.asarray(sum_a, jnp.float32),
+            jnp.asarray(sum_a2, jnp.float32),
+            jnp.asarray(sum_sq, jnp.float32),
+            jnp.zeros((), jnp.float32), jnp.zeros((), jnp.float32),
+            jnp.zeros((), jnp.float32)])
+        frozen_row = jnp.zeros((8, d), jnp.float32).at[0].set(fsum)
     pads = lambda a, n: jnp.pad(a, ((0, n - a.shape[0]), (0, 0)))  # noqa: E731
     p, mp, vp = (pads(x, u_pad) for x in (p, mp, vp))
     q, mq, vq = (pads(x, i_pad) for x in (q, mq, vq))
@@ -1064,7 +1183,9 @@ def fused_cml_epoch(p, q, mp, vp, mq, vq, u_idx, i_idx, n_idx, t0,
         grid=(steps,),
         in_specs=[
             pl.BlockSpec(memory_space=pltpu.SMEM),      # t0
+            pl.BlockSpec(memory_space=pltpu.SMEM),      # gstats
             idx, idx, idx_n,                            # u, i, negs
+            full((8, d)),                               # frozen col sums
             hbm, hbm, hbm, hbm, hbm, hbm,               # initial state
         ],
         out_specs=(
@@ -1088,8 +1209,8 @@ def fused_cml_epoch(p, q, mp, vp, mq, vq, u_idx, i_idx, n_idx, t0,
             pltpu.SemaphoreType.DMA((6,)),
         ],
         interpret=interpret,
-    )(jnp.asarray([t0], jnp.int32), u_idx, i_idx, n_idx,
-      p, q, mp, vp, mq, vq)
+    )(jnp.asarray([t0], jnp.int32), gstats, u_idx, i_idx, n_idx,
+      frozen_row, p, q, mp, vp, mq, vq)
     p_o, q_o, mp_o, vp_o, mq_o, vq_o, loss = outs
     bias = cml_sentinel_bias(margin, item_nums, K)
     return (p_o[:u_real], q_o[:i_real], mp_o[:u_real], vp_o[:u_real],
@@ -1148,7 +1269,7 @@ def plan_fused(u_real: int, i_real: int, d: int, b: int,
 
 
 def grouped_blk(rows: int, i_real: int, d: int, b: int,
-                idx_planes: int = 3):
+                idx_planes: int = 3, oh_items: int = 2):
     """Block size for ONE grouped launch, or None if no block fits.
 
     XLA's scoped-vmem allocator pins the [rows, d] per-group slice
@@ -1164,14 +1285,16 @@ def grouped_blk(rows: int, i_real: int, d: int, b: int,
     limit = int(15.5 * 2 ** 20)
     slices = 8 * 4 * d * rows
     for blk in (256, 128):
-        if (vmem_footprint_bytes(rows, i_real, d, b, blk, idx_planes)
+        if (vmem_footprint_bytes(rows, i_real, d, b, blk, idx_planes,
+                                 oh_items)
                 + slices < limit):
             return blk
     return None
 
 
 def plan_fused_grouped(u_real: int, i_real: int, d: int, b: int,
-                       idx_planes: int = 3, force_g: int | None = None):
+                       idx_planes: int = 3, force_g: int | None = None,
+                       oh_items: int = 2):
     """Plan for the GROUPED fused epoch (user-axis block-coordinate):
     when the full user table + moments overflow VMEM (plan_fused None),
     split users into G pair-mass-balanced groups of ``group_rows`` rows
@@ -1188,7 +1311,7 @@ def plan_fused_grouped(u_real: int, i_real: int, d: int, b: int,
     for g in ((force_g,) if force_g
               else (2, 4, 8, 16, 32, 64, 128, 256, 512, 1024)):
         rows = _round_up(cdiv(u_real, g), 128)
-        blk = grouped_blk(rows, i_real, d, b, idx_planes)
+        blk = grouped_blk(rows, i_real, d, b, idx_planes, oh_items)
         if blk is not None:
             return g, rows, blk
     return None

@@ -290,38 +290,33 @@ class Trainer:
         # tuning hook); 0 = auto (grouped only on VMEM overflow).
         force_g = self.cfg.int("train.fused_groups", 0)
         if force_g > 1:
-            if proto not in ("pairwise_bpr", "pointwise_bce"):
-                if self.logger:
-                    self.logger.info(
-                        f"train.fused_groups={force_g} ignored: the "
-                        f"{proto} protocol has no grouped variant")
-            else:
-                self._fused_grouped_plan = plan_fused_grouped(
-                    self.dd.user_nums, self.dd.item_nums,
-                    self.model.embed_size, self.batch_size,
-                    idx_planes=planes, force_g=force_g)
-                if self._fused_grouped_plan is not None:
-                    return True
-                if self.logger:
-                    self.logger.info(
-                        f"train.fused_groups={force_g} ignored: that "
-                        "group size overflows VMEM; falling back to "
-                        + ("the ungrouped fused epoch"
-                           if self._fused_plan is not None
-                           else "auto group planning"))
+            self._fused_grouped_plan = plan_fused_grouped(
+                self.dd.user_nums, self.dd.item_nums,
+                self.model.embed_size, self.batch_size,
+                idx_planes=planes, force_g=force_g, oh_items=oh)
+            if self._fused_grouped_plan is not None:
+                return True
+            if self.logger:
+                self.logger.info(
+                    f"train.fused_groups={force_g} ignored: that "
+                    "group size overflows VMEM; falling back to "
+                    + ("the ungrouped fused epoch"
+                       if self._fused_plan is not None
+                       else "auto group planning"))
             # Fall through to the normal auto logic (ungrouped plan if
             # it fits, else auto-grouped) instead of dropping to scan.
         if self._fused_plan is not None:
             return True
-        # VMEM overflow: the BPR family can fall back to the GROUPED
-        # epoch (user-axis block-coordinate Adam — each P row's moments
-        # advance only during its own group's steps; items stay fully
-        # resident and dense).  Opt-out via train.fused_grouped.
-        if (proto in ("pairwise_bpr", "pointwise_bce")
-                and self.cfg.bool("train.fused_grouped", on_tpu)):
+        # VMEM overflow: fall back to the GROUPED epoch (user-axis
+        # block-coordinate Adam — each P row's moments advance only
+        # during its own group's steps; items stay fully resident and
+        # dense; CML's covariance regularizer spans the frozen rows via
+        # closed-form partial sums).  Opt-out via train.fused_grouped.
+        if self.cfg.bool("train.fused_grouped", on_tpu):
             self._fused_grouped_plan = plan_fused_grouped(
                 self.dd.user_nums, self.dd.item_nums,
-                self.model.embed_size, self.batch_size, idx_planes=planes)
+                self.model.embed_size, self.batch_size, idx_planes=planes,
+                oh_items=oh)
         if self._fused_grouped_plan is not None:
             if self.logger:
                 g, rows, blk = self._fused_grouped_plan
@@ -574,11 +569,13 @@ class Trainer:
         and the ml-1m benchmark records metric parity with the scan
         path.
 
-        The cml_hinge protocol is deliberately NOT grouped: its dense
-        per-step covariance regularizer (CML.py:63-70) is defined over
-        the FULL user+item embedding matrix, which a per-group kernel
-        could only approximate groupwise — VMEM-overflow CML catalogs
-        take the scan path instead."""
+        The cml_hinge protocol's dense per-step covariance regularizer
+        (CML.py:63-70) spans the FULL user+item embedding matrix; the
+        grouped launch carries the frozen (out-of-group) rows' partial
+        sums into the kernel so the global mean and the loss are EXACT
+        — only the frozen rows' own covariance gradients are deferred
+        to their groups' launches (the same block-coordinate semantics
+        every grouped parameter already has)."""
         from cleverrec_tpu.ops.pallas_train import (LOG2, fused_bpr_epoch,
                                                     fused_gmf_epoch,
                                                     sentinel_dims)
@@ -648,11 +645,18 @@ class Trainer:
         pos_up, pos_i = pos_up[order].astype(np.int32), pos_i[order]
         bounds = np.searchsorted(pos_up, np.arange(n_groups + 1)
                                  * group_rows)
-        rows_per_pair = (neg_ratio if proto == "pairwise_bpr"
-                         else 1 + neg_ratio)
-        static_fn = (sampling.pairwise_epoch_static
-                     if proto == "pairwise_bpr"
-                     else sampling.pointwise_epoch_static)
+        # Rows per (u, i) pair: neg_ratio pairwise rows for BPR; ONE row
+        # (carrying K negatives) for CML; 1 + neg_ratio pointwise rows
+        # otherwise.  CML's static layout is the pairwise one at
+        # neg_ratio=1 (mirrors __init__'s cml_static).
+        rows_per_pair = {"pairwise_bpr": neg_ratio,
+                         "cml_hinge": 1}.get(proto, 1 + neg_ratio)
+        if proto in ("pairwise_bpr", "cml_hinge"):
+            static_neg = neg_ratio if proto == "pairwise_bpr" else 1
+            static_fn = functools.partial(sampling.pairwise_epoch_static)
+        else:
+            static_neg = neg_ratio
+            static_fn = sampling.pointwise_epoch_static
         # Mass balance makes one shared step count near-waste-free (and
         # one kernel shape = one Mosaic compile).
         steps_eq = max(1, max(
@@ -664,7 +668,7 @@ class Trainer:
             sl = slice(bounds[g], bounds[g + 1])
             statics.append(static_fn(
                 pos_up[sl], pos_i[sl], seen_perm.lens, item_nums,
-                padded, neg_ratio))
+                padded, static_neg))
             n_sents.append(padded - (bounds[g + 1] - bounds[g])
                            * rows_per_pair)
         # Stacked [G, ...] statics: the epoch runs groups under ONE
@@ -678,7 +682,12 @@ class Trainer:
         # them so their device copies free.
         self.arrays.pop("pairwise_static", None)
         self.arrays.pop("pointwise_static", None)
+        self.arrays.pop("cml_static", None)
         n_sents_arr = jnp.asarray(n_sents, jnp.float32)
+        # Real-user count per group (CML's covariance population needs
+        # it; fillers are the tail slots of each group's range).
+        grp_counts = jnp.asarray(
+            np.bincount(g_of_rank, minlength=n_groups), jnp.float32)
         u_pad, i_pad = sentinel_dims(group_rows, item_nums)
         blk = min(plan_blk, max(b, 8))
         interpret = jax.default_backend() != "tpu"
@@ -857,9 +866,66 @@ class Trainer:
                     (new_st,) + tuple(opt_state[1:]),
                     loss_total / steps_total)
 
+        def epoch_cml(params, opt_state, key, arrays):
+            from cleverrec_tpu.ops.pallas_train import (cml_sentinel_bias,
+                                                        fused_cml_epoch)
+            adam_st = opt_state[0]
+            P, mP, vP = perm_in(params, adam_st)
+            Q, mQ, vQ = params["Q"], adam_st.mu["Q"], adam_st.nu["Q"]
+            bias = cml_sentinel_bias(self.model.margin, item_nums,
+                                     neg_ratio)
+
+            def group_body(carry, xs):
+                P, mP, vP, Q, mQ, vQ, loss_total = carry
+                g, gkey, static_g, nsent = xs
+                pkey, _ = jax.random.split(gkey)
+                batch = sampling.cml_epoch_tensors(
+                    pkey, static_g, arrays["grouped_seen"],
+                    item_nums, steps_eq, b,
+                    pop_cdf=arrays.get("pop_cdf"), neg_ratio=neg_ratio)
+                inval = batch["w"] == 0.0
+                g0 = g * group_rows
+                u = jnp.where(inval, u_pad - 1,
+                              batch["u"] - g0).astype(jnp.int32)
+                i = sentinel_ids(inval, batch["i"])
+                negs = jnp.where(inval[..., None], i_pad - 1,
+                                 batch["negs"]).astype(jnp.int32)
+                p_g, mp_g, vp_g = slice_p(P, mP, vP, g0)
+                # Frozen-row covariance stats = totals over the whole
+                # permuted P minus this slice's (filler rows are zero
+                # everywhere, so unmasked sums equal real-row sums).
+                row_a_all = jnp.sum(P, axis=1)
+                row_a_g = jnp.sum(p_g, axis=1)
+                frozen = (grp_counts[g],
+                          float(un) - grp_counts[g],
+                          jnp.sum(row_a_all) - jnp.sum(row_a_g),
+                          jnp.sum(row_a_all ** 2) - jnp.sum(row_a_g ** 2),
+                          jnp.sum(P * P) - jnp.sum(p_g * p_g),
+                          jnp.sum(P, axis=0) - jnp.sum(p_g, axis=0))
+                p_g, Q, mp_g, vp_g, mQ, vQ, loss = fused_cml_epoch(
+                    p_g, Q, mp_g, vp_g, mQ, vQ, u, i, negs,
+                    adam_st.count + g * steps_eq,
+                    lr=lr, reg=reg, margin=self.model.margin,
+                    item_nums=item_nums, blk=blk, interpret=interpret,
+                    frozen=frozen)
+                P, mP, vP = update_p(P, mP, vP, p_g, mp_g, vp_g, g0)
+                return (P, mP, vP, Q, mQ, vQ,
+                        loss_total + loss - nsent * bias), None
+
+            P, mP, vP, Q, mQ, vQ, loss_total = scan_groups(
+                group_body, (P, mP, vP, Q, mQ, vQ, 0.0), key, arrays)
+            new_st = adam_st._replace(
+                count=adam_st.count + steps_total,
+                mu={"P": mP[new_idx], "Q": mQ},
+                nu={"P": vP[new_idx], "Q": vQ})
+            return ({"P": P[new_idx], "Q": Q},
+                    (new_st,) + tuple(opt_state[1:]),
+                    loss_total / steps_total)
+
         epoch = {"pairwise_bpr": epoch_pairwise,
                  "pointwise_bce": epoch_pointwise,
-                 "pointwise_mlp": epoch_mlp}[proto]
+                 "pointwise_mlp": epoch_mlp,
+                 "cml_hinge": epoch_cml}[proto]
         self._epoch_body = epoch
         return jax.jit(epoch, donate_argnums=(0, 1))
 

@@ -251,15 +251,17 @@ def test_fused_gmf_trainer_matches_scan_trainer(toy_dataset):
         assert r1[k] == pytest.approx(r0[k], abs=2e-4)
 
 
-def test_fused_cml_epoch_matches_optax_oracle():
+@pytest.mark.parametrize("i_n", [41, 2200])
+def test_fused_cml_epoch_matches_optax_oracle(i_n):
     """CML kernel vs a literal optax.adam step loop replicating
     models/metric.py CML.loss (WARP-weighted min-negative hinge +
     full-table covariance regularizer) on random data, including
-    sentinel-encoded invalid rows."""
+    sentinel-encoded invalid rows.  i_n=2200 pads to i_pad=2304 > 2048,
+    exercising the MULTI-SLAB distance/mask walk (2 slabs of 1152)."""
     from cleverrec_tpu.ops.pallas_train import (cml_sentinel_bias,
                                                 fused_cml_epoch)
     rng = np.random.default_rng(3)
-    u_n, i_n, d, K = 29, 41, 16, 4
+    u_n, d, K = 29, 16, 4
     steps, b = 4, 64
     lr, reg, margin = 0.01, 0.05, 1.0
     u_pad, i_pad = sentinel_dims(u_n, i_n)
@@ -863,3 +865,122 @@ def test_fused_rows_trainer_matches_scan_trainer(name, toy_social_dataset):
     r1 = t_fused.evaluate(p1)
     for k in r0:
         assert r1[k] == pytest.approx(r0[k], abs=2e-4)
+
+
+def test_grouped_cml_trainer_matches_blockwise_adam_oracle(tmp_path):
+    """GROUPED CML (forced 2 groups): the covariance regularizer spans
+    the FULL user population via frozen-row partial sums.  Oracle:
+    optax.adam per group over {P-slice, Q} with the covariance computed
+    over concat(Q, P_slice, P_frozen_real) — frozen rows enter the loss
+    and the mean but receive no gradients — replaying the identical
+    per-group sampling streams."""
+    import optax as _optax
+    from cleverrec_tpu import sampling
+    from tests.conftest import make_toy_interactions
+
+    ds = tmp_path / "bigc"
+    ds.mkdir()
+    make_toy_interactions(ds / "ratings.csv", n_users=300, n_items=60,
+                          n_rows=4000)
+    toy = {"root": str(tmp_path), "name": "bigc"}
+    ov = {"epoches": "1", "batch_size": "64", "embed_size": "8",
+          "lr": "0.01", "neg_ratio": "3", "is_pairwise": "True",
+          "loss_func": "hinge", "margin": "1.0", "reg": "0.05",
+          "stddev": "0.1", "recommender": "CML",
+          "train.fused_kernel": "True", "train.fused_groups": "2"}
+    cfg = base_config(toy, **ov)
+    data = load_ranking_data(cfg)
+    model = make_model(cfg, DataMeta(data.user_nums, data.item_nums))
+    tr = Trainer(model, data, cfg)
+    assert tr._fused_grouped_plan is not None
+    G, rows, _ = tr._fused_grouped_plan
+    assert G == 2
+    p0, o0 = tr.init_state()
+    key = jax.random.PRNGKey(77)
+    p1, o1, loss1 = jax.tree_util.tree_map(
+        np.asarray, tr._epoch_body(p0, o0, key, tr.arrays))
+
+    # -- oracle ----------------------------------------------------------
+    lr, reg, margin = cfg.lr, model.reg, model.margin
+    K = cfg.neg_ratio
+    bsz = cfg.batch_size
+    statics = tr.arrays["grouped_static"]
+    steps_eq = statics["ord_u"].shape[1] // bsz
+    item_nums = data.item_nums
+    un = data.user_nums
+    new_of_old, old_of_new = tr._grouped_perm
+    real_row = old_of_new < un                    # [G*rows] filler mask
+    P = np.pad(np.asarray(p0["P"]), ((0, 1), (0, 0)))[old_of_new]
+    Q = np.asarray(p0["Q"])
+    mP, vP = np.zeros_like(P), np.zeros_like(P)
+    mQ, vQ = np.zeros_like(Q), np.zeros_like(Q)
+    opt = _optax.adam(lr, b1=0.9, b2=0.999, eps=1e-8)
+
+    def loss_fn(sub, frozen, ur_g, ub, ib, nb, wb):
+        # models/metric.py CML.loss over this batch; covariance over the
+        # REAL rows of (Q, resident slice, frozen rows).
+        ue = sub["P"][ub]
+        ie = sub["Q"][ib]
+        ne = sub["Q"][nb]
+        d_ui = jnp.sum(jnp.square(ue - ie), axis=1)
+        d_un = jnp.sum(jnp.square(ue[:, None, :] - ne), axis=2)
+        d_min = jnp.min(d_un, axis=1)
+        per_pair = jnp.maximum(d_ui + margin - d_min, 0.0)
+        imposters = (d_ui[:, None] + margin - d_un) > 0
+        rank = (jnp.mean(imposters.astype(jnp.float32), axis=1)
+                * item_nums / K)
+        per_pair = per_pair * jnp.log(rank + 1.0) * wb
+        x = jnp.concatenate([sub["Q"], sub["P"][:ur_g], frozen], axis=0)
+        xc = x - jnp.mean(x, axis=0)
+        cov = (xc.T @ xc) / x.shape[0]
+        cov_loss = reg * (jnp.sum(cov) - jnp.trace(cov))
+        return jnp.sum(per_pair) + cov_loss
+
+    total = 0.0
+    gkeys = jax.random.split(key, G)
+    for g in range(G):
+        pkey, _ = jax.random.split(gkeys[g])
+        batch = jax.tree_util.tree_map(
+            np.asarray, sampling.cml_epoch_tensors(
+                pkey, {k: v[g] for k, v in statics.items()},
+                tr.arrays["grouped_seen"], item_nums, steps_eq, bsz,
+                neg_ratio=K))
+        g0 = g * rows
+        ur_g = int(real_row[g0: g0 + rows].sum())
+        # Real rows of the slice are its leading ur_g slots.
+        assert real_row[g0: g0 + ur_g].all()
+        sub = {"P": jnp.asarray(P[g0: g0 + rows]), "Q": jnp.asarray(Q)}
+        out_mask = real_row.copy()
+        out_mask[g0: g0 + rows] = False
+        frozen = jnp.asarray(P[out_mask])
+        st = (_optax.ScaleByAdamState(
+            count=jnp.asarray(g * steps_eq, jnp.int32),
+            mu={"P": jnp.asarray(mP[g0: g0 + rows]), "Q": jnp.asarray(mQ)},
+            nu={"P": jnp.asarray(vP[g0: g0 + rows]), "Q": jnp.asarray(vQ)}),
+            _optax.EmptyState())
+        for s in range(steps_eq):
+            w = batch["w"][s]
+            u_loc = np.where(w > 0, batch["u"][s] - g0, 0)
+            i_b = np.where(w > 0, batch["i"][s], 0)
+            n_b = np.where(w[:, None] > 0, batch["negs"][s], 0)
+            l, grads = jax.value_and_grad(loss_fn)(
+                sub, frozen, ur_g, u_loc, i_b, n_b, jnp.asarray(w))
+            upd, st = opt.update(grads, st, sub)
+            sub = _optax.apply_updates(sub, upd)
+            total += float(l)
+        P[g0: g0 + rows] = np.asarray(sub["P"])
+        Q = np.asarray(sub["Q"])
+        mP[g0: g0 + rows] = np.asarray(st[0].mu["P"])
+        vP[g0: g0 + rows] = np.asarray(st[0].nu["P"])
+        mQ, vQ = np.asarray(st[0].mu["Q"]), np.asarray(st[0].nu["Q"])
+
+    assert float(loss1) == pytest.approx(total / (G * steps_eq), rel=1e-4)
+    # atol 1e-5: the kernel's frozen-row partial-sum expansion
+    # (sum_a2 - 2*ms*sum_a + n*ms^2) and the oracle's direct concat
+    # covariance differ by f32 cancellation noise.
+    np.testing.assert_allclose(p1["P"], P[new_of_old],
+                               rtol=3e-4, atol=1e-5)
+    np.testing.assert_allclose(p1["Q"], Q, rtol=3e-4, atol=1e-5)
+    np.testing.assert_allclose(np.asarray(o1[0].mu["P"]),
+                               mP[new_of_old], rtol=3e-4, atol=1e-5)
+    assert int(o1[0].count) == G * steps_eq
