@@ -839,7 +839,7 @@ def _cml_kernel(t0_ref, gstats_ref, u_ref, i_ref, n_ref, frozen_ref,
                 p_ref, q_ref, mp_ref, vp_ref, mq_ref, vq_ref, loss_ref,
                 dp_ref, dq_ref, sem,
                 *, steps: int, blk: int, K: int, lr: float, reg: float,
-                margin: float, item_nums: int, u_real: int, i_real: int,
+                margin: float, item_nums: int, i_real: int,
                 b1: float, b2: float, eps: float):
     """CML (metric-learning hinge) epoch kernel body.
 
@@ -917,7 +917,10 @@ def _cml_kernel(t0_ref, gstats_ref, u_ref, i_ref, n_ref, frozen_ref,
     # i_pad <= 1152 (single slab for small catalogs = the original
     # layout).  Two-level min keeps the argmin semantics: an earlier
     # slab wins exact ties, i.e. the lowest item id, as before.
-    if i_pad <= 2048:
+    # Single-slab bound 1792 = the largest full-width catalog validated
+    # on hardware (ml-100k); the extrapolated working set at 2048 is
+    # over the scoped limit even though the planner model passes it.
+    if i_pad <= 1792:
         slab = i_pad
     else:
         m = i_pad // 128
@@ -1037,18 +1040,16 @@ def _cml_kernel(t0_ref, gstats_ref, u_ref, i_ref, n_ref, frozen_ref,
     mask_p = (jax.lax.broadcasted_iota(jnp.int32, (u_pad, 1), 0)
               .astype(jnp.float32) < ur_dyn).astype(jnp.float32)
     frozen_sum = frozen_ref[0:1, :]                      # [1, d]
-    # Slab widths on the item axis for the elementwise chain (divides
-    # i_pad; small catalogs take one pass).
-    cs = i_pad if i_pad <= 2048 else slab
-    n_cs = i_pad // cs
-    iota_cs = jax.lax.broadcasted_iota(jnp.int32, (cs, 1), 0)
+    # The elementwise chain reuses the hinge phase's slab width (one
+    # pass for small catalogs).
+    iota_cs = jax.lax.broadcasted_iota(jnp.int32, (slab, 1), 0)
 
     def qsum_pass(si, acc):
-        mq_mask = ((iota_cs + si * cs) < i_real).astype(jnp.float32)
-        return acc + jnp.sum(q_ref[pl.ds(si * cs, cs), :] * mq_mask,
+        mq_mask = ((iota_cs + si * slab) < i_real).astype(jnp.float32)
+        return acc + jnp.sum(q_ref[pl.ds(si * slab, slab), :] * mq_mask,
                              axis=0, keepdims=True)
 
-    q_colsum = jax.lax.fori_loop(0, n_cs, qsum_pass,
+    q_colsum = jax.lax.fori_loop(0, n_slab, qsum_pass,
                                  jnp.zeros((1, d), jnp.float32))
     mu = (jnp.sum(p_ref[...] * mask_p, axis=0, keepdims=True)
           + q_colsum + frozen_sum) / n_rows
@@ -1065,8 +1066,8 @@ def _cml_kernel(t0_ref, gstats_ref, u_ref, i_ref, n_ref, frozen_ref,
 
     def q_chain(si, acc):
         s2_acc, xc2_acc = acc
-        sl = pl.ds(si * cs, cs)
-        mq_mask = ((iota_cs + si * cs) < i_real).astype(jnp.float32)
+        sl = pl.ds(si * slab, slab)
+        mq_mask = ((iota_cs + si * slab) < i_real).astype(jnp.float32)
         xc = (q_ref[sl, :] - mu) * mq_mask
         s_r = jnp.sum(xc, axis=1, keepdims=True)
         s2_acc = s2_acc + jnp.sum(s_r * s_r)
@@ -1080,7 +1081,7 @@ def _cml_kernel(t0_ref, gstats_ref, u_ref, i_ref, n_ref, frozen_ref,
             jnp.sqrt(v / bc2) + eps)
         return s2_acc, xc2_acc
 
-    q_s2, q_xc2 = jax.lax.fori_loop(0, n_cs, q_chain, (0.0, 0.0))
+    q_s2, q_xc2 = jax.lax.fori_loop(0, n_slab, q_chain, (0.0, 0.0))
     loss = loss + reg * ((jnp.sum(s_p * s_p) + q_s2 + frozen_s2)
                          - (jnp.sum(xc_p * xc_p) + q_xc2
                             + frozen_xc2)) / n_rows
@@ -1178,7 +1179,7 @@ def fused_cml_epoch(p, q, mp, vp, mq, vq, u_idx, i_idx, n_idx, t0,
     outs = pl.pallas_call(
         functools.partial(_cml_kernel, steps=steps, blk=blk, K=K,
                           lr=lr, reg=reg, margin=margin,
-                          item_nums=item_nums, u_real=u_real,
+                          item_nums=item_nums,
                           i_real=i_real, b1=b1, b2=b2, eps=eps),
         grid=(steps,),
         in_specs=[
@@ -1232,8 +1233,11 @@ def vmem_footprint_bytes(u_real: int, i_real: int, d: int, b: int,
     rows (x2 buffers; ``idx_planes`` [steps, b]-shaped index streams —
     3 for BPR (u, i, j), 2 for GMF (uz, i), 2 + neg_ratio for CML).
     ``oh_items`` counts the simultaneously-live [i_pad, blk] f32 blocks:
-    2 for BPR/GMF (item one-hots), 5 for CML (item one-hot, distance
-    matrix, multiplicity mask, argmin one-hot, plus one fusion temp)."""
+    2 for BPR/GMF (item one-hots); for CML, 5 on single-slab catalogs
+    (item one-hot, distance matrix, multiplicity mask, compare temps)
+    and 3 past the single-slab bound, where the kernel walks the item
+    axis in slabs and only the item one-hot stays full-width (the
+    trainer picks the value)."""
     u_pad, i_pad = sentinel_dims(u_real, i_real)
     state = 4 * d * (3 * u_pad + 3 * i_pad)
     scratch = 4 * d * (u_pad + i_pad)

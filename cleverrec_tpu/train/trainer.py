@@ -277,10 +277,18 @@ class Trainer:
                                                     plan_fused_grouped)
         planes = {"pairwise_bpr": 3, "pointwise_bce": 2,
                   "cml_hinge": 2 + self.neg_ratio}[proto]
-        # CML's score-matrix kernel keeps ~5 [i_pad, blk] f32 blocks
-        # live at once (distance matrix, multiplicity mask, argmin
-        # one-hot, ...) vs 2 item one-hots for the BPR/GMF kernels.
-        oh = 5 if proto == "cml_hinge" else 2
+        # CML live-block charge: ~5 full-width [i_pad, blk] f32 blocks
+        # on small catalogs (single-slab layout: distance matrix,
+        # multiplicity mask, compare temps); past the single-slab bound
+        # the kernel walks the item axis in <=1152-wide slabs and only
+        # the item one-hot stays full-width, so charge 3 (one-hot +
+        # slab working set as ~2 full-width equivalents, conservative).
+        if proto == "cml_hinge":
+            from cleverrec_tpu.ops.pallas_train import sentinel_dims
+            i_pad = sentinel_dims(self.dd.user_nums, self.dd.item_nums)[1]
+            oh = 5 if i_pad <= 1792 else 3
+        else:
+            oh = 2
         self._fused_plan = plan_fused(self.dd.user_nums, self.dd.item_nums,
                                       self.model.embed_size,
                                       self.batch_size, idx_planes=planes,
@@ -653,7 +661,7 @@ class Trainer:
                          "cml_hinge": 1}.get(proto, 1 + neg_ratio)
         if proto in ("pairwise_bpr", "cml_hinge"):
             static_neg = neg_ratio if proto == "pairwise_bpr" else 1
-            static_fn = functools.partial(sampling.pairwise_epoch_static)
+            static_fn = sampling.pairwise_epoch_static
         else:
             static_neg = neg_ratio
             static_fn = sampling.pointwise_epoch_static
@@ -875,8 +883,21 @@ class Trainer:
             bias = cml_sentinel_bias(self.model.margin, item_nums,
                                      neg_ratio)
 
+            def p_stats(x):
+                """(sum_a, sum_a2, sum_sq, col_sum) over rows of x
+                (filler rows are zero everywhere, so unmasked sums
+                equal real-row sums)."""
+                row_a = jnp.sum(x, axis=1)
+                return (jnp.sum(row_a), jnp.sum(row_a ** 2),
+                        jnp.sum(x * x), jnp.sum(x, axis=0))
+
+            # Running totals carried ACROSS groups (O(U*d) once, then
+            # O(rows*d) per group — a per-group full-table reduction
+            # was O(G*U*d) of pure scan-serialized overhead).
+            tot = p_stats(P)
+
             def group_body(carry, xs):
-                P, mP, vP, Q, mQ, vQ, loss_total = carry
+                P, mP, vP, Q, mQ, vQ, tot, loss_total = carry
                 g, gkey, static_g, nsent = xs
                 pkey, _ = jax.random.split(gkey)
                 batch = sampling.cml_epoch_tensors(
@@ -891,17 +912,9 @@ class Trainer:
                 negs = jnp.where(inval[..., None], i_pad - 1,
                                  batch["negs"]).astype(jnp.int32)
                 p_g, mp_g, vp_g = slice_p(P, mP, vP, g0)
-                # Frozen-row covariance stats = totals over the whole
-                # permuted P minus this slice's (filler rows are zero
-                # everywhere, so unmasked sums equal real-row sums).
-                row_a_all = jnp.sum(P, axis=1)
-                row_a_g = jnp.sum(p_g, axis=1)
-                frozen = (grp_counts[g],
-                          float(un) - grp_counts[g],
-                          jnp.sum(row_a_all) - jnp.sum(row_a_g),
-                          jnp.sum(row_a_all ** 2) - jnp.sum(row_a_g ** 2),
-                          jnp.sum(P * P) - jnp.sum(p_g * p_g),
-                          jnp.sum(P, axis=0) - jnp.sum(p_g, axis=0))
+                res = p_stats(p_g)
+                fro = tuple(t - r for t, r in zip(tot, res))
+                frozen = (grp_counts[g], float(un) - grp_counts[g]) + fro
                 p_g, Q, mp_g, vp_g, mQ, vQ, loss = fused_cml_epoch(
                     p_g, Q, mp_g, vp_g, mQ, vQ, u, i, negs,
                     adam_st.count + g * steps_eq,
@@ -909,11 +922,12 @@ class Trainer:
                     item_nums=item_nums, blk=blk, interpret=interpret,
                     frozen=frozen)
                 P, mP, vP = update_p(P, mP, vP, p_g, mp_g, vp_g, g0)
-                return (P, mP, vP, Q, mQ, vQ,
+                tot = tuple(f + r for f, r in zip(fro, p_stats(p_g)))
+                return (P, mP, vP, Q, mQ, vQ, tot,
                         loss_total + loss - nsent * bias), None
 
-            P, mP, vP, Q, mQ, vQ, loss_total = scan_groups(
-                group_body, (P, mP, vP, Q, mQ, vQ, 0.0), key, arrays)
+            P, mP, vP, Q, mQ, vQ, _, loss_total = scan_groups(
+                group_body, (P, mP, vP, Q, mQ, vQ, tot, 0.0), key, arrays)
             new_st = adam_st._replace(
                 count=adam_st.count + steps_total,
                 mu={"P": mP[new_idx], "Q": mQ},
