@@ -920,6 +920,9 @@ def _cml_kernel(t0_ref, gstats_ref, u_ref, i_ref, n_ref, frozen_ref,
     # Single-slab bound 1792 = the largest full-width catalog validated
     # on hardware (ml-100k); the extrapolated working set at 2048 is
     # over the scoped limit even though the planner model passes it.
+    # Callers guarantee a slab divisor >= 512 exists (cml_table_pad
+    # pads the table height otherwise — e.g. i_pad = 17*128 has no
+    # usable divisor and would degenerate to 17 tiny slabs).
     if i_pad <= 1792:
         slab = i_pad
     else:
@@ -1091,6 +1094,22 @@ def _cml_kernel(t0_ref, gstats_ref, u_ref, i_ref, n_ref, frozen_ref,
                 lr=lr, b1=b1, b2=b2, eps=eps)
 
 
+def cml_table_pad(i_pad: int) -> int:
+    """Item-table height the CML kernel wants: i_pad itself when a slab
+    divisor >= 512 exists (or the catalog is single-slab), else the
+    next 1024-multiple — the extra zero rows are never referenced by
+    ids (the sentinel stays at i_pad-1) and are masked out of the
+    covariance population, they just make the slab walk regular."""
+    if i_pad <= 1792:
+        return i_pad
+    m = i_pad // 128
+    best = max((kd for kd in range(1, m + 1)
+                if m % kd == 0 and kd * 128 <= 1152), default=1)
+    if best * 128 >= 512:
+        return i_pad
+    return _round_up(i_pad, 1024)
+
+
 def cml_sentinel_bias(margin: float, item_nums: int,
                       neg_ratio: int) -> float:
     """Loss-sum contribution of one sentinel (invalid) row: slack is
@@ -1135,6 +1154,9 @@ def fused_cml_epoch(p, q, mp, vp, mq, vq, u_idx, i_idx, n_idx, t0,
     u_real, d = p.shape
     i_real, _ = q.shape
     u_pad, i_pad = sentinel_dims(u_real, i_real)
+    # Sentinel ids stay < i_pad; the kernel table may be taller (zero
+    # rows) so the slab walk has a regular width (cml_table_pad).
+    i_kpad = cml_table_pad(i_pad)
     if frozen is None:
         gstats = jnp.asarray([float(u_real)] + [0.0] * 7, jnp.float32)
         frozen_row = jnp.zeros((8, d), jnp.float32)
@@ -1151,7 +1173,7 @@ def fused_cml_epoch(p, q, mp, vp, mq, vq, u_idx, i_idx, n_idx, t0,
         frozen_row = jnp.zeros((8, d), jnp.float32).at[0].set(fsum)
     pads = lambda a, n: jnp.pad(a, ((0, n - a.shape[0]), (0, 0)))  # noqa: E731
     p, mp, vp = (pads(x, u_pad) for x in (p, mp, vp))
-    q, mq, vq = (pads(x, i_pad) for x in (q, mq, vq))
+    q, mq, vq = (pads(x, i_kpad) for x in (q, mq, vq))
     padb = (_round_up(b, blk) - b) if b % blk else 0
     if padb:
         u_idx = jnp.pad(u_idx, ((0, 0), (0, padb)),
@@ -1190,23 +1212,23 @@ def fused_cml_epoch(p, q, mp, vp, mq, vq, u_idx, i_idx, n_idx, t0,
             hbm, hbm, hbm, hbm, hbm, hbm,               # initial state
         ],
         out_specs=(
-            full((u_pad, d)), full((i_pad, d)),
+            full((u_pad, d)), full((i_kpad, d)),
             full((u_pad, d)), full((u_pad, d)),
-            full((i_pad, d)), full((i_pad, d)),
+            full((i_kpad, d)), full((i_kpad, d)),
             pl.BlockSpec(memory_space=pltpu.SMEM),      # loss
         ),
         out_shape=(
             jax.ShapeDtypeStruct((u_pad, d), jnp.float32),
-            jax.ShapeDtypeStruct((i_pad, d), jnp.float32),
+            jax.ShapeDtypeStruct((i_kpad, d), jnp.float32),
             jax.ShapeDtypeStruct((u_pad, d), jnp.float32),
             jax.ShapeDtypeStruct((u_pad, d), jnp.float32),
-            jax.ShapeDtypeStruct((i_pad, d), jnp.float32),
-            jax.ShapeDtypeStruct((i_pad, d), jnp.float32),
+            jax.ShapeDtypeStruct((i_kpad, d), jnp.float32),
+            jax.ShapeDtypeStruct((i_kpad, d), jnp.float32),
             jax.ShapeDtypeStruct((steps,), jnp.float32),
         ),
         scratch_shapes=[
             pltpu.VMEM((u_pad, d), jnp.float32),        # dP
-            pltpu.VMEM((i_pad, d), jnp.float32),        # dQ
+            pltpu.VMEM((i_kpad, d), jnp.float32),       # dQ
             pltpu.SemaphoreType.DMA((6,)),
         ],
         interpret=interpret,

@@ -251,13 +251,15 @@ def test_fused_gmf_trainer_matches_scan_trainer(toy_dataset):
         assert r1[k] == pytest.approx(r0[k], abs=2e-4)
 
 
-@pytest.mark.parametrize("i_n", [41, 2200])
+@pytest.mark.parametrize("i_n", [41, 2200, 2100])
 def test_fused_cml_epoch_matches_optax_oracle(i_n):
     """CML kernel vs a literal optax.adam step loop replicating
     models/metric.py CML.loss (WARP-weighted min-negative hinge +
     full-table covariance regularizer) on random data, including
     sentinel-encoded invalid rows.  i_n=2200 pads to i_pad=2304 > 2048,
-    exercising the MULTI-SLAB distance/mask walk (2 slabs of 1152)."""
+    exercising the MULTI-SLAB distance/mask walk (2 slabs of 1152);
+    i_n=2100 pads to i_pad=2176=17*128 with NO usable slab divisor,
+    exercising cml_table_pad's pad-to-3072 path (3 slabs of 1024)."""
     from cleverrec_tpu.ops.pallas_train import (cml_sentinel_bias,
                                                 fused_cml_epoch)
     rng = np.random.default_rng(3)
