@@ -62,13 +62,17 @@ def ensure_data(n_users: int, n_items: int, per_user: int = 20) -> str:
     return name
 
 
-def build_trainer(name: str, fused_groups: int, n_items: int = 2048):
+def build_trainer(name: str, fused_groups: int, n_items: int = 2048,
+                  model_name: str = "BPR"):
     from cleverrec_tpu.data import load_ranking_data
     from cleverrec_tpu.models import make_model
     from cleverrec_tpu.models.base import DataMeta
     from cleverrec_tpu.train import Trainer
+    overrides = {"CML": {"loss_func": "hinge", "margin": "1.0",
+                         "reg": "0.1", "lr": "0.05", "neg_ratio": "10"}
+                 }.get(model_name, {})
     cfg = Config({
-        "recommender": "BPR", "model_type": "ranking",
+        "recommender": model_name, "model_type": "ranking",
         "data.root_dir": DATA, "data.dataset": name,
         "data.file_name": "ratings.csv", "data.sep": ",",
         "data.format": "UIRT", "data.split_way": "loo",
@@ -84,6 +88,7 @@ def build_trainer(name: str, fused_groups: int, n_items: int = 2048):
         "topk": "[10]",
         "train.fused_kernel": str(fused_groups > 0),
         "train.fused_groups": str(fused_groups),
+        **overrides,
     })
     data = load_ranking_data(cfg)
     model = make_model(cfg, DataMeta(data.user_nums, data.item_nums))
@@ -116,15 +121,17 @@ def main():
     n_items = int(sys.argv[2]) if len(sys.argv) > 2 else 2048
     groups = int(sys.argv[3]) if len(sys.argv) > 3 else 32
     arm = sys.argv[4] if len(sys.argv) > 4 else "both"
+    model_name = sys.argv[5] if len(sys.argv) > 5 else "BPR"
     name = ensure_data(n_users, n_items)
 
-    rec = {"dataset": name, "n_users": n_users, "n_items": n_items,
-           "embed_size": 64, "batch_size": 6144, "groups": groups}
+    rec = {"dataset": name, "model": model_name, "n_users": n_users,
+           "n_items": n_items, "embed_size": 64, "batch_size": 6144,
+           "groups": groups}
     arms = {"scan": (("scan", 0),), "grouped": (("grouped_fused", groups),),
             "both": (("scan", 0), ("grouped_fused", groups))}[arm]
     for tag, g in arms:
         t0 = time.time()
-        tr, data = build_trainer(name, g, n_items)
+        tr, data = build_trainer(name, g, n_items, model_name)
         if g:
             assert tr._fused_grouped_plan is not None, "grouped not planned"
             rec["plan"] = list(tr._fused_grouped_plan)
