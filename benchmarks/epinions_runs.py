@@ -35,21 +35,8 @@ MODEL_OVERRIDES = {
 }
 
 
-def main():
-    name = sys.argv[1]
-    epochs = int(sys.argv[2]) if len(sys.argv) > 2 else 5
-    if not os.path.exists(os.path.join(ROOT, "data", "epinions-synth",
-                                       "ratings.csv")):
-        from benchmarks import epinions_synth
-        epinions_synth.main()
-    enable_compilation_cache()
-    from cleverrec_tpu.data import load_ranking_data
-    from cleverrec_tpu.models import make_model
-    from cleverrec_tpu.models.base import DataMeta
-    from cleverrec_tpu.train import Trainer
-    logging.basicConfig(level=logging.INFO, stream=sys.stdout,
-                        format="%(message)s")
-    cfg = Config({
+def base_cfg(name, epochs):
+    return Config({
         "recommender": name, "model_type": "ranking",
         "data.root_dir": os.path.join(ROOT, "data"),
         "data.dataset": "epinions-synth", "data.file_name": "ratings.csv",
@@ -62,6 +49,57 @@ def main():
         "is_pairwise": "True", "init_method": "normal", "stddev": "0.01",
         "seed": "42", **MODEL_OVERRIDES[name],
     })
+
+
+def run_tf1_sbpr(epochs):
+    """TF1-semantics SBPR arm (benchmarks/tf1_models.py) on the same
+    synthetic-Epinions data + recipe as the `ours` arm — the social-family
+    metric-parity anchor (VERDICT round 2, task 5)."""
+    import time as _t
+    from cleverrec_tpu.data import load_ranking_data
+    from cleverrec_tpu.data.social import build_spu
+    from benchmarks import tf1_models
+    cfg = base_cfg("SBPR", epochs)
+    data = load_ranking_data(cfg)
+    spu, suk = build_spu(data.ui_train, data.user_friends)
+    hp = {"embed": int(MODEL_OVERRIDES["SBPR"]["embed_size"]),
+          "reg": float(MODEL_OVERRIDES["SBPR"]["reg"]),
+          "lr": float(MODEL_OVERRIDES["SBPR"]["lr"]),
+          "neg_ratio": int(MODEL_OVERRIDES["SBPR"]["neg_ratio"]),
+          "stddev": 0.01}
+    t0 = _t.time()
+    best, best_ep = tf1_models.run_tf1("SBPR", data, hp, epochs,
+                                       seed=0, spu=spu, suk=suk)
+    rec = {
+        "arm": "tf1_cpu", "model": "SBPR", "dataset": "epinions-synth",
+        "users": data.user_nums, "items": data.item_nums,
+        "epochs": epochs, "best_epoch": best_ep,
+        "metrics": {str(k): list(v) for k, v in best.items()},
+        "wall_s": round(_t.time() - t0, 1),
+    }
+    with open(OUT, "a") as f:
+        f.write(json.dumps(rec) + "\n")
+    print(json.dumps(rec, indent=2))
+
+
+def main():
+    name = sys.argv[1]
+    epochs = int(sys.argv[2]) if len(sys.argv) > 2 else 5
+    if not os.path.exists(os.path.join(ROOT, "data", "epinions-synth",
+                                       "ratings.csv")):
+        from benchmarks import epinions_synth
+        epinions_synth.main()
+    if name == "tf1":
+        run_tf1_sbpr(epochs)
+        return
+    enable_compilation_cache()
+    from cleverrec_tpu.data import load_ranking_data
+    from cleverrec_tpu.models import make_model
+    from cleverrec_tpu.models.base import DataMeta
+    from cleverrec_tpu.train import Trainer
+    logging.basicConfig(level=logging.INFO, stream=sys.stdout,
+                        format="%(message)s")
+    cfg = base_cfg(name, epochs)
     t0 = time.time()
     data = load_ranking_data(cfg)
     model = make_model(cfg, DataMeta(data.user_nums, data.item_nums))

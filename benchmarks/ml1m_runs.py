@@ -44,6 +44,22 @@ MODEL_OVERRIDES = {
     "GMF": {"is_pairwise": "False", "loss_func": "cross_entropy",
             "reg": "0.01", "embed_size": "64", "lr": "0.001",
             "neg_ratio": "4"},
+    "LRML": {"is_pairwise": "True", "loss_func": "hinge",
+             "margin": "0.2", "reg": "0.001", "mem_size": "20",
+             "embed_size": "64", "lr": "0.001", "neg_ratio": "1"},
+}
+
+# hp dicts for the TF1-semantics arms (benchmarks/tf1_models.py), same
+# recipes as MODEL_OVERRIDES so the two arms are directly comparable.
+TF1_HP = {
+    "GMF": {"embed": 64, "reg": 0.01, "lr": 0.001, "neg_ratio": 4,
+            "stddev": 0.01},
+    "NeuMF": {"embed": 64, "layers": [128, 64, 32], "reg1": 0.0,
+              "reg2": 0.0, "lr": 0.001, "neg_ratio": 4, "stddev": 0.01},
+    "CML": {"embed": 64, "margin": 1.0, "reg": 0.1, "lr": 0.05,
+            "neg_ratio": 10, "stddev": 0.01},
+    "LRML": {"embed": 64, "mem_size": 20, "margin": 0.2, "reg": 0.001,
+             "lr": 0.001, "neg_ratio": 1, "stddev": 0.01},
 }
 
 
@@ -80,7 +96,7 @@ def record(rec):
     print(json.dumps(rec, indent=2))
 
 
-def run_ours(name, epochs, neg, embed=None):
+def run_ours(name, epochs, neg, embed=None, seed=42, path="auto"):
     enable_compilation_cache()
     from cleverrec_tpu.data import load_ranking_data
     from cleverrec_tpu.models import make_model
@@ -90,6 +106,9 @@ def run_ours(name, epochs, neg, embed=None):
     logging.basicConfig(level=logging.INFO, stream=sys.stdout,
                         format="%(message)s")
     cfg = base_cfg(name, epochs, neg, embed)
+    cfg._v["seed"] = str(seed)
+    if path == "scan":
+        cfg._v["train.fused_kernel"] = "False"
     data = load_ranking_data(cfg)
     model = make_model(cfg, DataMeta(data.user_nums, data.item_nums))
     tr = Trainer(model, data, cfg, logger=logging.getLogger("ml1m"))
@@ -107,7 +126,7 @@ def run_ours(name, epochs, neg, embed=None):
     per_epoch = max((t5 - t1) / 4, 1e-9)
     record({
         "arm": "tpu", "model": name, "dataset": "ml-1m-recon",
-        "epochs": epochs, "neg_samples": neg,
+        "epochs": epochs, "neg_samples": neg, "seed": seed, "path": path,
         "embed_size": cfg.int("embed_size"),
         "best_epoch": best["epoch"],
         "metrics": {str(k): list(v) for k, v in best["metrics"].items()},
@@ -116,6 +135,25 @@ def run_ours(name, epochs, neg, embed=None):
         "examples_per_s": round(tr._epoch_rows / per_epoch, 1),
         "fused_path": hasattr(tr, "_epoch_body")
         and tr._fused_epoch_eligible(),
+    })
+
+
+def run_tf1_model(name, epochs, neg, seed=0):
+    """TF1-semantics arm for GMF/NeuMF/CML/LRML (benchmarks/tf1_models.py),
+    identical data + recipe as the `ours` arms."""
+    from cleverrec_tpu.data import load_ranking_data
+    from benchmarks import tf1_models
+    cfg = base_cfg(name, epochs, neg)
+    data = load_ranking_data(cfg)
+    t0 = time.time()
+    best, best_ep = tf1_models.run_tf1(name, data, TF1_HP[name], epochs,
+                                       seed=seed)
+    record({
+        "arm": "tf1_cpu", "model": name, "dataset": "ml-1m-recon",
+        "epochs": epochs, "neg_samples": neg, "seed": seed,
+        "embed_size": TF1_HP[name]["embed"], "best_epoch": best_ep,
+        "metrics": {str(k): list(v) for k, v in best.items()},
+        "wall_s": round(time.time() - t0, 1),
     })
 
 
@@ -141,15 +179,24 @@ def run_tf1(epochs, neg):
 
 
 def main():
+    import argparse
+    ap = argparse.ArgumentParser()
+    ap.add_argument("model", help="BPR|NeuMF|CML|GMF|LRML, tf1 (BPR "
+                    "tf1 arm), or tf1:<MODEL> for the other tf1 arms")
+    ap.add_argument("epochs", nargs="?", type=int, default=30)
+    ap.add_argument("neg", nargs="?", type=int, default=1000)
+    ap.add_argument("embed", nargs="?", type=int, default=None)
+    ap.add_argument("--seed", type=int, default=42)
+    ap.add_argument("--path", choices=["auto", "scan"], default="auto")
+    a = ap.parse_args()
     ensure_data()
-    name = sys.argv[1]
-    epochs = int(sys.argv[2]) if len(sys.argv) > 2 else 30
-    neg = int(sys.argv[3]) if len(sys.argv) > 3 else 1000
-    embed = int(sys.argv[4]) if len(sys.argv) > 4 else None
-    if name == "tf1":
-        run_tf1(epochs, neg)
+    if a.model == "tf1":
+        run_tf1(a.epochs, a.neg)
+    elif a.model.startswith("tf1:"):
+        run_tf1_model(a.model[4:], a.epochs, a.neg, seed=a.seed)
     else:
-        run_ours(name, epochs, neg, embed)
+        run_ours(a.model, a.epochs, a.neg, a.embed, seed=a.seed,
+                 path=a.path)
 
 
 if __name__ == "__main__":
