@@ -134,6 +134,14 @@ def main():
     flops_epoch = steps * 4 * bsz * (u_pad + 2 * i_pad) * cfg.int(
         "embed_size")
     tflops = flops_epoch / per_epoch / 1e12
+    # Model-FLOPs MFU (the honest-algorithm form): BPR's per-example math
+    # is two d-dim dot products (x_ui, x_uj) forward; fwd+bwd ~ 3x forward
+    # for dot-product chains.  This counts NONE of the one-hot
+    # gather/scatter matmul work the kernel formulation spends MXU on —
+    # it is orders below mxu_pct_peak by construction, and that gap is
+    # the price of casting sparse gathers as MXU matmuls.
+    model_flops_epoch = steps * bsz * 3 * (2 * 2 * cfg.int("embed_size"))
+    model_tflops = model_flops_epoch / per_epoch / 1e12
     # HBM traffic/epoch: tables+moments in and out + streamed indices.
     d = cfg.int("embed_size")
     state_bytes = 2 * 4 * d * (3 * u_pad + 3 * i_pad)
@@ -165,6 +173,12 @@ def main():
                              if eval_baseline else None),
         "mxu_tflops": round(tflops, 1),
         "mxu_pct_peak": round(100 * tflops * 1e12 / peak_flops, 1),
+        "mxu_form": "one-hot gather/scatter matmul formulation (kernel "
+                    "roofline, NOT algorithmic MFU)",
+        "model_tflops": round(model_tflops, 3),
+        "model_mfu_pct": round(100 * model_tflops * 1e12 / peak_flops, 3),
+        "model_form": "algorithmic BPR FLOPs only (2 d-dots fwd, 3x for "
+                      "fwd+bwd) — the honest MFU",
         "hbm_gb_per_s": round(hbm_gbs, 2),
         "hbm_pct_peak": round(100 * hbm_gbs * 1e9 / peak_hbm, 1),
         "device": kind,

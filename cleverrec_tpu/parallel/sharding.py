@@ -78,15 +78,20 @@ def replicate(x, mesh: Mesh):
 # -- explicit shard_map embedding exchange --------------------------------
 
 def row_sharded_gather(table: jax.Array, ids: jax.Array, mesh: Mesh,
-                       axis: str = "model") -> jax.Array:
+                       axis: str = "model",
+                       data_axis: str | None = None) -> jax.Array:
     """Gather rows of a row-sharded table by global ids.
 
     table: [N, d] with N divisible by the axis size, sharded P(axis, None).
-    ids:   [B] global row ids, replicated along ``axis`` (may be sharded
-           along 'data').
+    ids:   integer array of ANY shape (flattened internally); replicated
+           along ``axis``.  With ``data_axis`` given, the flattened ids are
+           kept sharded along that axis and the gathered rows come back
+           P(data_axis, None) — each id's row crosses ICI exactly once
+           (per-data-shard psum over the model axis); without it, ids and
+           output are replicated.
     Each device contributes the rows it owns; one psum over ``axis``
     assembles full rows — the all-to-all-free formulation of the sharded
-    lookup (each id's row crosses ICI once).
+    lookup.  Differentiable (backward = local scatter-add + identity psum).
     """
     def local(table_shard, ids_local):
         size = table_shard.shape[0]
@@ -97,11 +102,72 @@ def row_sharded_gather(table: jax.Array, ids: jax.Array, mesh: Mesh,
         part = jnp.where(owned[:, None], table_shard[safe], 0.0)
         return jax.lax.psum(part, axis)
 
-    return shard_map(
+    flat = ids.reshape(-1)
+    id_spec = P(data_axis) if data_axis else P()
+    out_spec = P(data_axis, None) if data_axis else P()
+    rows = shard_map(
         local, mesh=mesh,
-        in_specs=(P(axis, None), P()),
-        out_specs=P(), check_vma=False,
-    )(table, ids)
+        in_specs=(P(axis, None), id_spec),
+        out_specs=out_spec, check_vma=False,
+    )(table, flat)
+    return rows.reshape(ids.shape + (table.shape[1],))
+
+
+class ExchangeTable:
+    """A traced-value VIEW of a row-sharded embedding table that routes
+    integer-array indexing through the explicit shard_map exchange
+    (``row_sharded_gather``) while remaining transparent to every other
+    use: jnp functions convert it back to the raw (GSPMD-sharded) array
+    via ``__jax_array__`` (e.g. CML's covariance ``jnp.concatenate`` over
+    the full tables, full-catalog scoring matmuls).
+
+    Constructed INSIDE the traced loss (see Trainer's explicit tier), so
+    differentiation still runs w.r.t. the raw params pytree — no pytree
+    registration is needed.
+    """
+
+    __slots__ = ("_a", "_mesh", "_axis", "_data_axis")
+
+    def __init__(self, array, mesh: Mesh, axis: str = "model",
+                 data_axis: str | None = None):
+        self._a = array
+        self._mesh = mesh
+        self._axis = axis
+        self._data_axis = data_axis
+
+    @property
+    def shape(self):
+        return self._a.shape
+
+    @property
+    def dtype(self):
+        return self._a.dtype
+
+    @property
+    def ndim(self):
+        return self._a.ndim
+
+    def __jax_array__(self):
+        return self._a
+
+    def __getitem__(self, idx):
+        if (getattr(idx, "ndim", None) is not None
+                and jnp.issubdtype(jnp.asarray(idx).dtype, jnp.integer)):
+            return row_sharded_gather(self._a, jnp.asarray(idx), self._mesh,
+                                      self._axis, data_axis=self._data_axis)
+        return self._a[idx]
+
+
+def wrap_explicit_exchange(params: Any, meta, mesh: Mesh,
+                           data_axis: str | None = None) -> Any:
+    """Wrap every row-shardable table leaf in an ``ExchangeTable`` view
+    (the ``parallel.exchange=explicit`` trainer tier).  Non-table leaves
+    (dense towers, output vectors) pass through untouched."""
+    def wrap(x):
+        if _rowshardable(x, meta, mesh):
+            return ExchangeTable(x, mesh, data_axis=data_axis)
+        return x
+    return jax.tree_util.tree_map(wrap, params)
 
 
 def pad_table_for_sharding(table, n_shards: int):

@@ -952,10 +952,22 @@ class Trainer:
         model = self.model
         optimizer = self.optimizer
         if self.mesh is not None:
-            from cleverrec_tpu.parallel.sharding import shard_batch_spec
+            from cleverrec_tpu.parallel.sharding import (
+                shard_batch_spec, wrap_explicit_exchange)
             constrain = shard_batch_spec(self.mesh)
+            # parallel.exchange=explicit: route every table lookup through
+            # the shard_map gather+psum exchange (perf tier) instead of
+            # leaving the resharding decision to GSPMD.  Same numerics
+            # (tests/test_parallel.py pins explicit == gspmd == unsharded).
+            if self.cfg.str("parallel.exchange", "gspmd") == "explicit":
+                mesh, meta = self.mesh, self.model.meta
+                view = lambda p: wrap_explicit_exchange(  # noqa: E731
+                    p, meta, mesh, data_axis="data")
+            else:
+                view = lambda p: p  # noqa: E731
         else:
             constrain = lambda batch: batch  # noqa: E731
+            view = lambda p: p  # noqa: E731
 
         tensors_fn = {"pairwise": sampling.pairwise_epoch_tensors,
                       "pointwise": sampling.pointwise_epoch_tensors,
@@ -996,8 +1008,8 @@ class Trainer:
                     batch = self._build_batch(sk, rows, w, arrays)
                 batch = constrain(batch)
                 batch["dropout_key"] = dk
-                loss, grads = jax.value_and_grad(model.loss)(params, batch,
-                                                             arrays)
+                loss, grads = jax.value_and_grad(
+                    lambda p: model.loss(view(p), batch, arrays))(params)
                 updates, opt_state = optimizer.update(grads, opt_state, params)
                 params = optax.apply_updates(params, updates)
                 params = model.postprocess(params)
