@@ -1,0 +1,148 @@
+"""Measure the two sharded-embedding tiers (VERDICT round-2 task 3).
+
+Modes:
+  python benchmarks/sharding_tiers.py hlo    # virtual 8-dev CPU mesh:
+      compile the BPR epoch program per tier per mesh shape, count the
+      collectives XLA emitted (compiled-HLO collective counts are the
+      measurable proxy for ICI traffic without a pod).
+  python benchmarks/sharding_tiers.py chip   # real TPU: marginal epoch
+      cost of no-mesh vs mesh(1,1) gspmd vs mesh(1,1) explicit — the
+      sharding machinery's overhead at 1 chip.
+
+Appends records to benchmarks/SHARDING_TIERS.jsonl.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import re
+import sys
+import time
+
+sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
+
+OUT = os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                   "SHARDING_TIERS.jsonl")
+
+COLLECTIVES = ("all-reduce", "all-gather", "all-to-all",
+               "collective-permute", "reduce-scatter")
+
+
+def record(rec):
+    with open(OUT, "a") as f:
+        f.write(json.dumps(rec) + "\n")
+    print(json.dumps(rec))
+
+
+def build_trainer(mesh=None, exchange="gspmd", dataset="ml-100k"):
+    from cleverrec_tpu.config import Config
+    from cleverrec_tpu.data import load_ranking_data
+    from cleverrec_tpu.models import make_model
+    from cleverrec_tpu.models.base import DataMeta
+    from cleverrec_tpu.train import Trainer
+    cfg = Config({
+        "recommender": "BPR", "model_type": "ranking",
+        "data.root_dir": "/root/reference/dataset",
+        "data.dataset": dataset, "data.file_name": "u.data",
+        "data.sep": "\t", "data.format": "UIRT", "data.split_way": "loo",
+        "data.split_by_time": "True", "data.user_min": "0",
+        "data.item_min": "0", "test.neg_samples": "99",
+        "test.batch_size": "1024", "test.interval": "1", "topk": "[10,20]",
+        "epoches": "2", "batch_size": "6144", "embed_size": "64",
+        "reg": "0.01", "lr": "0.001", "neg_ratio": "4", "optimizer": "Adam",
+        "is_pairwise": "True", "loss_func": "bpr", "init_method": "normal",
+        "stddev": "0.01", "seed": "42",
+        "parallel.exchange": exchange,
+        # The single-chip fused kernel is mesh-ineligible anyway; disable
+        # everywhere so all tiers compare the same scan program.
+        "train.fused_kernel": "False",
+    })
+    data = load_ranking_data(cfg)
+    model = make_model(cfg, DataMeta(data.user_nums, data.item_nums))
+    return Trainer(model, data, cfg, mesh=mesh)
+
+
+def count_collectives(text: str) -> dict[str, int]:
+    counts = {}
+    for op in COLLECTIVES:
+        # Instruction names like `%all-gather.3 = ...`; count definitions
+        # (start/done pairs collapse to the async start).
+        n = len(re.findall(rf"= \S* ?{op}(?:-start)?\(", text))
+        if n == 0:
+            n = len(re.findall(rf"{op}(?:-start)?\.\d+ =", text))
+        counts[op] = n
+    return counts
+
+
+def hlo_mode():
+    import jax
+    from cleverrec_tpu.parallel.mesh import make_mesh
+    for shape in [(4, 2), (2, 4), (1, 8)]:
+        mesh = make_mesh(*shape)
+        for exchange in ("gspmd", "explicit"):
+            tr = build_trainer(mesh=mesh, exchange=exchange)
+            params, opt_state = tr.init_state()
+            key = jax.random.PRNGKey(0)
+            body = tr._epoch_body
+            compiled = (jax.jit(body)
+                        .lower(params, opt_state, key, tr.arrays)
+                        .compile())
+            text = compiled.as_text()
+            counts = count_collectives(text)
+            record({"mode": "hlo", "mesh": list(shape),
+                    "exchange": exchange,
+                    "collectives": counts,
+                    "total_collectives": sum(counts.values()),
+                    "hlo_instructions": text.count(" = ")})
+
+
+def chip_mode():
+    from cleverrec_tpu.parallel.mesh import make_mesh
+
+    def marginal_epoch(tr):
+        p, o = tr.init_state()
+        p, o, _ = tr.train_epochs(p, o, 1)
+        p, o, _ = tr.train_epochs(p, o, 8)
+        for _ in range(3):
+            t0 = time.time()
+            p, o, _ = tr.train_epochs(p, o, 1)
+            t1 = time.time() - t0
+            t0 = time.time()
+            p, o, _ = tr.train_epochs(p, o, 8)
+            t8 = time.time() - t0
+            if t8 > t1:
+                break
+        return (t8 - t1) / 7 if t8 > t1 else t8 / 8
+
+    arms = [("none", None, "gspmd"),
+            ("mesh(1,1)", make_mesh(1, 1), "gspmd"),
+            ("mesh(1,1)", make_mesh(1, 1), "explicit")]
+    for name, mesh, exchange in arms:
+        tr = build_trainer(mesh=mesh, exchange=exchange)
+        per_epoch = marginal_epoch(tr)
+        record({"mode": "chip", "mesh": name, "exchange": exchange,
+                "epoch_ms": round(per_epoch * 1e3, 2),
+                "examples_per_s": round(tr._epoch_rows / per_epoch, 1)})
+
+
+def main():
+    mode = sys.argv[1] if len(sys.argv) > 1 else "hlo"
+    if mode == "hlo":
+        os.environ.pop("PALLAS_AXON_POOL_IPS", None)
+        os.environ["JAX_PLATFORMS"] = "cpu"
+        flags = os.environ.get("XLA_FLAGS", "")
+        if "host_platform_device_count" not in flags:
+            os.environ["XLA_FLAGS"] = (
+                flags + " --xla_force_host_platform_device_count=8").strip()
+        import jax
+        jax.config.update("jax_platforms", "cpu")
+        hlo_mode()
+    else:
+        from cleverrec_tpu.utils.logging import enable_compilation_cache
+        enable_compilation_cache()
+        chip_mode()
+
+
+if __name__ == "__main__":
+    main()

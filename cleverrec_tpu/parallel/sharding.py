@@ -153,18 +153,24 @@ class ExchangeTable:
     def __getitem__(self, idx):
         if (getattr(idx, "ndim", None) is not None
                 and jnp.issubdtype(jnp.asarray(idx).dtype, jnp.integer)):
-            return row_sharded_gather(self._a, jnp.asarray(idx), self._mesh,
+            # Tables whose row count does not divide the model axis are
+            # padded INSIDE the traced view (zero rows, never addressed;
+            # their grads are sliced away by the pad's transpose), so the
+            # exchange works for every table, not just divisible ones.
+            table = pad_table_for_sharding(self._a,
+                                           self._mesh.shape[self._axis])
+            return row_sharded_gather(table, jnp.asarray(idx), self._mesh,
                                       self._axis, data_axis=self._data_axis)
         return self._a[idx]
 
 
 def wrap_explicit_exchange(params: Any, meta, mesh: Mesh,
                            data_axis: str | None = None) -> Any:
-    """Wrap every row-shardable table leaf in an ``ExchangeTable`` view
+    """Wrap every embedding-table leaf in an ``ExchangeTable`` view
     (the ``parallel.exchange=explicit`` trainer tier).  Non-table leaves
     (dense towers, output vectors) pass through untouched."""
     def wrap(x):
-        if _rowshardable(x, meta, mesh):
+        if _is_embedding_table(x, meta):
             return ExchangeTable(x, mesh, data_axis=data_axis)
         return x
     return jax.tree_util.tree_map(wrap, params)
