@@ -75,6 +75,16 @@ class Evaluator:
         self._stream_bits = (device_data.seen.bits is not None
                              and cfg.int("eval.stream_chunk", 4096)
                              % 32 == 0)
+        # Past the global bitmap budget (seen.bits is None) the batch's
+        # bitmaps are built ON DEVICE from its sorted rows each step, so
+        # the stream keeps the cheap bitmap-sliced masking instead of
+        # falling back to per-chunk binary search / post-filtering
+        # (~55x slower at a 319k-item catalog).
+        self._stream_device_bits = (device_data.seen.bits is None
+                                    and cfg.int("eval.stream_chunk", 4096)
+                                    % 32 == 0
+                                    and cfg.bool("eval.device_bitmaps",
+                                                 True))
         if self.candidate_eval:
             self.mode = "candidate"
         elif mesh is not None:
@@ -127,8 +137,15 @@ class Evaluator:
         # Chunk-sliced bitmap masking when the batches carry packed
         # bitmaps (zero per-query gathers; _build_batches gathers the
         # TEST USERS' rows — never close over the full [U, W] table,
-        # which would embed as a GB-scale HLO constant); top-(k+W)
-        # post-filtering against the sorted rows otherwise.
+        # which would embed as a GB-scale HLO constant).  Past the global
+        # bitmap budget, the batch's bitmaps are built on device from its
+        # sorted rows (sampling.rows_to_bits); top-(k+W) post-filtering
+        # against the sorted rows is the last-resort fallback.
+        if (seen_bits is None and seen_rows is not None
+                and self._stream_device_bits):
+            from cleverrec_tpu.sampling import rows_to_bits
+            seen_bits = rows_to_bits(seen_rows, self.dd.item_nums)
+            seen_rows = None
         v, items = ranking.rank_stream(
             self.model, params, aux, u, seen_rows, self.dd.item_nums,
             self.kmax, chunk=self.cfg.int("eval.stream_chunk", 4096),

@@ -161,6 +161,27 @@ def complement_from_bits(bits, id_range: int,
     return jnp.concatenate(outs, axis=0)
 
 
+def rows_to_bits(rows: Array, id_range: int) -> Array:
+    """Device-side packed-bitmap construction from sorted member rows:
+    [B, L] int32 ids (sentinel = id_range padding) -> [B, ceil(id_range/32)]
+    uint32 bitmaps — the per-BATCH bitmap slab for catalogs whose global
+    [N, W] bitmap exceeds the budget (VERDICT round-2 task 4: past-budget
+    full-catalog eval keeps the bitmap-sliced masking path by building
+    only the current batch's rows on device, ~20MB per 512-user batch at
+    a 319k catalog instead of a multi-GB table).
+
+    Ids within a row are unique, so scatter-ADD of single-bit words is
+    exactly scatter-OR; sentinel entries contribute a zero word."""
+    n_words = (id_range + 31) // 32
+    b = rows.shape[0]
+    words = jnp.minimum(rows >> 5, n_words - 1)
+    bit = jnp.where(rows < id_range,
+                    jnp.uint32(1) << (rows & 31).astype(jnp.uint32),
+                    jnp.uint32(0))
+    out = jnp.zeros((b, n_words), jnp.uint32)
+    return out.at[jnp.arange(b, dtype=jnp.int32)[:, None], words].add(bit)
+
+
 def attach_device_complement(table: MemberTable,
                              id_range: int) -> MemberTable:
     """Attach a DEVICE-built complement to a bits-bearing table when the

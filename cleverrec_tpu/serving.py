@@ -76,22 +76,28 @@ def build_retrieval_fn(model, params, arrays, device_data, k: int = 10,
     if backend == "fused" and not hasattr(model, "dot_decomposition"):
         raise ValueError(f"{model.name}: no dot decomposition — "
                          "fused retrieval unavailable")
-    if backend == "fused" and filter_seen and device_data.seen.bits is None:
-        raise ValueError("fused retrieval with filter_seen needs the "
-                         "packed seen bitmaps (catalog exceeded the "
-                         "bitmap budget) — use backend='stream'")
+    # Past the global bitmap budget (seen.bits is None) the batch's
+    # bitmaps are built ON DEVICE from its sorted rows per call
+    # (sampling.rows_to_bits) — both the fused kernel and the stream's
+    # bitmap-sliced masking keep working at any catalog size.
+    device_bits = (filter_seen and device_data.seen.bits is None
+                   and backend in ("fused", "stream")
+                   and (backend == "fused" or stream_chunk % 32 == 0))
 
     # Everything device-resident (params, aux, seen tables) is threaded
     # through the jitted function's ARGUMENTS, never closure-captured: a
     # captured array is embedded as an HLO constant — a 636MB bitmap
     # once blew the remote compiler's request limit (HTTP 413), and the
     # embedded copy doubles HBM besides.
-    use_bits = (backend == "fused" and filter_seen) or (
-        backend == "stream" and filter_seen
-        and device_data.seen.bits is not None and stream_chunk % 32 == 0)
+    use_bits = not device_bits and (
+        (backend == "fused" and filter_seen) or (
+            backend == "stream" and filter_seen
+            and device_data.seen.bits is not None
+            and stream_chunk % 32 == 0))
     if use_bits:
         seen_tbl = jnp.asarray(device_data.seen.bits)
-    elif backend in ("dense", "stream", "sharded") and filter_seen:
+    elif (device_bits
+          or (backend in ("dense", "stream", "sharded") and filter_seen)):
         # Only uploaded when the masking path actually reads it.
         seen_tbl = jnp.asarray(device_data.seen.rows)
     else:
@@ -102,9 +108,17 @@ def build_retrieval_fn(model, params, arrays, device_data, k: int = 10,
 
     def rows_of(tbl, u):
         if backend in ("dense", "stream", "sharded") and filter_seen \
-                and not use_bits:
+                and not use_bits and not device_bits:
             return tbl[u]
         return jnp.zeros((u.shape[0], 1), jnp.int32)
+
+    def bits_of(tbl, u):
+        """Per-call packed bitmaps: gathered rows of the global bitmap,
+        or device-built from the batch's sorted rows past the budget."""
+        if device_bits:
+            from cleverrec_tpu.sampling import rows_to_bits
+            return rows_to_bits(tbl[u], item_nums)
+        return tbl[u]
 
     if backend == "dense":
         def impl(params, arrays, tbl, u):
@@ -117,7 +131,7 @@ def build_retrieval_fn(model, params, arrays, device_data, k: int = 10,
 
         def impl(params, arrays, tbl, u):
             if filter_seen:
-                bits = tbl[u]
+                bits = bits_of(tbl, u)
             else:
                 # One zero row indexed for every user — NOT a [U, W]
                 # zero table (that once planned a multi-GB dead
@@ -133,7 +147,8 @@ def build_retrieval_fn(model, params, arrays, device_data, k: int = 10,
             v, items = ranking.rank_stream(
                 model, params, arrays, u, rows_of(tbl, u), item_nums, k,
                 chunk=stream_chunk, filter_seen=filter_seen,
-                seen_bits=tbl[u] if use_bits else None,
+                seen_bits=(bits_of(tbl, u)
+                           if use_bits or device_bits else None),
                 approx=approx)
             return pad_ids(v, items)
 

@@ -164,6 +164,60 @@ def test_fused_eval_matches_standard_other_models(tmp_path, name, ov):
         assert r_fused[k] == pytest.approx(r_std[k], abs=1e-9), (name, k)
 
 
+def test_rows_to_bits_matches_host_bitmap():
+    """Device-built per-batch bitmaps == the host bitmap builder rows."""
+    from cleverrec_tpu.sampling import build_member_table, rows_to_bits
+    rng = np.random.default_rng(0)
+    n, id_range = 17, 100
+    sets = {e: sorted(rng.choice(id_range, size=rng.integers(0, 20),
+                                 replace=False).tolist())
+            for e in range(n)}
+    tbl = build_member_table(sets, n, id_range)
+    got = np.asarray(rows_to_bits(jnp.asarray(tbl.rows), id_range))
+    np.testing.assert_array_equal(got, np.asarray(tbl.bits))
+
+
+def test_stream_eval_device_bitmaps_matches_full(tmp_path):
+    """Past the global bitmap budget (seen.bits=None) the streaming
+    evaluator builds each batch's bitmaps ON DEVICE from its sorted rows
+    and must match the dense evaluator exactly (VERDICT round-2 task 4)."""
+    import dataclasses
+
+    from cleverrec_tpu.data import load_ranking_data
+    from cleverrec_tpu.evalx import Evaluator
+    from cleverrec_tpu.models import make_model
+    from cleverrec_tpu.models.base import DataMeta
+    from cleverrec_tpu.train import Trainer
+    from tests.conftest import base_config, make_toy_interactions
+    ds = tmp_path / "toy"
+    ds.mkdir()
+    make_toy_interactions(ds / "ratings.csv")
+    toy = {"root": str(tmp_path), "name": "toy"}
+    base = {"data.split_way": "rs", "test.neg_samples": "0",
+            "epoches": "1", "batch_size": "64", "embed_size": "16",
+            "lr": "0.05", "recommender": "BPR", "is_pairwise": "True",
+            "loss_func": "bpr", "reg": "0.01",
+            "eval.fused_kernel": "False"}
+    cfg_full = base_config(toy, **base)
+    data = load_ranking_data(cfg_full)
+    model = make_model(cfg_full, DataMeta(data.user_nums, data.item_nums))
+    t_full = Trainer(model, data, cfg_full)
+    params, opt = t_full.init_state()
+    params, opt, _ = t_full.train_epoch(params, opt)
+    r_full = t_full.evaluate(params)
+    # Simulate the past-budget regime: strip the global bitmap.
+    dd_nobits = dataclasses.replace(
+        t_full.dd, seen=t_full.dd.seen._replace(bits=None, complement=None))
+    cfg_stream = base_config(toy, **{**base, "eval.stream": "True",
+                                     "eval.stream_chunk": "32"})
+    ev = Evaluator(model, dd_nobits, cfg_stream)
+    assert ev.mode == "full_stream"
+    assert ev._stream_device_bits and not ev._stream_bits
+    r_stream = ev.evaluate(params, t_full.arrays)
+    for k in r_full:
+        assert r_stream[k] == pytest.approx(r_full[k], abs=1e-6), k
+
+
 def test_streaming_eval_matches_full(tmp_path):
     """eval.stream=True (the huge-catalog path) == the dense full-catalog
     evaluator, including seen masking and cml ordering."""

@@ -78,6 +78,29 @@ def test_backend_equivalence_dense_stream_fused(toy_dataset):
     assert _pick_backend(model, tr.dd, True) in ("dense", "stream")
 
 
+def test_backend_device_bitmaps_past_budget(toy_dataset):
+    """With the global bitmap stripped (past-budget catalogs), stream and
+    fused retrieval build per-call bitmaps on device from sorted rows and
+    still rank identically to dense."""
+    import dataclasses
+    model, params, tr = _trained(toy_dataset)
+    u = jnp.asarray(np.arange(8), dtype=jnp.int32)
+    base_items, base_scores = build_retrieval_fn(
+        model, params, tr.arrays, tr.dd, k=5, backend="dense")(u)
+    dd_nobits = dataclasses.replace(
+        tr.dd, seen=tr.dd.seen._replace(bits=None, complement=None))
+    for backend, kw in (("stream", {"stream_chunk": 32}), ("fused", {})):
+        items, scores = build_retrieval_fn(
+            model, params, tr.arrays, dd_nobits, k=5, backend=backend,
+            **kw)(u)
+        np.testing.assert_array_equal(np.asarray(items),
+                                      np.asarray(base_items),
+                                      err_msg=backend)
+        np.testing.assert_allclose(np.asarray(scores),
+                                   np.asarray(base_scores), rtol=1e-5,
+                                   atol=1e-6, err_msg=backend)
+
+
 def test_sharded_backend_under_mesh(toy_dataset):
     from cleverrec_tpu.parallel.mesh import make_mesh
     model, params, tr = _trained(toy_dataset)
