@@ -805,6 +805,292 @@ def plan_fused_rows(u_real: int, i_real: int, tw_u: int, tw_i: int,
     return None
 
 
+def _rows_stream_kernel(t0_ref, *refs, blk: int, sides: tuple,
+                        nf: int, nd: int, row_loss, lr: float,
+                        b1: float, b2: float, eps: float,
+                        slab_u: int, slab_i: int, u_sent: int):
+    """Q/P-STREAMED variant of _rows_kernel: NO table residency.
+
+    Both concatenated tables and their Adam moments stay in HBM
+    (aliased in/out buffers) and are walked in SLABS twice per step —
+    a gather pass accumulating each plane's batch rows into VMEM row
+    buffers, and a scatter+Adam pass applying that step's dense slab
+    updates in place.  Only the dense params (+ moments) and the
+    [B, tw] row/grad buffers are VMEM-resident, so the protocol keeps
+    a fused path at catalogs whose state overflows VMEM outright
+    (Epinions-scale social models — VERDICT round-2 task 6).
+
+    Semantics are IDENTICAL to _rows_kernel (same per-step grads, same
+    dense Adam on every table row every step) — pinned by the
+    fused-vs-streamed oracle in tests/test_fused_train.py.
+
+    Ref layout: P id-plane streams, nf float streams, 6 HBM state
+    inputs (pu, qi, mpu, mqi, vpu, vqi — aliased to the first 6
+    outputs), 3*nd dense HBM inputs; outputs: the 6 aliased ANY state
+    buffers, 3*nd resident dense (VMEM), the per-step loss vector;
+    scratch: P row/grad buffers, nd dense-grad buffers, 4 u-side +
+    4 i-side slab buffers, one DMA semaphore array."""
+    import jax.experimental.pallas as pl
+    from jax.experimental.pallas import tpu as pltpu
+
+    P = len(sides)
+    plane_refs = refs[:P]
+    float_refs = refs[P:P + nf]
+    rest = refs[P + nf:]
+    dense_hbm = rest[6:6 + 3 * nd]            # the 6 state ins are unused
+    outs = rest[6 + 3 * nd:]                  # (read through the aliases)
+    state_o = outs[:6]                        # pu, qi, mpu, mqi, vpu, vqi
+    dense_res = outs[6:6 + 3 * nd]
+    loss_ref = outs[6 + 3 * nd]
+    scratch = outs[6 + 3 * nd + 1:]
+    rowbufs = scratch[:P]
+    dgs = scratch[P:P + nd]
+    u_slabs = scratch[P + nd:P + nd + 4]      # p/m/v/g slab buffers
+    i_slabs = scratch[P + nd + 4:P + nd + 8]
+    sem = scratch[-1]
+
+    s = pl.program_id(0)
+    n_rb = plane_refs[0].shape[1]
+    nsu = state_o[0].shape[0] // slab_u
+    nsi = state_o[1].shape[0] // slab_i
+    u_planes = tuple(p for p in range(P) if sides[p] == "u")
+    i_planes = tuple(p for p in range(P) if sides[p] == "i")
+
+    @pl.when(s == 0)
+    def _load_dense():
+        if nd:
+            _load_resident(tuple(zip(dense_hbm, dense_res)), sem)
+
+    for rb in rowbufs:
+        rb[...] = jnp.zeros_like(rb)
+    for g in dgs:
+        g[...] = jnp.zeros_like(g)
+
+    def plane_ids(p, kb):
+        return plane_refs[p][0, pl.ds(kb, 1), :]
+
+    # -- gather pass: accumulate each plane's rows across slabs ----------
+    def gather_side(n_slabs, slab, state_ref, slab_buf, planes_list):
+        if not planes_list:
+            return
+
+        def slab_body(si, _):
+            cp = pltpu.make_async_copy(
+                state_ref.at[pl.ds(si * slab, slab)], slab_buf, sem.at[0])
+            cp.start()
+            cp.wait()
+
+            def blk_body(kb, _):
+                for p in planes_list:
+                    oh = _onehot_t(plane_ids(p, kb) - si * slab, slab, blk)
+                    rowbufs[p][pl.ds(kb * blk, blk), :] += _mxu_gather(
+                        oh, slab_buf)
+                return 0
+
+            jax.lax.fori_loop(0, n_rb, blk_body, 0)
+            return 0
+
+        jax.lax.fori_loop(0, n_slabs, slab_body, 0)
+
+    gather_side(nsu, slab_u, state_o[0], u_slabs[0], u_planes)
+    gather_side(nsi, slab_i, state_o[1], i_slabs[0], i_planes)
+
+    # -- loss + in-kernel AD pass; row buffers become grad buffers -------
+    eye = _onehot_t(jax.lax.broadcasted_iota(jnp.int32, (1, blk), 1),
+                    blk, blk)
+    ones_b = jnp.ones((blk, 1), jnp.float32)
+    lane2col = lambda v_t: jax.lax.dot_general(  # noqa: E731
+        eye * v_t, ones_b, (((0,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32)
+
+    def loss_block(kb, loss):
+        row = pl.ds(kb, 1)
+        w_c = lane2col(
+            (plane_refs[0][0, row, :] != u_sent).astype(jnp.float32))
+        floats = tuple(lane2col(float_refs[f][0, row, :])
+                       for f in range(nf))
+        rows = tuple(rowbufs[p][pl.ds(kb * blk, blk), :] for p in range(P))
+        dense_vals = tuple(r[...] for r in dense_res[:nd])
+        lval, (g_rows, g_dv) = jax.value_and_grad(
+            row_loss, argnums=(0, 2))(rows, floats, dense_vals, w_c)
+        for p in range(P):
+            rowbufs[p][pl.ds(kb * blk, blk), :] = g_rows[p]
+        for k in range(nd):
+            dgs[k][...] += g_dv[k]
+        return loss + lval
+
+    loss_ref[s] = jax.lax.fori_loop(0, n_rb, loss_block, 0.0)
+
+    # -- scatter + dense slab Adam pass ----------------------------------
+    bc1, bc2 = _adam_step(t0_ref, s, b1, b2)
+
+    def scatter_side(n_slabs, slab, p_o, m_o, v_o, bufs, planes_list):
+        p_s, m_s, v_s, g_s = bufs
+
+        def slab_body(si, _):
+            cps = tuple(
+                pltpu.make_async_copy(ref.at[pl.ds(si * slab, slab)], sb,
+                                      sem.at[k])
+                for k, (ref, sb) in enumerate(
+                    ((p_o, p_s), (m_o, m_s), (v_o, v_s))))
+            for cp in cps:
+                cp.start()
+            for cp in cps:
+                cp.wait()
+            g_s[...] = jnp.zeros_like(g_s)
+
+            def blk_body(kb, _):
+                for p in planes_list:
+                    oh = _onehot_t(plane_ids(p, kb) - si * slab, slab, blk)
+                    g_s[...] += jnp.dot(
+                        oh, rowbufs[p][pl.ds(kb * blk, blk), :],
+                        preferred_element_type=jnp.float32)
+                return 0
+
+            jax.lax.fori_loop(0, n_rb, blk_body, 0)
+            _adam_apply(p_s, m_s, v_s, g_s[...], bc1, bc2,
+                        lr=lr, b1=b1, b2=b2, eps=eps)
+            backs = tuple(
+                pltpu.make_async_copy(sb, ref.at[pl.ds(si * slab, slab)],
+                                      sem.at[k])
+                for k, (ref, sb) in enumerate(
+                    ((p_o, p_s), (m_o, m_s), (v_o, v_s))))
+            for cp in backs:
+                cp.start()
+            for cp in backs:
+                cp.wait()
+            return 0
+
+        jax.lax.fori_loop(0, n_slabs, slab_body, 0)
+
+    scatter_side(nsu, slab_u, state_o[0], state_o[2], state_o[4],
+                 u_slabs, u_planes)
+    scatter_side(nsi, slab_i, state_o[1], state_o[3], state_o[5],
+                 i_slabs, i_planes)
+    for k in range(nd):
+        _adam_apply(dense_res[k], dense_res[nd + k], dense_res[2 * nd + k],
+                    dgs[k][...], bc1, bc2, lr=lr, b1=b1, b2=b2, eps=eps)
+
+
+@functools.partial(jax.jit, static_argnames=(
+    "sides", "row_loss", "lr", "b1", "b2", "eps", "blk", "slab_u",
+    "slab_i", "interpret"))
+def fused_rows_epoch_stream(pu, qi, dense, mpu, mqi, mdense, vpu, vqi,
+                            vdense, planes, floats, t0, *, sides: tuple,
+                            row_loss, lr: float, b1: float = 0.9,
+                            b2: float = 0.999, eps: float = 1e-8,
+                            blk: int = 256, slab_u: int = 1024,
+                            slab_i: int = 1024, interpret: bool = False):
+    """fused_rows_epoch with NO residency requirement: tables + moments
+    stay in HBM (aliased in/out) and stream through VMEM in slabs twice
+    per step.  Same signature/semantics as fused_rows_epoch; extra
+    ``slab_u``/``slab_i`` pick the slab heights (plan_fused_rows_stream).
+    """
+    from jax.experimental import pallas as pl
+    from jax.experimental.pallas import tpu as pltpu
+
+    steps, b = planes[0].shape
+    u_real, tw_u = pu.shape
+    i_real, tw_i = qi.shape
+    u_pad, i_pad = sentinel_dims(u_real, i_real)
+    u_sent, i_sent = u_pad - 1, i_pad - 1     # trainer's sentinel ids
+    u_pad_s = _round_up(u_pad, slab_u)
+    i_pad_s = _round_up(i_pad, slab_i)
+    nd, nf = len(dense), len(floats)
+    d_shapes = tuple(x.shape for x in dense)
+    lift = lambda x: x.reshape((1, -1)) if x.ndim < 2 else x  # noqa: E731
+    dense, mdense, vdense = (tuple(lift(x) for x in t)
+                             for t in (dense, mdense, vdense))
+    pads = lambda a, n: jnp.pad(a, ((0, n - a.shape[0]), (0, 0)))  # noqa: E731
+    pu, mpu, vpu = (pads(x, u_pad_s) for x in (pu, mpu, vpu))
+    qi, mqi, vqi = (pads(x, i_pad_s) for x in (qi, mqi, vqi))
+    padb = (_round_up(b, blk) - b) if b % blk else 0
+    if padb:
+        planes = tuple(
+            jnp.pad(a, ((0, 0), (0, padb)),
+                    constant_values=(u_sent if sd == "u" else i_sent))
+            for a, sd in zip(planes, sides))
+        floats = tuple(jnp.pad(a, ((0, 0), (0, padb))) for a in floats)
+        b = b + padb
+    planes = tuple(a.reshape(steps, b // blk, blk) for a in planes)
+    floats = tuple(a.reshape(steps, b // blk, blk) for a in floats)
+
+    full = lambda shape: pl.BlockSpec(  # noqa: E731
+        shape, lambda s: tuple(0 for _ in shape),
+        memory_space=pltpu.VMEM)
+    hbm = pl.BlockSpec(memory_space=pl.ANY)
+    idx = pl.BlockSpec((1, b // blk, blk), lambda s: (s, 0, 0),
+                       memory_space=pltpu.VMEM)
+
+    state = (pu, qi, mpu, mqi, vpu, vqi)
+    dense_arrs = dense + mdense + vdense
+    d_shapes2 = tuple(a.shape for a in dense_arrs)
+    n_lead = 1 + len(planes) + len(floats)
+    tw_of = lambda sd: tw_u if sd == "u" else tw_i  # noqa: E731
+
+    outs = pl.pallas_call(
+        functools.partial(_rows_stream_kernel, blk=blk, sides=sides,
+                          nf=nf, nd=nd, row_loss=row_loss, lr=lr,
+                          b1=b1, b2=b2, eps=eps, slab_u=slab_u,
+                          slab_i=slab_i, u_sent=u_sent),
+        grid=(steps,),
+        in_specs=[pl.BlockSpec(memory_space=pltpu.SMEM)]    # t0
+        + [idx] * (len(planes) + len(floats))
+        + [hbm] * (6 + 3 * nd),
+        out_specs=tuple([hbm] * 6)
+        + tuple(full(sh) for sh in d_shapes2)
+        + (pl.BlockSpec(memory_space=pltpu.SMEM),),         # loss
+        out_shape=tuple(jax.ShapeDtypeStruct(a.shape, jnp.float32)
+                        for a in state)
+        + tuple(jax.ShapeDtypeStruct(sh, jnp.float32) for sh in d_shapes2)
+        + (jax.ShapeDtypeStruct((steps,), jnp.float32),),
+        scratch_shapes=[pltpu.VMEM((b, tw_of(sd)), jnp.float32)
+                        for sd in sides]                    # row/grad bufs
+        + [pltpu.VMEM(sh, jnp.float32) for sh in d_shapes2[:nd]]
+        + [pltpu.VMEM((slab_u, tw_u), jnp.float32)] * 4
+        + [pltpu.VMEM((slab_i, tw_i), jnp.float32)] * 4
+        + [pltpu.SemaphoreType.DMA((max(3 * nd, 6),))],
+        input_output_aliases={n_lead + k: k for k in range(6)},
+        interpret=interpret,
+    )(jnp.asarray([t0], jnp.int32), *planes, *floats, *state,
+      *dense_arrs)
+
+    unlift = lambda t: tuple(  # noqa: E731
+        x.reshape(sh) for x, sh in zip(t, d_shapes))
+    pu_o, qi_o, mpu_o, mqi_o, vpu_o, vqi_o = outs[:6]
+    dense_o = unlift(outs[6:6 + nd])
+    mdense_o = unlift(outs[6 + nd:6 + 2 * nd])
+    vdense_o = unlift(outs[6 + 2 * nd:6 + 3 * nd])
+    return (pu_o[:u_real], qi_o[:i_real], dense_o,
+            mpu_o[:u_real], mqi_o[:i_real], mdense_o,
+            vpu_o[:u_real], vqi_o[:i_real], vdense_o,
+            jnp.sum(outs[-1]))
+
+
+def plan_fused_rows_stream(u_real: int, i_real: int, tw_u: int,
+                           tw_i: int, dense_elems: int, b: int,
+                           n_u_planes: int, n_i_planes: int, nf: int):
+    """Plan for the STREAMED multi-plane epoch (no residency): returns
+    (blk, slab_u, slab_i) or None.  The budget is dominated by the
+    [B, tw] row/grad buffers (physically >= 128 lanes each); slabs and
+    one-hot temporaries scale with the chosen slab heights."""
+    limit = int(15 * 2 ** 20)
+    lanes_u = max(tw_u, 128)
+    lanes_i = max(tw_i, 128)
+    for blk in (256, 128):
+        b_pad = _round_up(b, blk)
+        rowbufs = 4 * b_pad * (n_u_planes * lanes_u + n_i_planes * lanes_i)
+        idx = 2 * (n_u_planes + n_i_planes + nf) * 4 * (
+            b_pad // blk) * max(blk, 128)
+        dense = 3 * 4 * dense_elems
+        for slab in (2048, 1024, 512, 256):
+            slabs = 4 * 4 * slab * (lanes_u + lanes_i)
+            oh = 2 * 4 * slab * max(blk, 128)
+            if rowbufs + idx + dense + slabs + oh < limit:
+                return blk, slab, slab
+    return None
+
+
 def plan_fused_mlp_grouped(u_real: int, i_real: int, tw_u: int,
                            tw_i: int, dense_elems: int, b: int,
                            act_cols: int, force_g: int | None = None):

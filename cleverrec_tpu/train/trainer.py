@@ -221,21 +221,43 @@ class Trainer:
         if proto == "rows":
             # Generic multi-plane epoch (SBPR/CUNE/TBPR family): id
             # planes + float columns, per-row loss differentiated
-            # in-kernel.  No grouped variant (scan fallback).
-            from cleverrec_tpu.ops.pallas_train import plan_fused_rows
+            # in-kernel.  VMEM overflow falls back to the STREAMED
+            # variant (tables + moments stay in HBM, slab-walked twice
+            # per step — fused_rows_epoch_stream), then to scan.
+            from cleverrec_tpu.ops.pallas_train import (
+                plan_fused_rows, plan_fused_rows_stream)
             spec = self.model.fused_rows_spec()
             n_u = sum(1 for _, sd in spec["planes"] if sd == "u")
             n_i = len(spec["planes"]) - n_u
+            dims = (self.dd.user_nums, self.dd.item_nums, spec["tw_u"],
+                    spec["tw_i"], spec["dense_elems"], self.batch_size,
+                    n_u, n_i, len(spec["floats"]))
             self._fused_grouped_plan = None
-            self._fused_plan = plan_fused_rows(
-                self.dd.user_nums, self.dd.item_nums, spec["tw_u"],
-                spec["tw_i"], spec["dense_elems"], self.batch_size,
-                n_u, n_i, len(spec["floats"]))
-            if self._fused_plan is None and self.logger:
+            self._fused_stream_plan = None
+            self._fused_plan = None
+            if self.cfg.bool("train.fused_stream", False):
+                # Forced streaming (testing/benchmark hook).
+                self._fused_stream_plan = plan_fused_rows_stream(*dims)
+                if self._fused_stream_plan is not None:
+                    return True
+            self._fused_plan = plan_fused_rows(*dims)
+            if self._fused_plan is not None:
+                return True
+            if self.cfg.bool("train.fused_stream", True):
+                self._fused_stream_plan = plan_fused_rows_stream(*dims)
+            if self._fused_stream_plan is not None:
+                if self.logger:
+                    blk, su, si = self._fused_stream_plan
+                    self.logger.info(
+                        "fused epoch kernel: params exceed the VMEM "
+                        f"budget; using the STREAMED epoch (slabs {su}/"
+                        f"{si}, blk {blk}, state stays in HBM)")
+                return True
+            if self.logger:
                 self.logger.info(
                     "fused epoch kernel skipped: params exceed the VMEM "
                     "budget; using the scan path")
-            return self._fused_plan is not None
+            return False
         if proto == "pointwise_mlp":
             # Generic in-kernel-AD pointwise epoch (NeuMF/MLP): the
             # model supplies table grouping + per-row loss.  VMEM
@@ -358,7 +380,9 @@ class Trainer:
         item_nums = self.dd.item_nums
         neg_ratio = self.neg_ratio
         u_pad, i_pad = sentinel_dims(self.dd.user_nums, item_nums)
-        plan_blk = self._fused_plan
+        stream_plan = getattr(self, "_fused_stream_plan", None)
+        plan_blk = (self._fused_plan if self._fused_plan is not None
+                    else stream_plan[0])
         # The kernel wrappers pad B to a multiple of blk, so the plan's
         # VMEM-fitting block size is used as-is (capped by B itself).
         blk = min(plan_blk, max(b, 8))
@@ -525,7 +549,15 @@ class Trainer:
             sides = tuple(sd for _, sd in spec["planes"])
             packs = [spec["pack"](t)
                      for t in (params, adam_st.mu, adam_st.nu)]
-            outs = fused_rows_epoch(
+            if stream_plan is not None:
+                from cleverrec_tpu.ops.pallas_train import (
+                    fused_rows_epoch_stream)
+                _, slab_u, slab_i = stream_plan
+                kernel = functools.partial(fused_rows_epoch_stream,
+                                           slab_u=slab_u, slab_i=slab_i)
+            else:
+                kernel = fused_rows_epoch
+            outs = kernel(
                 packs[0][0], packs[0][1], packs[0][2],
                 packs[1][0], packs[1][1], packs[1][2],
                 packs[2][0], packs[2][1], packs[2][2],

@@ -986,3 +986,97 @@ def test_grouped_cml_trainer_matches_blockwise_adam_oracle(tmp_path):
     np.testing.assert_allclose(np.asarray(o1[0].mu["P"]),
                                mP[new_of_old], rtol=3e-4, atol=1e-5)
     assert int(o1[0].count) == G * steps_eq
+
+
+def test_rows_stream_kernel_matches_resident():
+    """The Q/P-STREAMED rows kernel (no residency; slab-walked HBM
+    state) == the resident fused_rows_epoch on identical inputs — an
+    SBPR-shaped protocol with a float column and a dense param."""
+    from cleverrec_tpu.ops.pallas_train import (fused_rows_epoch,
+                                                fused_rows_epoch_stream,
+                                                sentinel_dims)
+
+    rng = np.random.default_rng(11)
+    u_n, i_n, tw_u, tw_i = 150, 210, 8, 9
+    steps, b = 3, 48
+    u_pad, i_pad = sentinel_dims(u_n, i_n)
+    sides = ("u", "i", "i", "i")
+
+    def row_loss(rows, floats, dense, w):
+        ue, ri, rk, rj = rows
+        s_col, scale = floats[0], dense[0]
+        x = lambda r: jnp.sum(ue * r[:, :tw_u], axis=1,  # noqa: E731
+                              keepdims=True) + r[:, tw_u:tw_u + 1]
+        suk = jnp.maximum(s_col, 1.0)
+        main = (jnp.sum(-jax.nn.log_sigmoid(
+            (x(ri) - x(rk)) / suk * scale[0, 0]) * w)
+            + jnp.sum(-jax.nn.log_sigmoid(x(rk) - x(rj)) * w))
+        return main + 0.01 * jnp.sum(jnp.square(ue) * w)
+
+    pu = rng.normal(0, 0.1, (u_n, tw_u)).astype(np.float32)
+    qi = rng.normal(0, 0.1, (i_n, tw_i)).astype(np.float32)
+    dense = (np.asarray([[1.3]], np.float32),)
+    zeros_u = np.zeros_like(pu)
+    zeros_i = np.zeros_like(qi)
+    zeros_d = (np.zeros_like(dense[0]),)
+    invalid = rng.random((steps, b)) < 0.2
+    u_ids = np.where(invalid, u_pad - 1,
+                     rng.integers(0, u_n, (steps, b))).astype(np.int32)
+    mk_i = lambda: np.where(  # noqa: E731
+        invalid, i_pad - 1,
+        rng.integers(0, i_n, (steps, b))).astype(np.int32)
+    planes = (jnp.asarray(u_ids), jnp.asarray(mk_i()),
+              jnp.asarray(mk_i()), jnp.asarray(mk_i()))
+    floats = (jnp.asarray(
+        rng.integers(1, 5, (steps, b)).astype(np.float32)),)
+
+    args = ((jnp.asarray(pu), jnp.asarray(qi),
+             tuple(jnp.asarray(x) for x in dense),
+             jnp.asarray(zeros_u), jnp.asarray(zeros_i),
+             tuple(jnp.asarray(x) for x in zeros_d),
+             jnp.asarray(zeros_u), jnp.asarray(zeros_i),
+             tuple(jnp.asarray(x) for x in zeros_d),
+             planes, floats, jnp.asarray(0, jnp.int32)))
+    kw = dict(sides=sides, row_loss=row_loss, lr=0.02, blk=16,
+              interpret=True)
+    res = fused_rows_epoch(*args, **kw)
+    stream = fused_rows_epoch_stream(*args, **kw, slab_u=128, slab_i=128)
+    names = ("pu", "qi", "dense", "mpu", "mqi", "mdense",
+             "vpu", "vqi", "vdense", "loss")
+    for n, a, bb in zip(names, res, stream):
+        for x, y in zip(jax.tree.leaves(a), jax.tree.leaves(bb)):
+            np.testing.assert_allclose(np.asarray(y), np.asarray(x),
+                                       rtol=2e-5, atol=2e-7, err_msg=n)
+
+
+def test_rows_stream_trainer_matches_scan_trainer(toy_social_dataset):
+    """SBPR Trainer with train.fused_stream=True (forced streamed rows
+    kernel: HBM-resident tables, slab-walked) == the scan trainer —
+    identical sampling stream by construction."""
+    ov = {"epoches": "2", "batch_size": "64", "embed_size": "16",
+          "lr": "0.05", "neg_ratio": "2", "is_pairwise": "True",
+          "loss_func": "bpr", "reg": "0.05", "stddev": "0.1",
+          "recommender": "SBPR", "social_file": "trusts.csv"}
+    cfg_scan = base_config(toy_social_dataset, **ov,
+                           **{"train.fused_kernel": "False"})
+    cfg_stream = base_config(toy_social_dataset, **ov,
+                             **{"train.fused_kernel": "True",
+                                "train.fused_stream": "True"})
+    data = load_ranking_data(cfg_scan)
+    model = make_model(cfg_scan, DataMeta(data.user_nums, data.item_nums))
+    t_scan = Trainer(model, data, cfg_scan)
+    t_stream = Trainer(model, data, cfg_stream)
+    assert t_stream._fused_stream_plan is not None
+    p0, o0 = t_scan.init_state()
+    p1, o1 = t_stream.init_state()
+    for _ in range(2):
+        p0, o0, l0 = t_scan.train_epoch(p0, o0)
+        p1, o1, l1 = t_stream.train_epoch(p1, o1)
+        assert l1 == pytest.approx(l0, rel=1e-4), (l0, l1)
+    for k in p0:
+        np.testing.assert_allclose(np.asarray(p1[k]), np.asarray(p0[k]),
+                                   rtol=1e-3, atol=1e-4, err_msg=k)
+    r0 = t_scan.evaluate(p0)
+    r1 = t_stream.evaluate(p1)
+    for k in r0:
+        assert r1[k] == pytest.approx(r0[k], abs=2e-4)
