@@ -808,7 +808,8 @@ def plan_fused_rows(u_real: int, i_real: int, tw_u: int, tw_i: int,
 def _rows_stream_kernel(t0_ref, *refs, blk: int, sides: tuple,
                         nf: int, nd: int, row_loss, lr: float,
                         b1: float, b2: float, eps: float,
-                        slab_u: int, slab_i: int, u_sent: int):
+                        slab_u: int, slab_i: int, u_sent: int,
+                        tw_u: int, tw_i: int):
     """Q/P-STREAMED variant of _rows_kernel: NO table residency.
 
     Both concatenated tables and their Adam moments stay in HBM
@@ -903,18 +904,28 @@ def _rows_stream_kernel(t0_ref, *refs, blk: int, sides: tuple,
         eye * v_t, ones_b, (((0,), (0,)), ((), ())),
         preferred_element_type=jnp.float32)
 
+    # Row buffers carry the tables' 128-aligned physical width (Mosaic
+    # requires lane-aligned DMA slices); row_loss sees the models'
+    # logical widths, grads are zero-padded back.
+    tw_of = lambda sd: tw_u if sd == "u" else tw_i  # noqa: E731
+
     def loss_block(kb, loss):
         row = pl.ds(kb, 1)
         w_c = lane2col(
             (plane_refs[0][0, row, :] != u_sent).astype(jnp.float32))
         floats = tuple(lane2col(float_refs[f][0, row, :])
                        for f in range(nf))
-        rows = tuple(rowbufs[p][pl.ds(kb * blk, blk), :] for p in range(P))
+        rows = tuple(rowbufs[p][pl.ds(kb * blk, blk), :][:, :tw_of(sides[p])]
+                     for p in range(P))
         dense_vals = tuple(r[...] for r in dense_res[:nd])
         lval, (g_rows, g_dv) = jax.value_and_grad(
             row_loss, argnums=(0, 2))(rows, floats, dense_vals, w_c)
         for p in range(P):
-            rowbufs[p][pl.ds(kb * blk, blk), :] = g_rows[p]
+            g = g_rows[p]
+            padw = rowbufs[p].shape[1] - g.shape[1]
+            if padw:
+                g = jnp.pad(g, ((0, 0), (0, padw)))
+            rowbufs[p][pl.ds(kb * blk, blk), :] = g
         for k in range(nd):
             dgs[k][...] += g_dv[k]
         return loss + lval
@@ -996,14 +1007,19 @@ def fused_rows_epoch_stream(pu, qi, dense, mpu, mqi, mdense, vpu, vqi,
     u_sent, i_sent = u_pad - 1, i_pad - 1     # trainer's sentinel ids
     u_pad_s = _round_up(u_pad, slab_u)
     i_pad_s = _round_up(i_pad, slab_i)
+    # Mosaic requires lane-aligned DMA slices: the streamed tables carry
+    # a 128-multiple feature width (zero columns; their Adam state stays
+    # exactly zero), sliced back on return.
+    tw_u_p, tw_i_p = _round_up(tw_u, 128), _round_up(tw_i, 128)
     nd, nf = len(dense), len(floats)
     d_shapes = tuple(x.shape for x in dense)
     lift = lambda x: x.reshape((1, -1)) if x.ndim < 2 else x  # noqa: E731
     dense, mdense, vdense = (tuple(lift(x) for x in t)
                              for t in (dense, mdense, vdense))
-    pads = lambda a, n: jnp.pad(a, ((0, n - a.shape[0]), (0, 0)))  # noqa: E731
-    pu, mpu, vpu = (pads(x, u_pad_s) for x in (pu, mpu, vpu))
-    qi, mqi, vqi = (pads(x, i_pad_s) for x in (qi, mqi, vqi))
+    pads = lambda a, n, w: jnp.pad(  # noqa: E731
+        a, ((0, n - a.shape[0]), (0, w - a.shape[1])))
+    pu, mpu, vpu = (pads(x, u_pad_s, tw_u_p) for x in (pu, mpu, vpu))
+    qi, mqi, vqi = (pads(x, i_pad_s, tw_i_p) for x in (qi, mqi, vqi))
     padb = (_round_up(b, blk) - b) if b % blk else 0
     if padb:
         planes = tuple(
@@ -1026,13 +1042,14 @@ def fused_rows_epoch_stream(pu, qi, dense, mpu, mqi, mdense, vpu, vqi,
     dense_arrs = dense + mdense + vdense
     d_shapes2 = tuple(a.shape for a in dense_arrs)
     n_lead = 1 + len(planes) + len(floats)
-    tw_of = lambda sd: tw_u if sd == "u" else tw_i  # noqa: E731
+    tw_of = lambda sd: tw_u_p if sd == "u" else tw_i_p  # noqa: E731
 
     outs = pl.pallas_call(
         functools.partial(_rows_stream_kernel, blk=blk, sides=sides,
                           nf=nf, nd=nd, row_loss=row_loss, lr=lr,
                           b1=b1, b2=b2, eps=eps, slab_u=slab_u,
-                          slab_i=slab_i, u_sent=u_sent),
+                          slab_i=slab_i, u_sent=u_sent,
+                          tw_u=tw_u, tw_i=tw_i),
         grid=(steps,),
         in_specs=[pl.BlockSpec(memory_space=pltpu.SMEM)]    # t0
         + [idx] * (len(planes) + len(floats))
@@ -1047,8 +1064,8 @@ def fused_rows_epoch_stream(pu, qi, dense, mpu, mqi, mdense, vpu, vqi,
         scratch_shapes=[pltpu.VMEM((b, tw_of(sd)), jnp.float32)
                         for sd in sides]                    # row/grad bufs
         + [pltpu.VMEM(sh, jnp.float32) for sh in d_shapes2[:nd]]
-        + [pltpu.VMEM((slab_u, tw_u), jnp.float32)] * 4
-        + [pltpu.VMEM((slab_i, tw_i), jnp.float32)] * 4
+        + [pltpu.VMEM((slab_u, tw_u_p), jnp.float32)] * 4
+        + [pltpu.VMEM((slab_i, tw_i_p), jnp.float32)] * 4
         + [pltpu.SemaphoreType.DMA((max(3 * nd, 6),))],
         input_output_aliases={n_lead + k: k for k in range(6)},
         interpret=interpret,
@@ -1061,9 +1078,9 @@ def fused_rows_epoch_stream(pu, qi, dense, mpu, mqi, mdense, vpu, vqi,
     dense_o = unlift(outs[6:6 + nd])
     mdense_o = unlift(outs[6 + nd:6 + 2 * nd])
     vdense_o = unlift(outs[6 + 2 * nd:6 + 3 * nd])
-    return (pu_o[:u_real], qi_o[:i_real], dense_o,
-            mpu_o[:u_real], mqi_o[:i_real], mdense_o,
-            vpu_o[:u_real], vqi_o[:i_real], vdense_o,
+    return (pu_o[:u_real, :tw_u], qi_o[:i_real, :tw_i], dense_o,
+            mpu_o[:u_real, :tw_u], mqi_o[:i_real, :tw_i], mdense_o,
+            vpu_o[:u_real, :tw_u], vqi_o[:i_real, :tw_i], vdense_o,
             jnp.sum(outs[-1]))
 
 
