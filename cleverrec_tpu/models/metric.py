@@ -107,6 +107,10 @@ class LRML(RecModel):
     name = "LRML"
     sampler = "pairwise"
     cml_like = True
+    # Multi-plane fused epoch (ops/pallas_train.py fused_rows_epoch /
+    # _stream): planes (u, i, j), memory network K/M as dense in-kernel
+    # Adam params, hinge differentiated in-kernel.
+    fused_protocol = "rows"
 
     def __init__(self, cfg, meta):
         super().__init__(cfg, meta)
@@ -115,6 +119,7 @@ class LRML(RecModel):
         self.mem_size = cfg.int("mem_size")
         self.reg = cfg.float("reg")
         self.margin = cfg.float("margin")
+        self._fused_spec = None
 
     def init(self, key) -> Params:
         P, Q, K, M = self._embed_tables(
@@ -149,6 +154,44 @@ class LRML(RecModel):
 
     def score_pairs(self, params: Params, u, i, aux: Aux):
         return self._dist(params, params["P"][u], params["Q"][i])
+
+    def fused_rows_spec(self):
+        """Spec for the multi-plane fused epoch: LRML.loss verbatim over
+        gathered P[u]/Q[i]/Q[j] rows; the memory key/value matrices ride
+        as dense in-kernel-Adam params (LRML.py:42-66 math)."""
+        if self._fused_spec is not None:
+            return self._fused_spec
+        reg, margin, loss_func = self.reg, self.margin, self.loss_func
+
+        def pack(t):
+            return (t["P"], t["Q"], (t["K"], t["M"]))
+
+        def unpack(orig, pu, qi, dense):
+            return {"P": pu, "Q": qi, "K": dense[0], "M": dense[1]}
+
+        def row_loss(rows, floats, dense, w):
+            ue, ie, je = rows
+            K, M = dense
+
+            def dist(xe):
+                atten = jax.nn.softmax((ue * xe) @ K, axis=-1)
+                r = atten @ M
+                return jnp.sum(jnp.square(ue + r - xe), axis=1,
+                               keepdims=True)
+
+            diff = dist(ie) - dist(je)
+            main = pairwise_loss(loss_func, diff, margin=margin, weight=w)
+            return main + reg * (l2_loss(ue * w) + l2_loss(ie * w)
+                                 + l2_loss(je * w))
+
+        self._fused_spec = {
+            "planes": (("u", "u"), ("i", "i"), ("j", "i")),
+            "floats": (), "dense": ("K", "M"),
+            "pack": pack, "unpack": unpack, "row_loss": row_loss,
+            "tw_u": self.embed_size, "tw_i": self.embed_size,
+            "dense_elems": 2 * self.embed_size * self.mem_size,
+        }
+        return self._fused_spec
 
 
 class TransCF(RecModel):

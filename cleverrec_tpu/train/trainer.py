@@ -524,19 +524,27 @@ class Trainer:
             # elementwise intermediate to HBM; measured 757ms vs the
             # scan arm's in-loop sampling on CUNE/ml-100k).
             pkey, skey = jax.random.split(key)
-            step_keys = jax.random.split(skey, steps)
-            perm, valid = sampling.epoch_permutation(pkey, rows_total,
-                                                     padded)
+            if self.model.sampler == "pairwise":
+                # Pairwise rows models (LRML) share the scan path's
+                # static epoch-tensor sampling layout — same pkey, same
+                # stream (tests pin fused == scan numerics).
+                batch = sampling.pairwise_epoch_tensors(
+                    pkey, arrays["pairwise_static"], arrays["seen"],
+                    item_nums, steps, b, pop_cdf=arrays.get("pop_cdf"))
+            else:
+                step_keys = jax.random.split(skey, steps)
+                perm, valid = sampling.epoch_permutation(pkey, rows_total,
+                                                         padded)
 
-            def sample_step(_, xs):
-                k, r, v = xs
-                sk, _ = jax.random.split(k)
-                return None, self._build_batch(sk, r, v, arrays)
+                def sample_step(_, xs):
+                    k, r, v = xs
+                    sk, _ = jax.random.split(k)
+                    return None, self._build_batch(sk, r, v, arrays)
 
-            _, batch = jax.lax.scan(
-                sample_step, None,
-                (step_keys, perm.reshape(steps, b),
-                 valid.reshape(steps, b)))
+                _, batch = jax.lax.scan(
+                    sample_step, None,
+                    (step_keys, perm.reshape(steps, b),
+                     valid.reshape(steps, b)))
             inval = batch["w"] == 0.0
             planes = tuple(
                 jnp.where(inval,

@@ -1080,3 +1080,40 @@ def test_rows_stream_trainer_matches_scan_trainer(toy_social_dataset):
     r1 = t_stream.evaluate(p1)
     for k in r0:
         assert r1[k] == pytest.approx(r0[k], abs=2e-4)
+
+
+@pytest.mark.parametrize("stream", [False, True])
+def test_lrml_fused_rows_matches_scan(stream, toy_dataset):
+    """LRML through the rows protocol (memory matrices as dense
+    in-kernel-Adam params) == the scan trainer, resident and streamed."""
+    ov = {"epoches": "2", "batch_size": "64", "embed_size": "16",
+          "lr": "0.05", "neg_ratio": "2", "is_pairwise": "True",
+          "loss_func": "hinge", "margin": "0.2", "reg": "0.01",
+          "mem_size": "6", "stddev": "0.1", "recommender": "LRML"}
+    cfg_scan = base_config(toy_dataset, **ov,
+                           **{"train.fused_kernel": "False"})
+    fused_ov = {"train.fused_kernel": "True"}
+    if stream:
+        fused_ov["train.fused_stream"] = "True"
+    cfg_fused = base_config(toy_dataset, **ov, **fused_ov)
+    data = load_ranking_data(cfg_scan)
+    model = make_model(cfg_scan, DataMeta(data.user_nums, data.item_nums))
+    t_scan = Trainer(model, data, cfg_scan)
+    t_fused = Trainer(model, data, cfg_fused)
+    if stream:
+        assert t_fused._fused_stream_plan is not None
+    else:
+        assert t_fused._fused_plan is not None
+    p0, o0 = t_scan.init_state()
+    p1, o1 = t_fused.init_state()
+    for _ in range(2):
+        p0, o0, l0 = t_scan.train_epoch(p0, o0)
+        p1, o1, l1 = t_fused.train_epoch(p1, o1)
+        assert l1 == pytest.approx(l0, rel=1e-4), (l0, l1)
+    for k in p0:
+        np.testing.assert_allclose(np.asarray(p1[k]), np.asarray(p0[k]),
+                                   rtol=1e-3, atol=1e-4, err_msg=k)
+    r0 = t_scan.evaluate(p0)
+    r1 = t_fused.evaluate(p1)
+    for k in r0:
+        assert r1[k] == pytest.approx(r0[k], abs=2e-4)
