@@ -48,6 +48,11 @@ MODEL_OVERRIDES = {
                  "embed_size": "64", "lr": "0.001", "neg_ratio": "4",
                  "walk_count": "5", "walk_length": "10", "walk_dim": "32",
                  "window_size": "3", "topk_f": "10"},
+    # Metric-learning memory network through the rows kernel (K/M ride
+    # as dense in-kernel-Adam params); embed 64 = the LRML recipe.
+    "LRML": {"is_pairwise": "True", "loss_func": "hinge", "margin": "0.2",
+             "reg": "0.001", "mem_size": "20", "embed_size": "64",
+             "lr": "0.001", "neg_ratio": "1"},
 }
 
 

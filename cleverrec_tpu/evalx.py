@@ -266,6 +266,9 @@ class Evaluator:
             elif self.mode == "full_fused":
                 items = self._rank_fn(params, aux, b["u"][bidx],
                                       b["bits"][bidx])
+            elif self.mode == "full_stream" and self._stream_bits:
+                items = self._rank_fn(params, aux, b["u"][bidx],
+                                      None, b["bits"][bidx])
             else:
                 items = self._rank_fn(params, aux, b["u"][bidx],
                                       b["rows"][bidx])

@@ -260,3 +260,45 @@ def test_streaming_eval_matches_full(tmp_path):
             for k in r_full:
                 assert r_stream[k] == pytest.approx(r_full[k], abs=1e-6), \
                     (name, chunk, k)
+
+
+def test_recommend_topk_stream_bits(tmp_path):
+    """recommend_topk through the full_stream mode, both bitmap regimes
+    (host-gathered bits and device-built from rows) == the dense mode's
+    lists."""
+    import dataclasses
+
+    from cleverrec_tpu.data import load_ranking_data
+    from cleverrec_tpu.evalx import Evaluator
+    from cleverrec_tpu.models import make_model
+    from cleverrec_tpu.models.base import DataMeta
+    from cleverrec_tpu.train import Trainer
+    from tests.conftest import base_config, make_toy_interactions
+    ds = tmp_path / "toy"
+    ds.mkdir()
+    make_toy_interactions(ds / "ratings.csv")
+    toy = {"root": str(tmp_path), "name": "toy"}
+    base = {"data.split_way": "rs", "test.neg_samples": "0",
+            "epoches": "1", "batch_size": "64", "embed_size": "16",
+            "lr": "0.05", "recommender": "BPR", "is_pairwise": "True",
+            "loss_func": "bpr", "reg": "0.01",
+            "eval.fused_kernel": "False"}
+    cfg = base_config(toy, **base)
+    data = load_ranking_data(cfg)
+    model = make_model(cfg, DataMeta(data.user_nums, data.item_nums))
+    tr = Trainer(model, data, cfg)
+    params, opt = tr.init_state()
+    params, opt, _ = tr.train_epoch(params, opt)
+    want = tr.evaluator.recommend_topk(params, tr.arrays)
+    cfg_s = base_config(toy, **{**base, "eval.stream": "True",
+                                "eval.stream_chunk": "32"})
+    ev_bits = Evaluator(model, tr.dd, cfg_s)
+    assert ev_bits.mode == "full_stream" and ev_bits._stream_bits
+    np.testing.assert_array_equal(
+        ev_bits.recommend_topk(params, tr.arrays), want)
+    dd_nobits = dataclasses.replace(
+        tr.dd, seen=tr.dd.seen._replace(bits=None, complement=None))
+    ev_dev = Evaluator(model, dd_nobits, cfg_s)
+    assert ev_dev._stream_device_bits
+    np.testing.assert_array_equal(
+        ev_dev.recommend_topk(params, tr.arrays), want)
