@@ -871,7 +871,10 @@ def _rows_stream_kernel(t0_ref, *refs, blk: int, sides: tuple,
         return plane_refs[p][0, pl.ds(kb, 1), :]
 
     # -- gather pass: accumulate each plane's rows across slabs ----------
-    def gather_side(n_slabs, slab, state_ref, slab_buf, planes_list):
+    # The streamed tables carry a 128-aligned physical width (Mosaic
+    # DMA alignment); all MXU work is sliced to the LOGICAL width —
+    # the padded columns would double the one-hot matmul FLOPs.
+    def gather_side(n_slabs, slab, tw, state_ref, slab_buf, planes_list):
         if not planes_list:
             return
 
@@ -880,12 +883,14 @@ def _rows_stream_kernel(t0_ref, *refs, blk: int, sides: tuple,
                 state_ref.at[pl.ds(si * slab, slab)], slab_buf, sem.at[0])
             cp.start()
             cp.wait()
+            rows_v = slab_buf[...][:, :tw]
 
             def blk_body(kb, _):
                 for p in planes_list:
                     oh = _onehot_t(plane_ids(p, kb) - si * slab, slab, blk)
-                    rowbufs[p][pl.ds(kb * blk, blk), :] += _mxu_gather(
-                        oh, slab_buf)
+                    rowbufs[p][pl.ds(kb * blk, blk), :] += jax.lax.dot_general(
+                        oh, rows_v, (((0,), (0,)), ((), ())),
+                        preferred_element_type=jnp.float32)
                 return 0
 
             jax.lax.fori_loop(0, n_rb, blk_body, 0)
@@ -893,8 +898,8 @@ def _rows_stream_kernel(t0_ref, *refs, blk: int, sides: tuple,
 
         jax.lax.fori_loop(0, n_slabs, slab_body, 0)
 
-    gather_side(nsu, slab_u, state_o[0], u_slabs[0], u_planes)
-    gather_side(nsi, slab_i, state_o[1], i_slabs[0], i_planes)
+    gather_side(nsu, slab_u, tw_u, state_o[0], u_slabs[0], u_planes)
+    gather_side(nsi, slab_i, tw_i, state_o[1], i_slabs[0], i_planes)
 
     # -- loss + in-kernel AD pass; row buffers become grad buffers -------
     eye = _onehot_t(jax.lax.broadcasted_iota(jnp.int32, (1, blk), 1),
@@ -904,28 +909,18 @@ def _rows_stream_kernel(t0_ref, *refs, blk: int, sides: tuple,
         eye * v_t, ones_b, (((0,), (0,)), ((), ())),
         preferred_element_type=jnp.float32)
 
-    # Row buffers carry the tables' 128-aligned physical width (Mosaic
-    # requires lane-aligned DMA slices); row_loss sees the models'
-    # logical widths, grads are zero-padded back.
-    tw_of = lambda sd: tw_u if sd == "u" else tw_i  # noqa: E731
-
     def loss_block(kb, loss):
         row = pl.ds(kb, 1)
         w_c = lane2col(
             (plane_refs[0][0, row, :] != u_sent).astype(jnp.float32))
         floats = tuple(lane2col(float_refs[f][0, row, :])
                        for f in range(nf))
-        rows = tuple(rowbufs[p][pl.ds(kb * blk, blk), :][:, :tw_of(sides[p])]
-                     for p in range(P))
+        rows = tuple(rowbufs[p][pl.ds(kb * blk, blk), :] for p in range(P))
         dense_vals = tuple(r[...] for r in dense_res[:nd])
         lval, (g_rows, g_dv) = jax.value_and_grad(
             row_loss, argnums=(0, 2))(rows, floats, dense_vals, w_c)
         for p in range(P):
-            g = g_rows[p]
-            padw = rowbufs[p].shape[1] - g.shape[1]
-            if padw:
-                g = jnp.pad(g, ((0, 0), (0, padw)))
-            rowbufs[p][pl.ds(kb * blk, blk), :] = g
+            rowbufs[p][pl.ds(kb * blk, blk), :] = g_rows[p]
         for k in range(nd):
             dgs[k][...] += g_dv[k]
         return loss + lval
@@ -935,8 +930,9 @@ def _rows_stream_kernel(t0_ref, *refs, blk: int, sides: tuple,
     # -- scatter + dense slab Adam pass ----------------------------------
     bc1, bc2 = _adam_step(t0_ref, s, b1, b2)
 
-    def scatter_side(n_slabs, slab, p_o, m_o, v_o, bufs, planes_list):
+    def scatter_side(n_slabs, slab, tw, p_o, m_o, v_o, bufs, planes_list):
         p_s, m_s, v_s, g_s = bufs
+        padw = p_s.shape[1] - tw
 
         def slab_body(si, _):
             cps = tuple(
@@ -948,17 +944,21 @@ def _rows_stream_kernel(t0_ref, *refs, blk: int, sides: tuple,
                 cp.start()
             for cp in cps:
                 cp.wait()
-            g_s[...] = jnp.zeros_like(g_s)
 
-            def blk_body(kb, _):
+            def blk_body(kb, g):
                 for p in planes_list:
                     oh = _onehot_t(plane_ids(p, kb) - si * slab, slab, blk)
-                    g_s[...] += jnp.dot(
+                    g = g + jnp.dot(
                         oh, rowbufs[p][pl.ds(kb * blk, blk), :],
                         preferred_element_type=jnp.float32)
-                return 0
+                return g
 
-            jax.lax.fori_loop(0, n_rb, blk_body, 0)
+            g = jax.lax.fori_loop(0, n_rb, blk_body,
+                                  jnp.zeros((slab, tw), jnp.float32))
+            if padw:
+                g = jnp.concatenate(
+                    [g, jnp.zeros((slab, padw), jnp.float32)], axis=1)
+            g_s[...] = g
             _adam_apply(p_s, m_s, v_s, g_s[...], bc1, bc2,
                         lr=lr, b1=b1, b2=b2, eps=eps)
             backs = tuple(
@@ -974,9 +974,9 @@ def _rows_stream_kernel(t0_ref, *refs, blk: int, sides: tuple,
 
         jax.lax.fori_loop(0, n_slabs, slab_body, 0)
 
-    scatter_side(nsu, slab_u, state_o[0], state_o[2], state_o[4],
+    scatter_side(nsu, slab_u, tw_u, state_o[0], state_o[2], state_o[4],
                  u_slabs, u_planes)
-    scatter_side(nsi, slab_i, state_o[1], state_o[3], state_o[5],
+    scatter_side(nsi, slab_i, tw_i, state_o[1], state_o[3], state_o[5],
                  i_slabs, i_planes)
     for k in range(nd):
         _adam_apply(dense_res[k], dense_res[nd + k], dense_res[2 * nd + k],
@@ -1042,7 +1042,9 @@ def fused_rows_epoch_stream(pu, qi, dense, mpu, mqi, mdense, vpu, vqi,
     dense_arrs = dense + mdense + vdense
     d_shapes2 = tuple(a.shape for a in dense_arrs)
     n_lead = 1 + len(planes) + len(floats)
-    tw_of = lambda sd: tw_u_p if sd == "u" else tw_i_p  # noqa: E731
+    # Row buffers keep the LOGICAL width (in-VMEM loads/stores need no
+    # lane alignment; only the HBM DMA slices do).
+    tw_of = lambda sd: tw_u if sd == "u" else tw_i  # noqa: E731
 
     outs = pl.pallas_call(
         functools.partial(_rows_stream_kernel, blk=blk, sides=sides,
