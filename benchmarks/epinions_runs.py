@@ -84,6 +84,10 @@ def run_tf1_sbpr(epochs):
 
 def main():
     name = sys.argv[1]
+    path = "auto"
+    if "--scan" in sys.argv:
+        sys.argv.remove("--scan")
+        path = "scan"
     epochs = int(sys.argv[2]) if len(sys.argv) > 2 else 5
     if not os.path.exists(os.path.join(ROOT, "data", "epinions-synth",
                                        "ratings.csv")):
@@ -100,6 +104,8 @@ def main():
     logging.basicConfig(level=logging.INFO, stream=sys.stdout,
                         format="%(message)s")
     cfg = base_cfg(name, epochs)
+    if path == "scan":
+        cfg._v["train.fused_kernel"] = "False"
     t0 = time.time()
     data = load_ranking_data(cfg)
     model = make_model(cfg, DataMeta(data.user_nums, data.item_nums))

@@ -221,9 +221,16 @@ class Trainer:
         if proto == "rows":
             # Generic multi-plane epoch (SBPR/CUNE/TBPR family): id
             # planes + float columns, per-row loss differentiated
-            # in-kernel.  VMEM overflow falls back to the STREAMED
-            # variant (tables + moments stay in HBM, slab-walked twice
-            # per step — fused_rows_epoch_stream), then to scan.
+            # in-kernel.  VMEM overflow falls back to scan by default:
+            # the STREAMED variant (tables + moments stay in HBM,
+            # slab-walked twice per step — fused_rows_epoch_stream) is
+            # exact but its one-hot gather/scatter dots cost
+            # O(B * table_height * d) FLOPs per plane per pass, which
+            # at Epinions scale (18.6k-row tables) is ~28 TFLOP/epoch —
+            # measured 690ms vs scan's 328ms (benchmarks/
+            # EPINIONS_RUNS.jsonl).  XLA's native gather moves O(B * d)
+            # bytes instead, so scan wins whenever tables overflow
+            # VMEM; ``train.fused_stream=True`` opts back in.
             from cleverrec_tpu.ops.pallas_train import (
                 plan_fused_rows, plan_fused_rows_stream)
             spec = self.model.fused_rows_spec()
@@ -236,22 +243,20 @@ class Trainer:
             self._fused_stream_plan = None
             self._fused_plan = None
             if self.cfg.bool("train.fused_stream", False):
-                # Forced streaming (testing/benchmark hook).
+                # Opt-in streaming (testing/benchmark hook) — takes
+                # precedence over the resident plan so its numerics can
+                # be pinned at any catalog size.
                 self._fused_stream_plan = plan_fused_rows_stream(*dims)
                 if self._fused_stream_plan is not None:
+                    if self.logger:
+                        blk, su, si = self._fused_stream_plan
+                        self.logger.info(
+                            "fused epoch kernel: STREAMED epoch forced "
+                            f"(slabs {su}/{si}, blk {blk}, state stays "
+                            "in HBM)")
                     return True
             self._fused_plan = plan_fused_rows(*dims)
             if self._fused_plan is not None:
-                return True
-            if self.cfg.bool("train.fused_stream", True):
-                self._fused_stream_plan = plan_fused_rows_stream(*dims)
-            if self._fused_stream_plan is not None:
-                if self.logger:
-                    blk, su, si = self._fused_stream_plan
-                    self.logger.info(
-                        "fused epoch kernel: params exceed the VMEM "
-                        f"budget; using the STREAMED epoch (slabs {su}/"
-                        f"{si}, blk {blk}, state stays in HBM)")
                 return True
             if self.logger:
                 self.logger.info(
