@@ -92,11 +92,10 @@ def main():
             "lr": "0.001", "neg_ratio": "4", "optimizer": "Adam",
             "is_pairwise": "True", "loss_func": "bpr",
             "init_method": "normal", "stddev": "0.01", "seed": "42",
-            # Eval mode is AUTO: with bitmaps in budget the Evaluator
-            # picks the fused kernel; past this threshold it streams
-            # (the default 500k would hand 319k items to the dense
-            # [B, I] path once bitmaps fall out of budget).
-            "eval.stream_threshold": "150000",
+            # Eval mode is AUTO: the fused kernel covers catalogs past
+            # the global bitmap budget too (device-built per-batch
+            # bitmaps + grouped exact top-k); streaming only starts at
+            # the default 500k-item score-matrix budget.
             # Multi-epoch scanned programs fault the tunneled TPU worker
             # at this catalog scale (single-epoch programs run fine);
             # cap blocks to 1 — dispatch (~26ms) is noise against these

@@ -57,9 +57,14 @@ class Evaluator:
         # Fused Pallas full-catalog path for models exposing a
         # (user_vecs, item_table, bias) decomposition: default ON on the
         # TPU backend (eval.fused_kernel overrides either way).
+        # Past the global bitmap budget (seen.bits is None) the batch's
+        # bitmaps are built ON DEVICE from its sorted rows, so the fused
+        # kernel keeps working at any catalog below the score-matrix
+        # budget (eval.stream_threshold).
         fused_ok = (not self.candidate_eval
                     and hasattr(model, "dot_decomposition")
-                    and device_data.seen.bits is not None)
+                    and (device_data.seen.bits is not None
+                         or cfg.bool("eval.device_bitmaps", True)))
         fused_default = jax.default_backend() == "tpu"
         self._use_fused = (fused_ok and mesh is None
                            and cfg.bool("eval.fused_kernel", fused_default))
@@ -72,17 +77,20 @@ class Evaluator:
                   and cfg.bool("eval.stream", device_data.item_nums
                                > cfg.int("eval.stream_threshold", 500_000)
                                and not fused_forced))
+        # Wider chunks amortize the per-chunk top-k merge at very large
+        # catalogs (grouped_topk makes the wide sort cheap).
+        self.stream_chunk = cfg.int(
+            "eval.stream_chunk",
+            16384 if device_data.item_nums > 262_144 else 4096)
         self._stream_bits = (device_data.seen.bits is not None
-                             and cfg.int("eval.stream_chunk", 4096)
-                             % 32 == 0)
+                             and self.stream_chunk % 32 == 0)
         # Past the global bitmap budget (seen.bits is None) the batch's
         # bitmaps are built ON DEVICE from its sorted rows each step, so
         # the stream keeps the cheap bitmap-sliced masking instead of
         # falling back to per-chunk binary search / post-filtering
         # (~55x slower at a 319k-item catalog).
         self._stream_device_bits = (device_data.seen.bits is None
-                                    and cfg.int("eval.stream_chunk", 4096)
-                                    % 32 == 0
+                                    and self.stream_chunk % 32 == 0
                                     and cfg.bool("eval.device_bitmaps",
                                                  True))
         if self.candidate_eval:
@@ -148,11 +156,16 @@ class Evaluator:
             seen_rows = None
         v, items = ranking.rank_stream(
             self.model, params, aux, u, seen_rows, self.dd.item_nums,
-            self.kmax, chunk=self.cfg.int("eval.stream_chunk", 4096),
-            seen_bits=seen_bits)
+            self.kmax, chunk=self.stream_chunk, seen_bits=seen_bits)
         return jnp.where(jnp.isfinite(v), items, PAD_ITEM)
 
-    def _rank_full_fused(self, params, aux, u, seen_bits):
+    def _rank_full_fused(self, params, aux, u, seen_bits=None,
+                         seen_rows=None):
+        # Past-budget catalogs carry rows; build the batch's bitmaps on
+        # device (sampling.rows_to_bits) — same trick as the stream.
+        if seen_bits is None:
+            from cleverrec_tpu.sampling import rows_to_bits
+            seen_bits = rows_to_bits(seen_rows, self.dd.item_nums)
         v, items = ranking.rank_fused(
             self.model, params, aux, u, seen_bits, self.kmax,
             interpret=jax.default_backend() != "tpu")
@@ -181,7 +194,7 @@ class Evaluator:
                 nb, bt, dd.cand.shape[1]))
             out["mask"] = jnp.asarray(dd.cand_mask[order].reshape(
                 nb, bt, dd.cand.shape[1]))
-        elif self.mode == "full_fused" or (
+        elif (self.mode == "full_fused" and dd.seen.bits is not None) or (
                 self.mode == "full_stream" and self._stream_bits):
             bits = np.asarray(dd.seen.bits)[users]
             out["bits"] = jnp.asarray(bits.reshape(nb, bt, bits.shape[1]))
@@ -228,7 +241,12 @@ class Evaluator:
                 rec = self._rank_candidates(params, aux, b["u"], b["cand"],
                                             b["mask"])
             elif self.mode == "full_fused":
-                rec = self._rank_full_fused(params, aux, b["u"], b["bits"])
+                if "bits" in b:
+                    rec = self._rank_full_fused(params, aux, b["u"],
+                                                b["bits"])
+                else:
+                    rec = self._rank_full_fused(params, aux, b["u"],
+                                                None, b["rows"])
             elif self.mode == "full_sharded":
                 rec = self._rank_full_sharded(params, aux, b["u"], b["rows"])
             elif self.mode == "full_stream":
@@ -264,8 +282,12 @@ class Evaluator:
                 items = self._rank_fn(params, aux, b["u"][bidx],
                                       b["cand"][bidx], b["mask"][bidx])
             elif self.mode == "full_fused":
-                items = self._rank_fn(params, aux, b["u"][bidx],
-                                      b["bits"][bidx])
+                if "bits" in b:
+                    items = self._rank_fn(params, aux, b["u"][bidx],
+                                          b["bits"][bidx])
+                else:
+                    items = self._rank_fn(params, aux, b["u"][bidx],
+                                          None, b["rows"][bidx])
             elif self.mode == "full_stream" and self._stream_bits:
                 items = self._rank_fn(params, aux, b["u"][bidx],
                                       None, b["bits"][bidx])

@@ -1,3 +1,3 @@
 from cleverrec_tpu.ops.topk import (  # noqa: F401
-    merge_topk, sharded_topk_scores, streaming_topk)
+    grouped_topk, merge_topk, sharded_topk_scores, streaming_topk)
 from cleverrec_tpu.ops.pallas_scores import fused_dot_topk_scores  # noqa: F401

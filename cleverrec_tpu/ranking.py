@@ -42,9 +42,11 @@ def masked_full_scores(model, params, aux, u, rows,
 
 def rank_dense(model, params, aux, u, rows, k: int,
                filter_seen: bool = True):
-    """Dense [B, I] scoring + top-k."""
+    """Dense [B, I] scoring + top-k (group-max pruned past 16k items —
+    exact values, ops/topk.grouped_topk)."""
+    from cleverrec_tpu.ops.topk import grouped_topk
     scores = masked_full_scores(model, params, aux, u, rows, filter_seen)
-    return jax.lax.top_k(scores, k)
+    return grouped_topk(scores, k)
 
 
 def rank_sharded(model, params, aux, u, rows, k: int, mesh,
@@ -180,7 +182,10 @@ def rank_fused(model, params, aux, u, seen_bits, k: int,
         # permuted column order, so permute the bias to match.
         scores = scores + jnp.pad(bias, (0, item_map.shape[0]
                                          - bias.shape[0]))[item_map][None, :]
-    v, idx = jax.lax.top_k(scores, k)
-    # Normalize the kernel's finite -3e38 sentinel to the module-wide
-    # -inf contract.
-    return jnp.where(v > -1e37, v, -jnp.inf), item_map[idx]
+    # Grouped exact top-k (the column permutation is just another
+    # partition into 128-column groups — exactness is order-agnostic);
+    # it also normalizes the kernel's finite -3e38 sentinel to -inf.
+    from cleverrec_tpu.ops.topk import grouped_topk
+    v, idx = grouped_topk(scores, k)
+    v = jnp.where(v > -1e37, v, -jnp.inf)
+    return v, item_map[jnp.minimum(idx, item_map.shape[0] - 1)]

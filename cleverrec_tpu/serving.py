@@ -39,8 +39,9 @@ def _pick_backend(model, device_data, filter_seen: bool,
         return "sharded"
     decomposable = hasattr(model, "dot_decomposition")
     if (decomposable and jax.default_backend() == "tpu"
-            and model.meta.item_nums <= _STREAM_THRESHOLD
-            and (not filter_seen or device_data.seen.bits is not None)):
+            and model.meta.item_nums <= _STREAM_THRESHOLD):
+        # Past the global bitmap budget the fused path builds the
+        # batch's bitmaps on device (rows_to_bits) per call.
         return "fused"
     if model.meta.item_nums > _STREAM_THRESHOLD:
         return "stream"
@@ -49,7 +50,7 @@ def _pick_backend(model, device_data, filter_seen: bool,
 
 def build_retrieval_fn(model, params, arrays, device_data, k: int = 10,
                        filter_seen: bool = True, backend: str = "auto",
-                       mesh=None, stream_chunk: int = 4096,
+                       mesh=None, stream_chunk: int | None = None,
                        approx: bool = False):
     """Compiled user -> top-k retrieval.
 
@@ -69,6 +70,10 @@ def build_retrieval_fn(model, params, arrays, device_data, k: int = 10,
     Compare scores across backends only for plain dot models.
     """
     item_nums = model.meta.item_nums
+    if stream_chunk is None:
+        # Wider chunks amortize the per-chunk top-k merge at very large
+        # catalogs (the grouped_topk chunk reduce makes them cheap).
+        stream_chunk = 16384 if item_nums > 262_144 else 4096
     if backend == "auto":
         backend = _pick_backend(model, device_data, filter_seen, mesh)
     if backend == "sharded" and mesh is None:

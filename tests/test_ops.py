@@ -302,3 +302,114 @@ def test_recommend_topk_stream_bits(tmp_path):
     assert ev_dev._stream_device_bits
     np.testing.assert_array_equal(
         ev_dev.recommend_topk(params, tr.arrays), want)
+
+
+def test_grouped_topk_matches_dense():
+    """grouped_topk (group-max pruning) == lax.top_k exactly — values
+    always, indices too when scores are tie-free."""
+    from cleverrec_tpu.ops import grouped_topk
+    rng = np.random.default_rng(3)
+    scores = jnp.asarray(rng.normal(size=(5, 40000)).astype(np.float32))
+    v, i = grouped_topk(scores, 17)
+    dv, di = jax.lax.top_k(scores, 17)
+    np.testing.assert_array_equal(np.asarray(v), np.asarray(dv))
+    np.testing.assert_array_equal(np.asarray(i), np.asarray(di))
+
+
+def test_grouped_topk_masked_rows():
+    """-inf masked slots (and the kernels' -3e38 sentinel) survive the
+    one-hot rescue as exactly -inf; a row with fewer than k unmasked
+    items pads with -inf."""
+    from cleverrec_tpu.ops import grouped_topk
+    rng = np.random.default_rng(4)
+    s = rng.normal(size=(3, 20000)).astype(np.float32)
+    s[0, :] = -np.inf
+    s[0, 7] = 1.0                       # one survivor
+    s[1, ::2] = -np.inf                 # half masked
+    s[2, :] = -3.0e38                   # all sentinel-masked
+    v, i = grouped_topk(jnp.asarray(s), 9)
+    dv, _ = jax.lax.top_k(jnp.where(jnp.isinf(jnp.asarray(s)),
+                                    -jnp.inf, jnp.asarray(s)), 9)
+    assert np.asarray(v)[0, 0] == 1.0 and np.asarray(i)[0, 0] == 7
+    assert np.all(np.isneginf(np.asarray(v)[0, 1:]))
+    assert np.all(np.isneginf(np.asarray(v)[2]))
+    finite = np.isfinite(np.asarray(dv)[1])
+    np.testing.assert_array_equal(np.asarray(v)[1][finite],
+                                  np.asarray(dv)[1][finite])
+
+
+def test_grouped_topk_ties_values_exact():
+    """Heavily tied (quantized) scores: VALUES match lax.top_k exactly
+    (tie ORDER — which equal-valued id surfaces — may differ)."""
+    from cleverrec_tpu.ops import grouped_topk
+    rng = np.random.default_rng(5)
+    s = jnp.asarray(np.round(rng.normal(size=(4, 25000)) * 2)
+                    .astype(np.float32))
+    v, _ = grouped_topk(s, 15)
+    dv, _ = jax.lax.top_k(s, 15)
+    np.testing.assert_array_equal(np.asarray(v), np.asarray(dv))
+
+
+def test_grouped_topk_narrow_fallback():
+    """Below min_cols (or when groups can't cover k) it IS lax.top_k."""
+    from cleverrec_tpu.ops import grouped_topk
+    rng = np.random.default_rng(6)
+    s = jnp.asarray(rng.normal(size=(3, 1000)).astype(np.float32))
+    v, i = grouped_topk(s, 10)
+    dv, di = jax.lax.top_k(s, 10)
+    np.testing.assert_array_equal(np.asarray(v), np.asarray(dv))
+    np.testing.assert_array_equal(np.asarray(i), np.asarray(di))
+
+
+def test_streaming_topk_grouped_chunks():
+    """Wide chunks route through the grouped per-chunk reduce and still
+    match the dense oracle."""
+    rng = np.random.default_rng(7)
+    b, item_nums, k = 4, 20000, 10
+    scores = jnp.asarray(rng.normal(size=(b, item_nums)).astype(np.float32))
+
+    def chunk_fn(ids):
+        return scores[:, ids]
+
+    v, i = streaming_topk(chunk_fn, item_nums, k, chunk=8192)
+    dv, di = jax.lax.top_k(scores, k)
+    np.testing.assert_array_equal(np.asarray(v), np.asarray(dv))
+    np.testing.assert_array_equal(np.asarray(i), np.asarray(di))
+
+
+def test_fused_eval_device_bitmaps_matches_full(tmp_path):
+    """full_fused past the global bitmap budget (seen.bits=None): the
+    batches carry sorted rows, the kernel's bitmaps are built on device
+    per batch, and metrics match the dense evaluator exactly."""
+    import dataclasses
+
+    from cleverrec_tpu.data import load_ranking_data
+    from cleverrec_tpu.evalx import Evaluator
+    from cleverrec_tpu.models import make_model
+    from cleverrec_tpu.models.base import DataMeta
+    from cleverrec_tpu.train import Trainer
+    from tests.conftest import base_config, make_toy_interactions
+    ds = tmp_path / "toy"
+    ds.mkdir()
+    make_toy_interactions(ds / "ratings.csv")
+    toy = {"root": str(tmp_path), "name": "toy"}
+    base = {"data.split_way": "rs", "test.neg_samples": "0",
+            "epoches": "1", "batch_size": "64", "embed_size": "16",
+            "lr": "0.05", "recommender": "BPR", "is_pairwise": "True",
+            "loss_func": "bpr", "reg": "0.01"}
+    cfg_full = base_config(toy, **{**base, "eval.fused_kernel": "False"})
+    data = load_ranking_data(cfg_full)
+    model = make_model(cfg_full, DataMeta(data.user_nums, data.item_nums))
+    t_full = Trainer(model, data, cfg_full)
+    params, opt = t_full.init_state()
+    params, opt, _ = t_full.train_epoch(params, opt)
+    r_full = t_full.evaluate(params)
+    dd_nobits = dataclasses.replace(
+        t_full.dd, seen=t_full.dd.seen._replace(bits=None, complement=None))
+    cfg_fused = base_config(toy, **{**base, "eval.fused_kernel": "True"})
+    ev = Evaluator(model, dd_nobits, cfg_fused)
+    assert ev.mode == "full_fused"
+    assert "bits" not in ev._batches and "rows" in ev._batches
+    r_fused = ev.evaluate(params, t_full.arrays)
+    for k in r_full:
+        assert r_fused[k] == pytest.approx(r_full[k], abs=1e-6), k
