@@ -213,6 +213,41 @@ def member(table: MemberTable, e: Array, x: Array) -> Array:
     return res.reshape(x.shape)
 
 
+def unseen_by_rank(table: MemberTable, e: Array, r: Array) -> Array:
+    """Exact r-th UNSEEN id per entity — order statistics over the
+    complement, computed from the sorted rows alone.
+
+    e: [B] entity ids; r: [B] or [B, K] complement ranks in
+    [0, id_range - lens[e]).  The r-th unseen id is ``r + c`` where
+    ``c = |{j < lens[e] : rows[e, j] - j <= r}|`` — every seen id at or
+    below the answer shifts it up by one.  ``rows[e, j] - j`` is
+    nondecreasing over the REAL entries (rows are sorted unique), so c
+    is one vectorized binary search: ceil(log2(L+1)) element gathers
+    per draw, no rejection, no tries multiplier, any catalog size.
+    The search is clamped to lens[e]: the sentinel pads (id_range)
+    make ``rows - j`` NON-monotone past lens.
+
+    Given the same rank r this returns exactly
+    ``complement[e, r]`` — the complement-table tier's draw — so the
+    two tiers produce IDENTICAL samples from identical uniforms.
+    """
+    rows = table.rows
+    L = rows.shape[1]
+    r2 = r.reshape(r.shape[0], -1)                      # [B, M]
+    eb = jnp.broadcast_to(e[:, None], r2.shape)
+    flat = rows.reshape(-1)
+    base = eb.astype(jnp.int32) * L
+    lo = jnp.zeros_like(r2)
+    hi = jnp.broadcast_to(table.lens[e][:, None], r2.shape)
+    for _ in range(max(L, 1).bit_length()):
+        mid = (lo + hi) >> 1
+        sj = flat[base + jnp.minimum(mid, L - 1)]
+        pred = (mid < hi) & ((sj - mid) <= r2)
+        lo = jnp.where(pred, mid + 1, lo)
+        hi = jnp.where(pred, hi, mid)
+    return (r2 + lo).reshape(r.shape)
+
+
 def _reject(key: Array, e: Array, n_range: int, shape: tuple[int, ...],
             is_bad, extra_rounds: int = EXTRA_ROUNDS,
             tries: int = TRIES) -> Array:
@@ -254,16 +289,24 @@ def sample_not_in(key: Array, table: MemberTable, e: Array, n_range: int,
     draws, where the fixed 32-wide round wasted 30 draws + membership
     tests per slot (~8x of a big-catalog epoch's sampling cost).
     """
-    if table.complement is not None:
+    exact = (table.complement is not None
+             or (table.bits is None and table.rows.shape[1] > 1))
+    if exact:
         n_un = jnp.maximum(n_range - table.lens[e], 1)     # [B]
         r = jax.random.randint(key, shape, 0, jnp.iinfo(jnp.int32).max,
                                dtype=jnp.int32)
+        idx = r % (n_un[:, None] if len(shape) == 2 else n_un)
+        if table.complement is None:
+            # Rows-only tier (catalog past the bitmap budget): the
+            # SAME exact rank draw, resolved by binary search over the
+            # sorted rows instead of a complement gather — identical
+            # samples, no rejection (replaces the binary-search
+            # rejection pass that dominated big-catalog epochs).
+            return unseen_by_rank(table, e, idx)
         # POINT gathers (complement[e, idx]) — never complement[e], which
         # would materialize [B, id_range] rows per step.
         if len(shape) == 2:
-            idx = r % n_un[:, None]
             return table.complement[e[:, None], idx]
-        idx = r % n_un
         return table.complement[e, idx]
     w = table.rows.shape[1]
     if w > 1:           # width-1 rows are need_rows=False stubs: no bound
@@ -388,11 +431,20 @@ def _epoch_negatives(jkey, static, seen: MemberTable, item_nums: int,
     protocol), still a single gather."""
     u = static["ord_u"]
     shape = (padded,) if k is None else (padded, k)
-    if seen.complement is not None and pop_cdf is None:
+    exact = (seen.complement is not None
+             or (seen.bits is None and seen.rows.shape[1] > 1))
+    if exact and pop_cdf is None:
         r = jax.random.randint(jkey, shape, 0,
                                jnp.iinfo(jnp.int32).max, dtype=jnp.int32)
         nun = static["ord_nun"] if k is None else static["ord_nun"][:, None]
         idx = r % nun
+        if seen.complement is None:
+            # Rows-only tier: identical exact rank draw resolved by
+            # binary search over the sorted rows (unseen_by_rank) — one
+            # whole-epoch pass, no chunking (nothing TRIES-wide is
+            # materialized), no rejection.  Replaced a binary-search
+            # rejection pass that was ~half the 319k-catalog epoch.
+            return unseen_by_rank(seen, u, idx)
         flat = seen.complement.reshape(-1)
         base = u * seen.complement.shape[1]
         return flat[(base if k is None else base[:, None]) + idx]

@@ -328,3 +328,65 @@ def test_complement_from_bits_matches_host_builder():
     assert host.complement is not None and host.bits is not None
     dev = complement_from_bits(host.bits, id_range, chunk=8)
     np.testing.assert_array_equal(np.asarray(dev), host.complement)
+
+
+def test_unseen_by_rank_enumerates_complement():
+    """unseen_by_rank(e, r) over all ranks r is EXACTLY the sorted
+    complement list — the order-statistics draw is exact."""
+    rng = np.random.default_rng(11)
+    n_users, n_items = 5, 37
+    user_items = {u: sorted(rng.choice(
+        n_items, size=int(rng.integers(0, 20)), replace=False).tolist())
+        for u in range(n_users)}
+    t = _table(user_items, n_users, n_items, mode="rows")
+    for u in range(n_users):
+        comp = sorted(set(range(n_items)) - set(user_items[u]))
+        r = jnp.arange(len(comp), dtype=jnp.int32)[None, :]
+        got = sampling.unseen_by_rank(t, jnp.asarray([u], jnp.int32), r)
+        np.testing.assert_array_equal(np.asarray(got)[0], comp)
+
+
+def test_rows_only_draws_identical_to_complement_tier():
+    """The rows-only exact tier consumes the SAME uniforms and must
+    produce byte-identical negatives to the complement-table tier."""
+    rng = np.random.default_rng(12)
+    n_users, n_items = 8, 50
+    user_items = {u: sorted(rng.choice(n_items, size=12,
+                                       replace=False).tolist())
+                  for u in range(n_users)}
+    t_comp = _table(user_items, n_users, n_items, mode="complement")
+    t_rows = _table(user_items, n_users, n_items, mode="rows")
+    key = jax.random.PRNGKey(7)
+    e = jnp.asarray(rng.integers(0, n_users, 64), jnp.int32)
+    a = sampling.sample_not_in(key, t_comp, e, n_items, (64,))
+    b = sampling.sample_not_in(key, t_rows, e, n_items, (64,))
+    np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+    a2 = sampling.sample_not_in(key, t_comp, e, n_items, (64, 3))
+    b2 = sampling.sample_not_in(key, t_rows, e, n_items, (64, 3))
+    np.testing.assert_array_equal(np.asarray(a2), np.asarray(b2))
+
+
+def test_epoch_negatives_rows_only_identical_to_complement():
+    """pairwise_epoch_tensors on a rows-only table == on a
+    complement-table (same key): the whole-epoch negative draw goes
+    through the same exact rank path."""
+    rng = np.random.default_rng(13)
+    n_users, n_items, neg_ratio = 6, 40, 3
+    user_items = {u: sorted(rng.choice(n_items, size=8,
+                                       replace=False).tolist())
+                  for u in range(n_users)}
+    pos_u = np.repeat(np.arange(n_users, dtype=np.int32), 8)
+    pos_i = np.concatenate([np.asarray(user_items[u], np.int32)
+                            for u in range(n_users)])
+    steps, b = 6, 32
+    outs = {}
+    for mode in ("complement", "rows"):
+        t = _table(user_items, n_users, n_items, mode=mode)
+        static = jax.tree_util.tree_map(
+            jnp.asarray, sampling.pairwise_epoch_static(
+                pos_u, pos_i, t.lens, n_items, steps * b, neg_ratio))
+        outs[mode] = sampling.pairwise_epoch_tensors(
+            jax.random.PRNGKey(3), static, t, n_items, steps, b)
+    for k in outs["complement"]:
+        np.testing.assert_array_equal(np.asarray(outs["complement"][k]),
+                                      np.asarray(outs["rows"][k]), k)
