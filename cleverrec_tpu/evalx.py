@@ -160,7 +160,7 @@ class Evaluator:
         return jnp.where(jnp.isfinite(v), items, PAD_ITEM)
 
     def _rank_full_fused(self, params, aux, u, seen_bits=None,
-                         seen_rows=None):
+                         seen_rows=None, pre=None):
         # Past-budget catalogs carry rows; build the batch's bitmaps on
         # device (sampling.rows_to_bits) — same trick as the stream.
         if seen_bits is None:
@@ -168,7 +168,7 @@ class Evaluator:
             seen_bits = rows_to_bits(seen_rows, self.dd.item_nums)
         v, items = ranking.rank_fused(
             self.model, params, aux, u, seen_bits, self.kmax,
-            interpret=jax.default_backend() != "tpu")
+            interpret=jax.default_backend() != "tpu", pre=pre)
         return jnp.where(jnp.isfinite(v), items, PAD_ITEM)
 
     # -- one-call device evaluation --------------------------------------
@@ -236,6 +236,12 @@ class Evaluator:
         return jnp.stack(per_k)                           # [n_K, 3]
 
     def _device_eval(self, params, aux, batches):
+        # The fused path's table permutation is batch-independent —
+        # compute it ONCE per eval, outside the scan (XLA does not
+        # hoist the full-catalog gather out of the loop body itself).
+        pre = (ranking.fused_precompute(self.model, params, aux)
+               if self.mode == "full_fused" else None)
+
         def step(acc, b):
             if self.candidate_eval:
                 rec = self._rank_candidates(params, aux, b["u"], b["cand"],
@@ -243,10 +249,10 @@ class Evaluator:
             elif self.mode == "full_fused":
                 if "bits" in b:
                     rec = self._rank_full_fused(params, aux, b["u"],
-                                                b["bits"])
+                                                b["bits"], pre=pre)
                 else:
                     rec = self._rank_full_fused(params, aux, b["u"],
-                                                None, b["rows"])
+                                                None, b["rows"], pre=pre)
             elif self.mode == "full_sharded":
                 rec = self._rank_full_sharded(params, aux, b["u"], b["rows"])
             elif self.mode == "full_stream":
@@ -276,6 +282,8 @@ class Evaluator:
         dd = self.dd
         t = len(dd.test_users)
         b = self._batches
+        pre = (ranking.fused_precompute(self.model, params, aux)
+               if self.mode == "full_fused" else None)
         outs = []
         for bidx in range(b["u"].shape[0]):
             if self.candidate_eval:
@@ -284,10 +292,10 @@ class Evaluator:
             elif self.mode == "full_fused":
                 if "bits" in b:
                     items = self._rank_fn(params, aux, b["u"][bidx],
-                                          b["bits"][bidx])
+                                          b["bits"][bidx], pre=pre)
                 else:
                     items = self._rank_fn(params, aux, b["u"][bidx],
-                                          None, b["rows"][bidx])
+                                          None, b["rows"][bidx], pre=pre)
             elif self.mode == "full_stream" and self._stream_bits:
                 items = self._rank_fn(params, aux, b["u"][bidx],
                                       None, b["bits"][bidx])

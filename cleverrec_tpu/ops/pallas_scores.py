@@ -59,15 +59,38 @@ def _column_permutation(i_padded: int) -> np.ndarray:
     return (base + 32 * (local % _WORDS) + local // _WORDS).astype(np.int32)
 
 
-@functools.partial(jax.jit, static_argnames=("block_b", "interpret"))
+def permute_item_table(q_table: jax.Array) -> tuple[jax.Array, jax.Array]:
+    """Pre-permute the item table into the kernel's column order.
+
+    Returns (q_perm [I_padded, d], item_map [I_padded]).  The gather is
+    a full-catalog row permutation (~2.7ms at 320k rows on v5e) —
+    batch-INDEPENDENT, so callers evaluating many batches against one
+    params snapshot must do it once and pass ``q_perm``/``item_map`` to
+    ``fused_dot_topk_scores`` (XLA does not reliably hoist the gather
+    out of a scanned eval body on its own)."""
+    i, _ = q_table.shape
+    i_pad = (-i) % BLOCK_I
+    if i_pad:
+        q_table = jnp.pad(q_table, ((0, i_pad), (0, 0)))
+    item_map = jnp.asarray(_column_permutation(i + i_pad))
+    return q_table[item_map], item_map
+
+
+@functools.partial(jax.jit, static_argnames=("block_b", "interpret",
+                                             "pre_permuted", "item_nums"))
 def fused_dot_topk_scores(u_vecs: jax.Array, q_table: jax.Array,
                           seen_bits: jax.Array, block_b: int = 256,
-                          interpret: bool = False
+                          interpret: bool = False,
+                          pre_permuted: bool = False,
+                          item_nums: int | None = None
                           ) -> tuple[jax.Array, jax.Array]:
     """Masked full-catalog scores for ranking.
 
-    u_vecs: [B, d]; q_table: [I, d]; seen_bits: [B, ceil(I/32)] uint32
-    (per-user packed seen bitmaps, rows already gathered for the batch).
+    u_vecs: [B, d]; q_table: [I, d] (or the [I_padded, d] output of
+    ``permute_item_table`` with ``pre_permuted=True`` and the REAL
+    catalog size in ``item_nums`` — the once-per-params path);
+    seen_bits: [B, ceil(I/32)] uint32 (per-user packed seen bitmaps,
+    rows already gathered for the batch).
 
     Returns (scores [B, I_padded], item_map [I_padded]): scores are in
     permuted column order; ``item_map[col]`` is the item id scored there
@@ -79,16 +102,20 @@ def fused_dot_topk_scores(u_vecs: jax.Array, q_table: jax.Array,
     from jax.experimental.pallas import tpu as pltpu
 
     b, d = u_vecs.shape
-    i, _ = q_table.shape
-    grid = (cdiv(b, block_b), cdiv(i, BLOCK_I))
+    if pre_permuted:
+        assert item_nums is not None, "pre_permuted needs item_nums"
+        i_padded = q_table.shape[0]
+        i = item_nums
+    else:
+        i = q_table.shape[0]
+        i_padded = i + ((-i) % BLOCK_I)
+    grid = (cdiv(b, block_b), i_padded // BLOCK_I)
     b_pad = grid[0] * block_b - b
-    i_pad = grid[1] * BLOCK_I - i
+    i_pad = i_padded - i
     if b_pad:
         u_vecs = jnp.pad(u_vecs, ((0, b_pad), (0, 0)))
         seen_bits = jnp.pad(seen_bits, ((0, b_pad), (0, 0)))
-    if i_pad:
-        q_table = jnp.pad(q_table, ((0, i_pad), (0, 0)))
-    words_total = (i + i_pad) // 32
+    words_total = i_padded // 32
     if seen_bits.shape[1] < words_total:
         seen_bits = jnp.pad(seen_bits,
                             ((0, 0), (0, words_total - seen_bits.shape[1])))
@@ -100,8 +127,13 @@ def fused_dot_topk_scores(u_vecs: jax.Array, q_table: jax.Array,
                          np.uint32(1) << (pad_ids & 31).astype(np.uint32))
         seen_bits = seen_bits | jnp.asarray(pad_mask)[None, :]
 
-    item_map = _column_permutation(i + i_pad)
-    q_perm = q_table[jnp.asarray(item_map)]
+    if pre_permuted:
+        q_perm = q_table
+        item_map = _column_permutation(i_padded)
+    else:
+        item_map = _column_permutation(i_padded)
+        q_perm = jnp.pad(q_table, ((0, i_pad), (0, 0)))[
+            jnp.asarray(item_map)]
 
     out = pl.pallas_call(
         functools.partial(_kernel, interpret=interpret),

@@ -162,11 +162,38 @@ def rank_stream(model, params, aux, u, rows, item_nums: int, k: int,
                           approx=approx)
 
 
+def fused_precompute(model, params, aux):
+    """Batch-INDEPENDENT half of the fused ranking path: the item table
+    permuted into the kernel's column order (+ permuted bias).  The
+    permutation is a full-catalog row gather (~2.7ms at 320k rows) that
+    XLA does not hoist out of a scanned eval body — callers evaluating
+    many batches against one params snapshot compute this ONCE and pass
+    it to ``rank_fused`` as ``pre``."""
+    from cleverrec_tpu.ops.pallas_scores import permute_item_table
+    _, table, bias = model.dot_decomposition(
+        params, jnp.zeros((1,), jnp.int32), aux)
+    if model.cml_like:
+        bias = None if bias is None else -bias
+    q_perm, item_map = permute_item_table(table)
+    bias_perm = (None if bias is None else
+                 jnp.pad(bias, (0, item_map.shape[0]
+                                - bias.shape[0]))[item_map])
+    # Arrays only (no int leaf): pre may cross a jit boundary as an
+    # argument; the static catalog size comes from model.meta instead.
+    return q_perm, bias_perm, item_map
+
+
 def rank_fused(model, params, aux, u, seen_bits, k: int,
-               interpret: bool = False):
+               interpret: bool = False, pre=None):
     """Pallas path for dot-decomposable models: one fused
     score+bitmap-mask kernel, then top_k.  ``seen_bits``: [B, W] packed
-    uint32 seen bitmaps (pass zeros for unfiltered retrieval)."""
+    uint32 seen bitmaps (pass zeros for unfiltered retrieval).
+    ``pre``: output of ``fused_precompute`` — skips the per-call table
+    permutation (hot for multi-batch eval / serving).
+
+    Plain lax.top_k on purpose: on the kernel's freshly-written output
+    XLA's TopK runs ~3ms/[1024, 320k] on v5e — measured FASTER there
+    than the grouped_topk pipeline that wins on XLA-matmul scores."""
     from cleverrec_tpu.ops.pallas_scores import fused_dot_topk_scores
     u_vecs, table, bias = model.dot_decomposition(params, u, aux)
     if model.cml_like:
@@ -174,18 +201,24 @@ def rank_fused(model, params, aux, u, seen_bits, k: int,
         # stays the worst score; never negate after masking.
         u_vecs = -u_vecs
         bias = None if bias is None else -bias
-    scores, item_map = fused_dot_topk_scores(u_vecs, table, seen_bits,
-                                             interpret=interpret)
-    if bias is not None:
+    if pre is not None:
+        q_perm, bias_perm, item_map = pre
+        scores, _ = fused_dot_topk_scores(u_vecs, q_perm, seen_bits,
+                                          interpret=interpret,
+                                          pre_permuted=True,
+                                          item_nums=model.meta.item_nums)
+    else:
+        scores, item_map = fused_dot_topk_scores(u_vecs, table, seen_bits,
+                                                 interpret=interpret)
+        bias_perm = (None if bias is None else
+                     jnp.pad(bias, (0, item_map.shape[0]
+                                    - bias.shape[0]))[item_map])
+    if bias_perm is not None:
         # Bias after masking keeps masked slots at -3e38 (bias is
         # bounded); ranking unaffected.  Scores are in the kernel's
-        # permuted column order, so permute the bias to match.
-        scores = scores + jnp.pad(bias, (0, item_map.shape[0]
-                                         - bias.shape[0]))[item_map][None, :]
-    # Grouped exact top-k (the column permutation is just another
-    # partition into 128-column groups — exactness is order-agnostic);
-    # it also normalizes the kernel's finite -3e38 sentinel to -inf.
-    from cleverrec_tpu.ops.topk import grouped_topk
-    v, idx = grouped_topk(scores, k)
-    v = jnp.where(v > -1e37, v, -jnp.inf)
-    return v, item_map[jnp.minimum(idx, item_map.shape[0] - 1)]
+        # permuted column order, so the bias was permuted to match.
+        scores = scores + bias_perm[None, :]
+    v, idx = jax.lax.top_k(scores, k)
+    # Normalize the kernel's finite -3e38 sentinel to the module-wide
+    # -inf contract.
+    return jnp.where(v > -1e37, v, -jnp.inf), item_map[idx]

@@ -134,7 +134,7 @@ def build_retrieval_fn(model, params, arrays, device_data, k: int = 10,
     elif backend == "fused":
         interpret = jax.default_backend() != "tpu"
 
-        def impl(params, arrays, tbl, u):
+        def impl(params, arrays, tbl, u, pre):
             if filter_seen:
                 bits = bits_of(tbl, u)
             else:
@@ -144,7 +144,8 @@ def build_retrieval_fn(model, params, arrays, device_data, k: int = 10,
                 zero = jnp.zeros((1, (item_nums + 31) // 32), jnp.uint32)
                 bits = zero[jnp.zeros_like(u)]
             v, items = ranking.rank_fused(model, params, arrays, u,
-                                          bits, k, interpret=interpret)
+                                          bits, k, interpret=interpret,
+                                          pre=pre)
             return pad_ids(v, items)
 
     elif backend == "stream":
@@ -173,8 +174,16 @@ def build_retrieval_fn(model, params, arrays, device_data, k: int = 10,
     arrays = jax.tree_util.tree_map(jnp.asarray, arrays)
     jitted = jax.jit(impl)
 
-    def retrieve(u):
-        return jitted(params, arrays, seen_tbl, u)
+    if backend == "fused":
+        # Batch-independent half of the fused path (the kernel-order
+        # table permutation): once per retrieval fn, not per call.
+        pre = ranking.fused_precompute(model, params, arrays)
+
+        def retrieve(u):
+            return jitted(params, arrays, seen_tbl, u, pre)
+    else:
+        def retrieve(u):
+            return jitted(params, arrays, seen_tbl, u)
 
     return retrieve
 
