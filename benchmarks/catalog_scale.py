@@ -169,6 +169,10 @@ def main():
         serve_approx_per = serve_marginal(serving.build_retrieval_fn(
             model, params, tr.arrays, tr.dd, k=10, backend="stream",
             approx=True))
+        # Fused-kernel serving (the dense [B, I_pad] score matrix is
+        # B*I_pad*4 bytes per call — 5.2GB at bq=4096 x 320k, in HBM).
+        serve_fused_per = serve_marginal(serving.build_retrieval_fn(
+            model, params, tr.arrays, tr.dd, k=10, backend="fused"))
 
         rec = {"dataset": name, "users": data.user_nums,
                "items": data.item_nums, "pairs": int(tr.n_pairs),
@@ -178,7 +182,8 @@ def main():
                "eval_users_per_s": round(n_test / eval_per, 1),
                "serve_stream_users_per_s": round(bq / serve_per, 1),
                "serve_stream_approx_users_per_s":
-                   round(bq / serve_approx_per, 1)}
+                   round(bq / serve_approx_per, 1),
+               "serve_fused_users_per_s": round(bq / serve_fused_per, 1)}
         with open(OUT, "a") as f:
             f.write(json.dumps(rec) + "\n")
         print(json.dumps(rec))

@@ -34,13 +34,18 @@ BLOCK_I = 4096  # 128 bitmap words per tile (Mosaic lane-tiling constraint)
 _WORDS = BLOCK_I // 32  # 128
 
 
-def _kernel(u_ref, q_ref, bits_ref, out_ref, *, interpret: bool):
-    """One tile: scores[:, c] = u . q_perm[c], masked by bit test
-    word = c % 128, bit = c // 128 of the user's seen bitmap."""
+def _kernel(u_ref, q_ref, bits_ref, bias_ref, out_ref, tmax_ref, *,
+            interpret: bool):
+    """One tile: scores[:, c] = u . q_perm[c] + bias_perm[c], masked by
+    bit test word = c % 128, bit = c // 128 of the user's seen bitmap;
+    also emits the tile's per-row max (free here in VMEM — feeds the
+    exact tile-pruned top-k, which otherwise pays a full [B, I] HBM
+    re-read to reduce)."""
     from jax.experimental.pallas import tpu as pltpu
 
     scores = jnp.dot(u_ref[...], q_ref[...].T,
                      preferred_element_type=jnp.float32)   # [bm, 4096]
+    scores = scores + bias_ref[...]                        # [1, 4096]
     words = bits_ref[...]                                  # [bm, 128]
     if interpret:
         rep = jnp.concatenate([words] * 32, axis=1)        # tile semantics
@@ -48,7 +53,17 @@ def _kernel(u_ref, q_ref, bits_ref, out_ref, *, interpret: bool):
         rep = pltpu.repeat(words, 32, axis=1)              # [bm, 4096]
     col = jax.lax.broadcasted_iota(jnp.uint32, scores.shape, 1)
     seen = ((rep >> (col >> 7)) & 1) == 1
-    out_ref[...] = jnp.where(seen, NEG, scores)
+    masked = jnp.where(seen, NEG, scores)
+    out_ref[...] = masked
+    # tmax_ref holds the user-block's WHOLE [bm, n_tiles] row (Mosaic
+    # rejects 1-lane blocks AND dynamic single-lane stores); the block
+    # is revisited across the item sweep — each step deposits its
+    # column via a static lane-mask select, one write-back per bi.
+    import jax.experimental.pallas as pl
+    ii = pl.program_id(1)
+    m = jnp.max(masked, axis=1, keepdims=True)             # [bm, 1]
+    lane = jax.lax.broadcasted_iota(jnp.int32, tmax_ref.shape, 1)
+    tmax_ref[...] = jnp.where(lane == ii, m, tmax_ref[...])
 
 
 def _column_permutation(i_padded: int) -> np.ndarray:
@@ -82,19 +97,24 @@ def fused_dot_topk_scores(u_vecs: jax.Array, q_table: jax.Array,
                           seen_bits: jax.Array, block_b: int = 256,
                           interpret: bool = False,
                           pre_permuted: bool = False,
-                          item_nums: int | None = None
-                          ) -> tuple[jax.Array, jax.Array]:
+                          item_nums: int | None = None,
+                          bias: jax.Array | None = None
+                          ) -> tuple[jax.Array, jax.Array, jax.Array]:
     """Masked full-catalog scores for ranking.
 
     u_vecs: [B, d]; q_table: [I, d] (or the [I_padded, d] output of
     ``permute_item_table`` with ``pre_permuted=True`` and the REAL
     catalog size in ``item_nums`` — the once-per-params path);
     seen_bits: [B, ceil(I/32)] uint32 (per-user packed seen bitmaps,
-    rows already gathered for the batch).
+    rows already gathered for the batch); bias: optional per-item score
+    offset in the SAME order as q_table (i.e. already permuted when
+    ``pre_permuted``) — added in-kernel before masking.
 
-    Returns (scores [B, I_padded], item_map [I_padded]): scores are in
-    permuted column order; ``item_map[col]`` is the item id scored there
-    (padded columns map to ids >= I and carry the NEG sentinel).
+    Returns (scores [B, I_padded], tile_max [B, I_padded/4096],
+    item_map [I_padded]): scores are in permuted column order;
+    ``item_map[col]`` is the item id scored there (padded columns map
+    to ids >= I and carry the NEG sentinel); ``tile_max[b, t]`` is the
+    max of scores[b, 4096t:4096(t+1)] (feeds exact tile-pruned top-k).
     Rank the scores as-is and translate the top-k indices:
         v, idx = lax.top_k(scores, k); items = item_map[idx]
     """
@@ -127,17 +147,26 @@ def fused_dot_topk_scores(u_vecs: jax.Array, q_table: jax.Array,
                          np.uint32(1) << (pad_ids & 31).astype(np.uint32))
         seen_bits = seen_bits | jnp.asarray(pad_mask)[None, :]
 
+    item_map = _column_permutation(i_padded)
     if pre_permuted:
         q_perm = q_table
-        item_map = _column_permutation(i_padded)
+        bias_perm = bias                      # caller permuted it already
     else:
-        item_map = _column_permutation(i_padded)
         q_perm = jnp.pad(q_table, ((0, i_pad), (0, 0)))[
             jnp.asarray(item_map)]
+        bias_perm = (None if bias is None else
+                     jnp.pad(bias, (0, i_padded
+                                    - bias.shape[0]))[jnp.asarray(item_map)])
+    if bias_perm is None:
+        bias_perm = jnp.zeros((i_padded,), jnp.float32)
 
-    out = pl.pallas_call(
+    out, tmax = pl.pallas_call(
         functools.partial(_kernel, interpret=interpret),
-        out_shape=jax.ShapeDtypeStruct((b + b_pad, i + i_pad), jnp.float32),
+        out_shape=(
+            jax.ShapeDtypeStruct((b + b_pad, i_padded), jnp.float32),
+            jax.ShapeDtypeStruct((b + b_pad, i_padded // BLOCK_I),
+                                 jnp.float32),
+        ),
         grid=grid,
         in_specs=[
             pl.BlockSpec((block_b, d), lambda bi, ii: (bi, 0),
@@ -146,10 +175,16 @@ def fused_dot_topk_scores(u_vecs: jax.Array, q_table: jax.Array,
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((block_b, _WORDS), lambda bi, ii: (bi, ii),
                          memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, BLOCK_I), lambda bi, ii: (0, ii),
+                         memory_space=pltpu.VMEM),
         ],
-        out_specs=pl.BlockSpec((block_b, BLOCK_I),
-                               lambda bi, ii: (bi, ii),
-                               memory_space=pltpu.VMEM),
+        out_specs=(
+            pl.BlockSpec((block_b, BLOCK_I), lambda bi, ii: (bi, ii),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((block_b, i_padded // BLOCK_I),
+                         lambda bi, ii: (bi, 0),
+                         memory_space=pltpu.VMEM),
+        ),
         interpret=interpret,
-    )(u_vecs, q_perm, seen_bits)
-    return out[:b], jnp.asarray(item_map)
+    )(u_vecs, q_perm, seen_bits, bias_perm[None, :])
+    return out[:b], tmax[:b], jnp.asarray(item_map)

@@ -27,8 +27,13 @@ import jax.numpy as jnp
 from cleverrec_tpu import ranking
 
 # Catalogs above this use the streaming backend by default: the dense
-# AND fused paths materialize [B, I_pad] scores per call.
-_STREAM_THRESHOLD = 32768
+# AND fused paths materialize [B, I_pad] scores per call — at 131072
+# items a 4096-user call holds a 2.1GB score matrix, comfortably within
+# HBM; the fused kernel measured 1.57x the exact stream there
+# (CATALOG_SCALE.jsonl serve_fused vs serve_stream).  Past-budget bigger
+# catalogs can still pass backend="fused" explicitly when their batch
+# size keeps B * I_pad * 4 in memory.
+_STREAM_THRESHOLD = 131072
 
 
 def _pick_backend(model, device_data, filter_seen: bool,

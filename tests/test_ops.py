@@ -57,7 +57,7 @@ def test_fused_dot_kernel_matches_reference():
         seen[r, s] = True
         np.bitwise_or.at(bits[r], s >> 5, np.uint32(1) << (s & 31))
 
-    got_perm, item_map = fused_dot_topk_scores(
+    got_perm, tmax, item_map = fused_dot_topk_scores(
         jnp.asarray(u), jnp.asarray(q), jnp.asarray(bits), block_b=8,
         interpret=True)
     # Undo the kernel's column permutation, drop padded columns.
@@ -68,6 +68,38 @@ def test_fused_dot_kernel_matches_reference():
     want = u @ q.T
     want[seen] = -3.0e38
     np.testing.assert_allclose(got, want, rtol=2e-5, atol=2e-5)
+    # The free per-tile row max == the max of the PERMUTED tile slice.
+    np.testing.assert_allclose(np.asarray(tmax)[:, 0],
+                               np.asarray(got_perm).max(axis=1),
+                               rtol=1e-6)
+
+
+def test_fused_kernel_bias_and_tile_max():
+    """In-kernel bias addition (before masking) and per-tile maxes
+    across multiple item tiles."""
+    rng = np.random.default_rng(9)
+    b, i, d = 8, 2 * 4096 + 100, 16     # 3 tiles after padding
+    u = rng.normal(size=(b, d)).astype(np.float32)
+    q = rng.normal(size=(i, d)).astype(np.float32)
+    bias = rng.normal(size=(i,)).astype(np.float32)
+    words = -(-i // 32)
+    bits = np.zeros((b, words), np.uint32)
+    seen = np.zeros((b, i), bool)
+    for r in range(b):
+        s = rng.choice(i, size=40, replace=False)
+        seen[r, s] = True
+        np.bitwise_or.at(bits[r], s >> 5, np.uint32(1) << (s & 31))
+    got_perm, tmax, item_map = fused_dot_topk_scores(
+        jnp.asarray(u), jnp.asarray(q), jnp.asarray(bits), block_b=8,
+        interpret=True, bias=jnp.asarray(bias))
+    imap = np.asarray(item_map)
+    got = np.empty((b, imap.shape[0]), np.float32)
+    got[:, imap] = np.asarray(got_perm)
+    want = u @ q.T + bias[None, :]
+    want[seen] = -3.0e38
+    np.testing.assert_allclose(got[:, :i], want, rtol=2e-5, atol=2e-5)
+    g3 = np.asarray(got_perm).reshape(b, -1, 4096)
+    np.testing.assert_allclose(np.asarray(tmax), g3.max(axis=2), rtol=1e-6)
 
 
 def test_fused_kernel_topk_excludes_seen():
@@ -82,9 +114,10 @@ def test_fused_kernel_topk_excludes_seen():
         s = rng.choice(i, size=30, replace=False)
         seen_sets.append(set(int(x) for x in s))
         np.bitwise_or.at(bits[r], s >> 5, np.uint32(1) << (s & 31))
-    scores, item_map = fused_dot_topk_scores(jnp.asarray(u), jnp.asarray(q),
-                                             jnp.asarray(bits), block_b=4,
-                                             interpret=True)
+    scores, _, item_map = fused_dot_topk_scores(jnp.asarray(u),
+                                                jnp.asarray(q),
+                                                jnp.asarray(bits), block_b=4,
+                                                interpret=True)
     _, idx = jax.lax.top_k(scores, 10)
     top = item_map[idx]
     for r in range(b):
@@ -413,3 +446,55 @@ def test_fused_eval_device_bitmaps_matches_full(tmp_path):
     r_fused = ev.evaluate(params, t_full.arrays)
     for k in r_full:
         assert r_fused[k] == pytest.approx(r_full[k], abs=1e-6), k
+
+
+def test_rank_fused_tile_pruned_exact():
+    """Multi-tile catalogs route through the tile-pruned selection
+    (top-k over in-kernel tile maxes + contiguous tile rescue) and must
+    match a dense masked top_k oracle exactly, bias included."""
+    from cleverrec_tpu import ranking
+
+    rng = np.random.default_rng(10)
+    b, i, d, k = 4, 8 * 4096, 8, 3      # 8 tiles >= 2k -> pruned path
+    params = {"U": jnp.asarray(rng.normal(size=(6, d)).astype(np.float32)),
+              "Q": jnp.asarray(rng.normal(size=(i, d)).astype(np.float32)),
+              "b": jnp.asarray(rng.normal(size=(i,)).astype(np.float32))}
+
+    class Meta:
+        item_nums = i
+
+    class Stub:
+        cml_like = False
+        meta = Meta()
+
+        def dot_decomposition(self, p, u, aux):
+            return p["U"][u], p["Q"], p["b"]
+
+    u = jnp.asarray([0, 2, 3, 5], jnp.int32)
+    words = -(-i // 32)
+    bits = np.zeros((b, words), np.uint32)
+    seen = np.zeros((b, i), bool)
+    for r in range(b):
+        s = rng.choice(i, size=100, replace=False)
+        seen[r, s] = True
+        np.bitwise_or.at(bits[r], s >> 5, np.uint32(1) << (s & 31))
+    model = Stub()
+    v, items = ranking.rank_fused(model, params, None, u,
+                                  jnp.asarray(bits), k, interpret=True)
+    dense = np.asarray(params["U"])[np.asarray(u)] @ np.asarray(
+        params["Q"]).T + np.asarray(params["b"])[None, :]
+    dense[seen] = -np.inf
+    wv, wi = jax.lax.top_k(jnp.asarray(dense), k)
+    np.testing.assert_allclose(np.asarray(v), np.asarray(wv),
+                               rtol=2e-5, atol=2e-5)
+    # Scores are float-random: no ties, so the item sets match too.
+    np.testing.assert_array_equal(np.sort(np.asarray(items), axis=1),
+                                  np.sort(np.asarray(wi), axis=1))
+
+    # The pre(computed) path must produce the identical ranking.
+    pre = ranking.fused_precompute(model, params, None)
+    v2, items2 = ranking.rank_fused(model, params, None, u,
+                                    jnp.asarray(bits), k, interpret=True,
+                                    pre=pre)
+    np.testing.assert_array_equal(np.asarray(v), np.asarray(v2))
+    np.testing.assert_array_equal(np.asarray(items), np.asarray(items2))
