@@ -97,16 +97,26 @@ class FFM(FM):
 
     def predict(self, params, x_idx, x_val):
         wi = params["wi"][x_idx] * x_val                   # [B, F]
-        v = params["vif"][x_idx]                          # [B, F, fields, d]
         out = params["w0"] + jnp.sum(wi, axis=1)
-        nf = x_idx.shape[1]
-        for a in range(nf):
-            for b in range(a + 1, nf):
-                fa = min(a, self.n_fields - 1)
-                fb = min(b, self.n_fields - 1)
-                inter = jnp.sum(v[:, a, fb, :] * v[:, b, fa, :], axis=1)
-                out = out + inter * x_val[:, a] * x_val[:, b]
-        return out
+        nf_pos = x_idx.shape[1]
+        # Each feature's vectors scaled by its value once; pair terms then
+        # carry x_a * x_b automatically.
+        v = params["vif"][x_idx] * x_val[:, :, None, None]  # [B,F,fields,d]
+        # libFM input: a column's field is its position, clamped to the
+        # last field.  Grouping positions by field with a static one-hot
+        # turns the O(F^2) Python pair loop into one MXU contraction:
+        #   sum_{a<b} <v_a[f(b)], v_b[f(a)]>
+        #     = (sum_{g,h} <T[g,h], T[h,g]> - sum_a |v_a[f(a)]|^2) / 2
+        # where T[g,h] = sum_{a: f(a)=g} v_a[h].  HLO cost grows O(F),
+        # not O(F^2) (tests/test_rating.py pins this against the pair
+        # loop on a toy batch).
+        f_pos = np.minimum(np.arange(nf_pos), self.n_fields - 1)
+        onehot = jnp.asarray(np.eye(self.n_fields, dtype=np.float32)[f_pos])
+        t = jnp.einsum("ag,bahd->bghd", onehot, v)
+        full = jnp.einsum("bghd,bhgd->b", t, t)
+        v_diag = v[:, jnp.arange(nf_pos), jnp.asarray(f_pos), :]  # [B,F,d]
+        diag = jnp.sum(v_diag * v_diag, axis=(1, 2))
+        return out + 0.5 * (full - diag)
 
 
 _RATING_MODELS = {"FM": FM, "FFM": FFM}

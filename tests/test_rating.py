@@ -1,5 +1,7 @@
 """FM rating pipeline: libFM loading + training convergence."""
 
+import jax
+import jax.numpy as jnp
 import numpy as np
 import pytest
 
@@ -67,6 +69,40 @@ def test_ffm_learns(libfm_dataset):
     from cleverrec_tpu.rating import run_rating
     best = run_rating(cfg)
     assert best["rmse"] < 0.6, best
+
+
+def test_ffm_predict_matches_pair_loop(libfm_dataset):
+    """FFM's field-grouped einsum == the O(F^2) pair-loop definition
+    (sum_{a<b} <v[x_a, field_b], v[x_b, field_a]> x_a x_b) on a toy
+    batch with real-valued features and more positions than fields."""
+    from cleverrec_tpu.rating import FFM
+    cfg = _cfg(libfm_dataset).with_overrides(recommender="FFM")
+    rng = np.random.default_rng(7)
+    n_feat, n_fields, n_pos, bsz, d = 12, 3, 5, 6, 4
+    model = FFM(cfg, n_feat, n_fields)
+    model.embed_size = d
+    params = model.init(jax.random.PRNGKey(0))
+    params["vif"] = jnp.asarray(
+        rng.normal(size=params["vif"].shape).astype(np.float32))
+    params["wi"] = jnp.asarray(
+        rng.normal(size=params["wi"].shape).astype(np.float32))
+    x_idx = jnp.asarray(rng.integers(0, n_feat, (bsz, n_pos)), jnp.int32)
+    x_val = jnp.asarray(rng.normal(size=(bsz, n_pos)).astype(np.float32))
+
+    # Reference: the literal pair loop the vectorized form replaced.
+    wi = params["wi"][x_idx] * x_val
+    v = params["vif"][x_idx]
+    want = params["w0"] + jnp.sum(wi, axis=1)
+    for a in range(n_pos):
+        for b in range(a + 1, n_pos):
+            fa = min(a, n_fields - 1)
+            fb = min(b, n_fields - 1)
+            inter = jnp.sum(v[:, a, fb, :] * v[:, b, fa, :], axis=1)
+            want = want + inter * x_val[:, a] * x_val[:, b]
+
+    got = model.predict(params, x_idx, x_val)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                               rtol=2e-5, atol=2e-5)
 
 
 def test_fm_convert_roundtrip(tmp_path):
