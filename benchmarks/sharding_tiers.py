@@ -35,7 +35,8 @@ def record(rec):
     print(json.dumps(rec))
 
 
-def build_trainer(mesh=None, exchange="gspmd", dataset="ml-100k"):
+def build_trainer(mesh=None, exchange="gspmd", dataset="ml-100k",
+                  fused=False):
     from cleverrec_tpu.config import Config
     from cleverrec_tpu.data import load_ranking_data
     from cleverrec_tpu.models import make_model
@@ -54,9 +55,10 @@ def build_trainer(mesh=None, exchange="gspmd", dataset="ml-100k"):
         "is_pairwise": "True", "loss_func": "bpr", "init_method": "normal",
         "stddev": "0.01", "seed": "42",
         "parallel.exchange": exchange,
-        # The single-chip fused kernel is mesh-ineligible anyway; disable
-        # everywhere so all tiers compare the same scan program.
-        "train.fused_kernel": "False",
+        # fused=False: compare the same scan program across tiers.
+        # fused=True: the mesh-DP fused tier (round-3 verdict item 1) —
+        # the flagship whole-epoch kernel must survive a mesh.
+        "train.fused_kernel": str(fused),
     })
     data = load_ranking_data(cfg)
     model = make_model(cfg, DataMeta(data.user_nums, data.item_nums))
@@ -96,6 +98,23 @@ def hlo_mode():
                     "total_collectives": sum(counts.values()),
                     "hlo_instructions": text.count(" = ")})
 
+    # Fused mesh-DP tier at (8,1): per-epoch local Adam should compile to
+    # a constant handful of all-reduces (the delta averages + loss psum),
+    # independent of step count — nothing per-step crosses chips.
+    mesh = make_mesh(8, 1)
+    tr = build_trainer(mesh=mesh, fused=True)
+    assert tr._fused_plan is not None, "fused tier forfeited on (8,1)"
+    params, opt_state = tr.init_state()
+    key = jax.random.PRNGKey(0)
+    compiled = (jax.jit(tr._epoch_body)
+                .lower(params, opt_state, key, tr.arrays).compile())
+    text = compiled.as_text()
+    counts = count_collectives(text)
+    record({"mode": "hlo-fused", "mesh": [8, 1], "exchange": "gspmd",
+            "collectives": counts,
+            "total_collectives": sum(counts.values()),
+            "hlo_instructions": text.count(" = ")})
+
 
 def chip_mode():
     from cleverrec_tpu.parallel.mesh import make_mesh
@@ -122,6 +141,17 @@ def chip_mode():
         tr = build_trainer(mesh=mesh, exchange=exchange)
         per_epoch = marginal_epoch(tr)
         record({"mode": "chip", "mesh": name, "exchange": exchange,
+                "epoch_ms": round(per_epoch * 1e3, 2),
+                "examples_per_s": round(tr._epoch_rows / per_epoch, 1)})
+
+    # The FUSED tier under a mesh (round-3 verdict item 1): a 1-device
+    # mesh must not forfeit the flagship whole-epoch kernel — done =
+    # mesh(1,1) fused within ~5% of the unmeshed fused epoch.
+    for name, mesh in [("none", None), ("mesh(1,1)", make_mesh(1, 1))]:
+        tr = build_trainer(mesh=mesh, fused=True)
+        assert tr._fused_plan is not None, f"fused tier forfeited ({name})"
+        per_epoch = marginal_epoch(tr)
+        record({"mode": "chip-fused", "mesh": name, "exchange": "gspmd",
                 "epoch_ms": round(per_epoch * 1e3, 2),
                 "examples_per_s": round(tr._epoch_rows / per_epoch, 1)})
 

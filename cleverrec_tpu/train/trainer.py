@@ -15,6 +15,7 @@ loss averaged over the number of batches (RankingRecommender.py:61).
 from __future__ import annotations
 
 import functools
+import math
 import time
 from typing import Any
 
@@ -198,15 +199,34 @@ class Trainer:
 
     def _fused_epoch_eligible(self) -> bool:
         """The VMEM-resident Pallas epochs apply to plain MF models with
-        Adam, single chip, tables small enough to sit in VMEM alongside
-        their Adam moments: ``fused_protocol`` 'pairwise_bpr' (BPR
-        family) or 'pointwise_bce' (GMF family).  ``train.fused_kernel``
-        overrides either way (default: on for the TPU backend)."""
+        Adam and tables small enough to sit in VMEM alongside their Adam
+        moments: ``fused_protocol`` 'pairwise_bpr' (BPR family) or
+        'pointwise_bce' (GMF family).  ``train.fused_kernel`` overrides
+        either way (default: on for the TPU backend).
+
+        Meshes: a pure DATA-PARALLEL mesh (model axis size 1) keeps the
+        fused tier.  Each chip holds a full table replica and runs the
+        whole-epoch kernel over its 1/D share of the epoch's steps; the
+        chips' parameter/moment deltas are averaged per epoch (local
+        Adam — see ``_build_fused_epoch_fn``).  A 1-device mesh runs the
+        unmeshed program unchanged (bit-identical numerics).  Row-sharded
+        tables (model axis > 1) and the explicit-exchange tier need the
+        scan path."""
         proto = getattr(self.model, "fused_protocol", None)
         if proto is None:
             return False
-        if self.mesh is not None or self.cfg.optimizer != "Adam":
+        if self.cfg.optimizer != "Adam":
             return False
+        mesh_dp = 1
+        if self.mesh is not None and math.prod(self.mesh.shape.values()) > 1:
+            if self.mesh.shape.get("model", 1) != 1:
+                return False
+            if self.cfg.str("parallel.exchange", "gspmd") == "explicit":
+                return False
+            if not self.cfg.bool("train.fused_mesh_dp", True):
+                return False
+            mesh_dp = self.mesh.shape.get("data", 1)
+        self._fused_mesh_dp = mesh_dp
         # The pairwise kernel hard-codes the -log sigmoid BPR objective;
         # any other pairwise loss (e.g. hinge) must take the scan path.
         # (The pointwise kernel's sigmoid-xent is GMF's only objective;
@@ -242,7 +262,7 @@ class Trainer:
             self._fused_grouped_plan = None
             self._fused_stream_plan = None
             self._fused_plan = None
-            if self.cfg.bool("train.fused_stream", False):
+            if self.cfg.bool("train.fused_stream", False) and mesh_dp == 1:
                 # Opt-in streaming (testing/benchmark hook) — takes
                 # precedence over the resident plan so its numerics can
                 # be pinned at any catalog size.
@@ -278,14 +298,16 @@ class Trainer:
             self._fused_grouped_plan = None
             self._fused_plan = plan_fused_mlp(*dims)
             force_g = self.cfg.int("train.fused_groups", 0)
-            if force_g > 1:
+            if force_g > 1 and mesh_dp == 1:
                 self._fused_grouped_plan = plan_fused_mlp_grouped(
                     *dims, force_g=force_g)
                 if self._fused_grouped_plan is not None:
                     return True
             if self._fused_plan is not None:
                 return True
-            if self.cfg.bool("train.fused_grouped", on_tpu):
+            # The grouped tier's sequential block-coordinate schedule has
+            # no DP decomposition — multi-chip overflow takes scan.
+            if self.cfg.bool("train.fused_grouped", on_tpu) and mesh_dp == 1:
                 self._fused_grouped_plan = plan_fused_mlp_grouped(*dims)
             if self._fused_grouped_plan is not None:
                 if self.logger:
@@ -324,7 +346,7 @@ class Trainer:
         # train.fused_groups > 1 forces the grouped path (testing and
         # tuning hook); 0 = auto (grouped only on VMEM overflow).
         force_g = self.cfg.int("train.fused_groups", 0)
-        if force_g > 1:
+        if force_g > 1 and mesh_dp == 1:
             self._fused_grouped_plan = plan_fused_grouped(
                 self.dd.user_nums, self.dd.item_nums,
                 self.model.embed_size, self.batch_size,
@@ -347,7 +369,7 @@ class Trainer:
         # during its own group's steps; items stay fully resident and
         # dense; CML's covariance regularizer spans the frozen rows via
         # closed-form partial sums).  Opt-out via train.fused_grouped.
-        if self.cfg.bool("train.fused_grouped", on_tpu):
+        if self.cfg.bool("train.fused_grouped", on_tpu) and mesh_dp == 1:
             self._fused_grouped_plan = plan_fused_grouped(
                 self.dd.user_nums, self.dd.item_nums,
                 self.model.embed_size, self.batch_size, idx_planes=planes,
@@ -369,7 +391,19 @@ class Trainer:
         """Whole-epoch Pallas program (ops/pallas_train.py): one vectorized
         XLA sampling pass reproducing the scan path's exact key stream,
         then the VMEM-resident kernel.  Same (params, opt_state, key,
-        arrays) -> (params, opt_state, mean_loss) contract."""
+        arrays) -> (params, opt_state, mean_loss) contract.
+
+        Under a pure data-parallel mesh with D > 1 chips, the epoch's
+        steps (padded to a multiple of D) are sampled globally, the step
+        axis is sharded over the 'data' axis, and each chip runs the
+        whole-epoch kernel over its steps/D chunk against a full table
+        replica.  Parameter and moment deltas are then AVERAGED across
+        chips (per-epoch local Adam — the classic parameter-averaging
+        schedule; embedding updates are sparse and mostly disjoint, so
+        the averaged epoch tracks the serial one closely; pinned against
+        a serial per-chunk oracle in tests/test_fused_train.py).  With
+        D == 1 the shard_map wrapper is skipped entirely, so a meshed
+        single-chip run is bit-identical to the unmeshed fused epoch."""
         if self._fused_grouped_plan is not None:
             return self._build_grouped_epoch_fn()
         from cleverrec_tpu.ops.pallas_train import (LOG2, cml_sentinel_bias,
@@ -377,7 +411,8 @@ class Trainer:
                                                     fused_cml_epoch,
                                                     fused_gmf_epoch,
                                                     sentinel_dims)
-        steps = self.steps_per_epoch
+        mesh_dp = getattr(self, "_fused_mesh_dp", 1)
+        steps = cdiv(self.steps_per_epoch, mesh_dp) * mesh_dp
         b = self.batch_size
         rows_total = self._epoch_rows
         padded = steps * b
@@ -397,17 +432,53 @@ class Trainer:
         lr, reg = self.cfg.lr, getattr(self.model, "reg", 0.0)
         proto = self.model.fused_protocol
 
-        def epoch_pairwise(params, opt_state, key, arrays):
+        # D-padded step grids need D-padded static epoch layouts; store
+        # them under a distinct key so the scan statics stay consistent.
+        static_keys = {"pairwise_bpr": "pairwise_static",
+                       "pointwise_bce": "pointwise_static",
+                       "pointwise_mlp": "pointwise_static",
+                       "cml_hinge": "cml_static"}
+        static_key = static_keys.get(proto)
+        if proto == "rows" and self.model.sampler == "pairwise":
+            static_key = "pairwise_static"
+        if steps != self.steps_per_epoch and static_key is not None:
+            pos_u = np.asarray(self.arrays["pos_u"])
+            pos_i = np.asarray(self.arrays["pos_i"])
+            lens = self.dd.seen.lens
+            if static_key == "pointwise_static":
+                st = sampling.pointwise_epoch_static(
+                    pos_u, pos_i, lens, item_nums, padded, neg_ratio)
+            elif static_key == "cml_static":
+                st = sampling.pairwise_epoch_static(
+                    pos_u, pos_i, lens, item_nums, padded, 1)
+            else:
+                st = sampling.pairwise_epoch_static(
+                    pos_u, pos_i, lens, item_nums, padded, neg_ratio)
+            static_key = static_key + "_dp"
+            self.arrays[static_key] = jax.tree_util.tree_map(jnp.asarray,
+                                                             st)
+
+        # Each protocol is a (sample, apply, correct) triple: ``sample``
+        # draws the WHOLE padded epoch's kernel inputs (global, pure XLA —
+        # GSPMD-shardable), ``apply`` runs the Pallas kernel over whatever
+        # step chunk it is handed (per chip under a D>1 mesh), ``correct``
+        # turns the summed raw loss into the logged per-step mean.
+
+        def sample_pairwise(key, arrays):
             # Same key split as the scan path so both consume an identical
             # sampling stream (pinned by tests/test_fused_train.py).
             pkey, _ = jax.random.split(key)
             batch = sampling.pairwise_epoch_tensors(
-                pkey, arrays["pairwise_static"], arrays["seen"], item_nums,
+                pkey, arrays[static_key], arrays["seen"], item_nums,
                 steps, b, pop_cdf=arrays.get("pop_cdf"))
             inval = batch["w"] == 0.0
             u = jnp.where(inval, u_pad - 1, batch["u"]).astype(jnp.int32)
             i = jnp.where(inval, i_pad - 1, batch["i"]).astype(jnp.int32)
             j = jnp.where(inval, i_pad - 1, batch["j"]).astype(jnp.int32)
+            return (u, i, j)
+
+        def apply_pairwise(params, opt_state, tensors):
+            u, i, j = tensors
             adam_st = opt_state[0]
             p_n, q_n, mp, vp, mq, vq, loss = fused_bpr_epoch(
                 params["P"], params["Q"],
@@ -415,17 +486,19 @@ class Trainer:
                 adam_st.mu["Q"], adam_st.nu["Q"],
                 u, i, j, adam_st.count,
                 lr=lr, reg=reg, blk=blk, interpret=interpret)
-            new_st = adam_st._replace(count=adam_st.count + steps,
+            new_st = adam_st._replace(count=adam_st.count + u.shape[0],
                                       mu={"P": mp, "Q": mq},
                                       nu={"P": vp, "Q": vq})
-            mean_loss = (loss - n_sent * LOG2) / steps
             return ({"P": p_n, "Q": q_n}, (new_st,) + tuple(opt_state[1:]),
-                    mean_loss)
+                    loss)
 
-        def epoch_pointwise(params, opt_state, key, arrays):
+        def correct_sentinel(bias):
+            return lambda loss: (loss - n_sent * bias) / steps
+
+        def sample_pointwise(key, arrays):
             pkey, _ = jax.random.split(key)
             batch = sampling.pointwise_epoch_tensors(
-                pkey, arrays["pointwise_static"], arrays["seen"], item_nums,
+                pkey, arrays[static_key], arrays["seen"], item_nums,
                 steps, b, pop_cdf=arrays.get("pop_cdf"))
             inval = batch["w"] == 0.0
             # Sign-encoded user stream: (u+1) positives, -(u+1) negatives,
@@ -434,6 +507,10 @@ class Trainer:
             uz = jnp.where(inval, u_pad,
                            (batch["u"] + 1) * z).astype(jnp.int32)
             i = jnp.where(inval, i_pad - 1, batch["i"]).astype(jnp.int32)
+            return (uz, i)
+
+        def apply_pointwise(params, opt_state, tensors):
+            uz, i = tensors
             adam_st = opt_state[0]
             (p_n, q_n, h_n, mp, vp, mq, vq, mh, vh, loss) = fused_gmf_epoch(
                 params["P"], params["Q"], params["h_gmf"],
@@ -443,17 +520,16 @@ class Trainer:
                 uz, i, adam_st.count,
                 lr=lr, reg=reg, blk=blk, interpret=interpret)
             new_st = adam_st._replace(
-                count=adam_st.count + steps,
+                count=adam_st.count + uz.shape[0],
                 mu={"P": mp, "Q": mq, "h_gmf": mh},
                 nu={"P": vp, "Q": vq, "h_gmf": vh})
-            mean_loss = (loss - n_sent * LOG2) / steps
             return ({"P": p_n, "Q": q_n, "h_gmf": h_n},
-                    (new_st,) + tuple(opt_state[1:]), mean_loss)
+                    (new_st,) + tuple(opt_state[1:]), loss)
 
-        def epoch_cml(params, opt_state, key, arrays):
+        def sample_cml(key, arrays):
             pkey, _ = jax.random.split(key)
             batch = sampling.cml_epoch_tensors(
-                pkey, arrays["cml_static"], arrays["seen"], item_nums,
+                pkey, arrays[static_key], arrays["seen"], item_nums,
                 steps, b, pop_cdf=arrays.get("pop_cdf"),
                 neg_ratio=neg_ratio)
             inval = batch["w"] == 0.0
@@ -461,6 +537,10 @@ class Trainer:
             i = jnp.where(inval, i_pad - 1, batch["i"]).astype(jnp.int32)
             negs = jnp.where(inval[..., None], i_pad - 1,
                              batch["negs"]).astype(jnp.int32)
+            return (u, i, negs)
+
+        def apply_cml(params, opt_state, tensors):
+            u, i, negs = tensors
             adam_st = opt_state[0]
             p_n, q_n, mp, vp, mq, vq, loss = fused_cml_epoch(
                 params["P"], params["Q"],
@@ -469,27 +549,16 @@ class Trainer:
                 u, i, negs, adam_st.count,
                 lr=lr, reg=reg, margin=self.model.margin,
                 item_nums=item_nums, blk=blk, interpret=interpret)
-            new_st = adam_st._replace(count=adam_st.count + steps,
+            new_st = adam_st._replace(count=adam_st.count + u.shape[0],
                                       mu={"P": mp, "Q": mq},
                                       nu={"P": vp, "Q": vq})
-            bias = cml_sentinel_bias(self.model.margin, item_nums,
-                                     neg_ratio)
-            mean_loss = (loss - n_sent * bias) / steps
             return ({"P": p_n, "Q": q_n}, (new_st,) + tuple(opt_state[1:]),
-                    mean_loss)
+                    loss)
 
-        def epoch_mlp(params, opt_state, key, arrays):
+        def apply_mlp(params, opt_state, tensors):
             from cleverrec_tpu.ops.pallas_train import fused_mlp_epoch
             spec = self.model.fused_mlp_spec()
-            pkey, _ = jax.random.split(key)
-            batch = sampling.pointwise_epoch_tensors(
-                pkey, arrays["pointwise_static"], arrays["seen"], item_nums,
-                steps, b, pop_cdf=arrays.get("pop_cdf"))
-            inval = batch["w"] == 0.0
-            z = jnp.where(batch["y"] > 0, 1, -1)
-            uz = jnp.where(inval, u_pad,
-                           (batch["u"] + 1) * z).astype(jnp.int32)
-            i = jnp.where(inval, i_pad - 1, batch["i"]).astype(jnp.int32)
+            uz, i = tensors
             adam_st = opt_state[0]
             cat = lambda t, names: jnp.concatenate(  # noqa: E731
                 [t[n] for n in names], axis=1)
@@ -512,15 +581,13 @@ class Trainer:
             # and zero moments.
             new_params = {**params, **split(*outs[0:3])}
             new_st = adam_st._replace(
-                count=adam_st.count + steps,
+                count=adam_st.count + uz.shape[0],
                 mu={**adam_st.mu, **split(*outs[3:6])},
                 nu={**adam_st.nu, **split(*outs[6:9])})
             # Explicit in-kernel masking: no sentinel loss correction.
-            return (new_params, (new_st,) + tuple(opt_state[1:]),
-                    outs[9] / steps)
+            return (new_params, (new_st,) + tuple(opt_state[1:]), outs[9])
 
-        def epoch_rows(params, opt_state, key, arrays):
-            from cleverrec_tpu.ops.pallas_train import fused_rows_epoch
+        def sample_rows(key, arrays):
             spec = self.model.fused_rows_spec()
             # Reproduce the scan path's sampling stream EXACTLY: the
             # same pkey/step-key split, the same epoch permutation, and
@@ -534,7 +601,7 @@ class Trainer:
                 # static epoch-tensor sampling layout — same pkey, same
                 # stream (tests pin fused == scan numerics).
                 batch = sampling.pairwise_epoch_tensors(
-                    pkey, arrays["pairwise_static"], arrays["seen"],
+                    pkey, arrays[static_key], arrays["seen"],
                     item_nums, steps, b, pop_cdf=arrays.get("pop_cdf"))
             else:
                 step_keys = jax.random.split(skey, steps)
@@ -558,6 +625,12 @@ class Trainer:
                 for name, sd in spec["planes"])
             flts = tuple(batch[n].astype(jnp.float32)
                          for n in spec["floats"])
+            return (planes, flts)
+
+        def apply_rows(params, opt_state, tensors):
+            from cleverrec_tpu.ops.pallas_train import fused_rows_epoch
+            spec = self.model.fused_rows_spec()
+            planes, flts = tensors
             adam_st = opt_state[0]
             sides = tuple(sd for _, sd in spec["planes"])
             packs = [spec["pack"](t)
@@ -580,19 +653,66 @@ class Trainer:
             unpack = spec["unpack"]
             new_params = {**params, **unpack(params, *outs[0:3])}
             new_st = adam_st._replace(
-                count=adam_st.count + steps,
+                count=adam_st.count + planes[0].shape[0],
                 mu={**adam_st.mu, **unpack(adam_st.mu, *outs[3:6])},
                 nu={**adam_st.nu, **unpack(adam_st.nu, *outs[6:9])})
             # In-kernel validity masking: no sentinel loss correction.
-            return (new_params, (new_st,) + tuple(opt_state[1:]),
-                    outs[9] / steps)
+            return (new_params, (new_st,) + tuple(opt_state[1:]), outs[9])
 
-        epoch = {"pairwise_bpr": epoch_pairwise,
-                 "pointwise_bce": epoch_pointwise,
-                 "cml_hinge": epoch_cml,
-                 "pointwise_mlp": epoch_mlp,
-                 "rows": epoch_rows}[proto]
+        sample_fn, apply_fn, correct = {
+            "pairwise_bpr": (sample_pairwise, apply_pairwise,
+                             correct_sentinel(LOG2)),
+            "pointwise_bce": (sample_pointwise, apply_pointwise,
+                              correct_sentinel(LOG2)),
+            "cml_hinge": (sample_cml, apply_cml,
+                          correct_sentinel(cml_sentinel_bias(
+                              getattr(self.model, "margin", 0.0),
+                              item_nums, neg_ratio))),
+            "pointwise_mlp": (sample_pointwise, apply_mlp,
+                              lambda loss: loss / steps),
+            "rows": (sample_rows, apply_rows, lambda loss: loss / steps),
+        }[proto]
+
+        if mesh_dp > 1:
+            # Pure-DP mesh: shard the step axis, run the kernel per chip
+            # against a full table replica, average the chips' parameter
+            # and moment deltas (per-epoch local Adam).  Integer leaves
+            # (Adam count) advance identically on every chip and pass
+            # through.  raw loss is psum'd so ``correct`` sees the same
+            # global total as the unmeshed program.
+            from jax import shard_map
+            from jax.sharding import PartitionSpec as P
+            mesh = self.mesh
+
+            def chip_fn(params, opt_state, tensors):
+                p2, o2, raw = apply_fn(params, opt_state, tensors)
+                raw = jax.lax.psum(raw, "data")
+
+                def delta_mean(n, o):
+                    if jnp.issubdtype(jnp.asarray(n).dtype, jnp.floating):
+                        return o + jax.lax.pmean(n - o, "data")
+                    return n
+
+                p2 = jax.tree_util.tree_map(delta_mean, p2, params)
+                o2 = jax.tree_util.tree_map(delta_mean, o2, opt_state)
+                return p2, o2, raw
+
+            chip = shard_map(chip_fn, mesh=mesh,
+                             in_specs=(P(), P(), P("data")),
+                             out_specs=(P(), P(), P()), check_vma=False)
+
+            def epoch(params, opt_state, key, arrays):
+                tensors = sample_fn(key, arrays)
+                p2, o2, raw = chip(params, opt_state, tensors)
+                return p2, o2, correct(raw)
+        else:
+            def epoch(params, opt_state, key, arrays):
+                tensors = sample_fn(key, arrays)
+                p2, o2, raw = apply_fn(params, opt_state, tensors)
+                return p2, o2, correct(raw)
+
         self._epoch_body = epoch
+        self._fused_parts = (sample_fn, apply_fn, correct)  # test hook
         return jax.jit(epoch, donate_argnums=(0, 1))
 
     def _build_grouped_epoch_fn(self):
