@@ -34,13 +34,20 @@ BLOCK_I = 4096  # 128 bitmap words per tile (Mosaic lane-tiling constraint)
 _WORDS = BLOCK_I // 32  # 128
 
 
-def _kernel(u_ref, q_ref, bits_ref, bias_ref, out_ref, tmax_ref, *,
+GROUP_I = 128   # group-max granularity (one lane-window reduce each)
+_GROUPS = BLOCK_I // GROUP_I  # 32 real group maxes per tile
+
+
+def _kernel(u_ref, q_ref, bits_ref, bias_ref, out_ref, gmax_ref, *,
             interpret: bool):
     """One tile: scores[:, c] = u . q_perm[c] + bias_perm[c], masked by
     bit test word = c % 128, bit = c // 128 of the user's seen bitmap;
-    also emits the tile's per-row max (free here in VMEM — feeds the
-    exact tile-pruned top-k, which otherwise pays a full [B, I] HBM
-    re-read to reduce)."""
+    also emits per-128-column GROUP maxes (free here in VMEM — they feed
+    the exact group-pruned top-k, which otherwise pays a full [B, I]
+    HBM re-read to reduce; round-3 verdict item 2).  The tile's 32
+    group maxes fill the first 32 lanes of a 128-lane output block
+    (Mosaic's minimum lane tile); lanes 32.. carry the NEG sentinel and
+    can never win a top-k."""
     from jax.experimental.pallas import tpu as pltpu
 
     scores = jnp.dot(u_ref[...], q_ref[...].T,
@@ -55,15 +62,12 @@ def _kernel(u_ref, q_ref, bits_ref, bias_ref, out_ref, tmax_ref, *,
     seen = ((rep >> (col >> 7)) & 1) == 1
     masked = jnp.where(seen, NEG, scores)
     out_ref[...] = masked
-    # tmax_ref holds the user-block's WHOLE [bm, n_tiles] row (Mosaic
-    # rejects 1-lane blocks AND dynamic single-lane stores); the block
-    # is revisited across the item sweep — each step deposits its
-    # column via a static lane-mask select, one write-back per bi.
-    import jax.experimental.pallas as pl
-    ii = pl.program_id(1)
-    m = jnp.max(masked, axis=1, keepdims=True)             # [bm, 1]
-    lane = jax.lax.broadcasted_iota(jnp.int32, tmax_ref.shape, 1)
-    tmax_ref[...] = jnp.where(lane == ii, m, tmax_ref[...])
+    # Static lane-window reduces: the one group-max form Mosaic accepts
+    # (a [bm, 32, 128] reshape-max fails to compile; measured probe).
+    parts = [jnp.max(masked[:, g * GROUP_I:(g + 1) * GROUP_I], axis=1,
+                     keepdims=True) for g in range(_GROUPS)]
+    pad = jnp.full((masked.shape[0], GROUP_I - _GROUPS), NEG, jnp.float32)
+    gmax_ref[...] = jnp.concatenate(parts + [pad], axis=1)
 
 
 def _column_permutation(i_padded: int) -> np.ndarray:
@@ -110,11 +114,14 @@ def fused_dot_topk_scores(u_vecs: jax.Array, q_table: jax.Array,
     offset in the SAME order as q_table (i.e. already permuted when
     ``pre_permuted``) — added in-kernel before masking.
 
-    Returns (scores [B, I_padded], tile_max [B, I_padded/4096],
-    item_map [I_padded]): scores are in permuted column order;
-    ``item_map[col]`` is the item id scored there (padded columns map
-    to ids >= I and carry the NEG sentinel); ``tile_max[b, t]`` is the
-    max of scores[b, 4096t:4096(t+1)] (feeds exact tile-pruned top-k).
+    Returns (scores [B, I_padded], gmax [B, I_padded/32], item_map
+    [I_padded]): scores are in permuted column order; ``item_map[col]``
+    is the item id scored there (padded columns map to ids >= I and
+    carry the NEG sentinel).  ``gmax`` holds per-128-column group maxes
+    in PADDED lane layout: lane t*128 + j (j < 32) is the max of
+    scores[b, 4096t + 128j : 4096t + 128(j+1)]; lanes with j >= 32 are
+    the NEG sentinel.  It feeds the exact group-pruned top-k
+    (ranking.rank_fused) without re-reading the score matrix from HBM.
     Rank the scores as-is and translate the top-k indices:
         v, idx = lax.top_k(scores, k); items = item_map[idx]
     """
@@ -129,6 +136,13 @@ def fused_dot_topk_scores(u_vecs: jax.Array, q_table: jax.Array,
     else:
         i = q_table.shape[0]
         i_padded = i + ((-i) % BLOCK_I)
+    if i_padded >= (1 << 17):
+        # Very wide catalogs: the per-tile working set (double-buffered
+        # [block_b, 4096] score block + q slab + the group-max temps)
+        # sits 16.13MB > the 16MB scoped-VMEM limit at block_b=256
+        # (measured OOM at 319k items); halve the user block — these
+        # shapes are HBM-bound, so MXU utilization doesn't care.
+        block_b = min(block_b, 128)
     grid = (cdiv(b, block_b), i_padded // BLOCK_I)
     b_pad = grid[0] * block_b - b
     i_pad = i_padded - i
@@ -160,11 +174,11 @@ def fused_dot_topk_scores(u_vecs: jax.Array, q_table: jax.Array,
     if bias_perm is None:
         bias_perm = jnp.zeros((i_padded,), jnp.float32)
 
-    out, tmax = pl.pallas_call(
+    out, gmax = pl.pallas_call(
         functools.partial(_kernel, interpret=interpret),
         out_shape=(
             jax.ShapeDtypeStruct((b + b_pad, i_padded), jnp.float32),
-            jax.ShapeDtypeStruct((b + b_pad, i_padded // BLOCK_I),
+            jax.ShapeDtypeStruct((b + b_pad, i_padded // 32),
                                  jnp.float32),
         ),
         grid=grid,
@@ -181,10 +195,9 @@ def fused_dot_topk_scores(u_vecs: jax.Array, q_table: jax.Array,
         out_specs=(
             pl.BlockSpec((block_b, BLOCK_I), lambda bi, ii: (bi, ii),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((block_b, i_padded // BLOCK_I),
-                         lambda bi, ii: (bi, 0),
+            pl.BlockSpec((block_b, GROUP_I), lambda bi, ii: (bi, ii),
                          memory_space=pltpu.VMEM),
         ),
         interpret=interpret,
     )(u_vecs, q_perm, seen_bits, bias_perm[None, :])
-    return out[:b], tmax[:b], jnp.asarray(item_map)
+    return out[:b], gmax[:b], jnp.asarray(item_map)

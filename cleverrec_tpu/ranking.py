@@ -186,23 +186,25 @@ def fused_precompute(model, params, aux):
 def rank_fused(model, params, aux, u, seen_bits, k: int,
                interpret: bool = False, pre=None):
     """Pallas path for dot-decomposable models: one fused
-    score+bias+bitmap-mask kernel (which also emits per-4096-tile row
-    maxes for free from VMEM), then exact tile-pruned top-k.
+    score+bias+bitmap-mask kernel (which also emits per-128-column
+    GROUP maxes for free from VMEM), then exact group-pruned top-k.
     ``seen_bits``: [B, W] packed uint32 seen bitmaps (pass zeros for
     unfiltered retrieval).  ``pre``: output of ``fused_precompute`` —
     skips the per-call table permutation (hot for multi-batch eval /
     serving).
 
-    Tile-pruned selection (exact — same threshold argument as
-    ops/topk.grouped_topk with group=4096): any tile holding a top-k
-    item has tile_max >= the k-th score, and at most k tiles can, so
-    top-k over the [B, n_tiles] tile maxes, a contiguous 16KB-slice
-    gather of those k tiles, and a [B, k*4096] top_k recover the exact
+    Group-pruned selection (exact — the ops/topk.grouped_topk argument
+    at group=128): any 128-column group holding a top-k item has
+    group-max >= the k-th score, and at most k groups can, so top-k
+    over the in-kernel group maxes, a batched one-hot MXU rescue of
+    those k groups' columns, and a [B, k*128] top_k recover the exact
     top-k VALUES (tie ORDER may differ from a full-row lax.top_k).
-    This cuts the wide top-k-with-indices (~12ms per [1024, 320k] row
-    on v5e) to a ~4x narrower one.  Narrow catalogs (n_tiles < 2k)
-    rank the full row directly."""
-    from cleverrec_tpu.ops.pallas_scores import (BLOCK_I,
+    Replaces the round-3 tile-pruned path (top-k over 4096-wide tile
+    maxes + a [B, k*4096] sort, ~12ms per [1024, 320k] batch on v5e):
+    the only remaining full-width HBM traffic is the kernel's score
+    write and the rescue's one re-read.  Narrow catalogs rank the full
+    row directly."""
+    from cleverrec_tpu.ops.pallas_scores import (GROUP_I,
                                                  fused_dot_topk_scores)
     u_vecs, table, bias = model.dot_decomposition(params, u, aux)
     if model.cml_like:
@@ -212,22 +214,35 @@ def rank_fused(model, params, aux, u, seen_bits, k: int,
         bias = None if bias is None else -bias
     if pre is not None:
         q_perm, bias_perm, item_map = pre
-        scores, tmax, _ = fused_dot_topk_scores(
+        scores, gmax, _ = fused_dot_topk_scores(
             u_vecs, q_perm, seen_bits, interpret=interpret,
             pre_permuted=True, item_nums=model.meta.item_nums,
             bias=bias_perm)
     else:
-        scores, tmax, item_map = fused_dot_topk_scores(
+        scores, gmax, item_map = fused_dot_topk_scores(
             u_vecs, table, seen_bits, interpret=interpret, bias=bias)
     b, n = scores.shape
-    n_tiles = n // BLOCK_I
-    if n_tiles >= 2 * k:
-        _, ti = jax.lax.top_k(tmax, k)                     # [B, k]
-        cand = jnp.take_along_axis(scores.reshape(b, n_tiles, BLOCK_I),
-                                   ti[:, :, None], axis=1)
-        v, ci = jax.lax.top_k(cand.reshape(b, k * BLOCK_I), k)
-        tile = jnp.take_along_axis(ti, ci // BLOCK_I, axis=1)
-        idx = tile * BLOCK_I + ci % BLOCK_I
+    n_groups = n // GROUP_I
+    if n >= 8192 and n_groups >= 2 * k:
+        # gmax lane t*128 + j (j < 32) is tile t's group j; pad lanes
+        # (j >= 32) carry NEG and only surface when a row has fewer
+        # than k unmasked groups — clamp keeps their ids in range (the
+        # -inf -> PAD remap below drops them from the metrics).
+        _, gi = jax.lax.top_k(gmax, k)                     # [B, k]
+        gflat = ((gi // 128) * 32
+                 + jnp.minimum(gi % 128, 31))              # flat group id
+        onehot = (gflat[:, :, None] == jax.lax.broadcasted_iota(
+            jnp.int32, (1, 1, n_groups), 2)).astype(jnp.float32)
+        s3 = scores.reshape(b, n_groups, GROUP_I)
+        # Batched one-hot MXU rescue (a take_along_axis element gather
+        # here scalar-gathers at ~23ns/element); scores are >= NEG by
+        # kernel construction, so 0 * score never makes a NaN.
+        cand = jax.lax.dot_general(
+            onehot, s3, (((2,), (1,)), ((0,), (0,))),
+            preferred_element_type=jnp.float32)            # [B, k, 128]
+        v, ci = jax.lax.top_k(cand.reshape(b, k * GROUP_I), k)
+        grp = jnp.take_along_axis(gflat, ci // GROUP_I, axis=1)
+        idx = grp * GROUP_I + ci % GROUP_I
     else:
         v, idx = jax.lax.top_k(scores, k)
     # Normalize the kernel's finite -3e38 sentinel to the module-wide

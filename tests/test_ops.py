@@ -57,7 +57,7 @@ def test_fused_dot_kernel_matches_reference():
         seen[r, s] = True
         np.bitwise_or.at(bits[r], s >> 5, np.uint32(1) << (s & 31))
 
-    got_perm, tmax, item_map = fused_dot_topk_scores(
+    got_perm, gmax, item_map = fused_dot_topk_scores(
         jnp.asarray(u), jnp.asarray(q), jnp.asarray(bits), block_b=8,
         interpret=True)
     # Undo the kernel's column permutation, drop padded columns.
@@ -68,15 +68,18 @@ def test_fused_dot_kernel_matches_reference():
     want = u @ q.T
     want[seen] = -3.0e38
     np.testing.assert_allclose(got, want, rtol=2e-5, atol=2e-5)
-    # The free per-tile row max == the max of the PERMUTED tile slice.
-    np.testing.assert_allclose(np.asarray(tmax)[:, 0],
-                               np.asarray(got_perm).max(axis=1),
+    # The free in-kernel group maxes: lane 128t + j (j < 32) == the max
+    # of the PERMUTED 128-column group; pad lanes carry the sentinel.
+    gm = np.asarray(gmax)
+    g3 = np.asarray(got_perm).reshape(b, -1, 128).max(axis=2)
+    np.testing.assert_allclose(gm[:, :32], g3[:, :32].reshape(b, -1),
                                rtol=1e-6)
+    assert (gm[:, 32:] == -3.0e38).all()
 
 
-def test_fused_kernel_bias_and_tile_max():
-    """In-kernel bias addition (before masking) and per-tile maxes
-    across multiple item tiles."""
+def test_fused_kernel_bias_and_group_max():
+    """In-kernel bias addition (before masking) and per-128-column
+    group maxes across multiple item tiles."""
     rng = np.random.default_rng(9)
     b, i, d = 8, 2 * 4096 + 100, 16     # 3 tiles after padding
     u = rng.normal(size=(b, d)).astype(np.float32)
@@ -89,7 +92,7 @@ def test_fused_kernel_bias_and_tile_max():
         s = rng.choice(i, size=40, replace=False)
         seen[r, s] = True
         np.bitwise_or.at(bits[r], s >> 5, np.uint32(1) << (s & 31))
-    got_perm, tmax, item_map = fused_dot_topk_scores(
+    got_perm, gmax, item_map = fused_dot_topk_scores(
         jnp.asarray(u), jnp.asarray(q), jnp.asarray(bits), block_b=8,
         interpret=True, bias=jnp.asarray(bias))
     imap = np.asarray(item_map)
@@ -98,8 +101,53 @@ def test_fused_kernel_bias_and_tile_max():
     want = u @ q.T + bias[None, :]
     want[seen] = -3.0e38
     np.testing.assert_allclose(got[:, :i], want, rtol=2e-5, atol=2e-5)
-    g3 = np.asarray(got_perm).reshape(b, -1, 4096)
-    np.testing.assert_allclose(np.asarray(tmax), g3.max(axis=2), rtol=1e-6)
+    # gmax lane layout per tile t: lanes [128t, 128t+32) are the tile's
+    # 32 group maxes; lanes [128t+32, 128(t+1)) are the NEG sentinel.
+    gm = np.asarray(gmax).reshape(b, -1, 128)
+    g3 = np.asarray(got_perm).reshape(b, -1, 32, 128).max(axis=3)
+    np.testing.assert_allclose(gm[:, :, :32], g3, rtol=1e-6)
+    assert (gm[:, :, 32:] == -3.0e38).all()
+
+
+def test_rank_fused_group_pruned_path_exact():
+    """The group-pruned rescue (the wide-catalog branch, n >= 8192)
+    recovers exactly the dense top-k values with no seen leakage."""
+    from cleverrec_tpu import ranking
+
+    class DotModel:
+        cml_like = False
+
+        class meta:
+            item_nums = 12000
+
+        def dot_decomposition(self, params, u, aux):
+            return params["P"][u], params["Q"], None
+
+    rng = np.random.default_rng(4)
+    b, i, d, k = 16, 12000, 16, 10
+    params = {"P": jnp.asarray(rng.normal(size=(b, d)).astype(np.float32)),
+              "Q": jnp.asarray(rng.normal(size=(i, d)).astype(np.float32))}
+    words = -(-i // 32)
+    bits = np.zeros((b, words), np.uint32)
+    seen = np.zeros((b, i), bool)
+    for r in range(b):
+        s = rng.choice(i, size=500, replace=False)
+        seen[r, s] = True
+        np.bitwise_or.at(bits[r], s >> 5, np.uint32(1) << (s & 31))
+    u = jnp.arange(b, dtype=jnp.int32)
+    v, items = ranking.rank_fused(DotModel(), params, {}, u,
+                                  jnp.asarray(bits), k, interpret=True)
+    want = np.asarray(params["P"]) @ np.asarray(params["Q"]).T
+    want[seen] = -np.inf
+    wv = np.sort(want, axis=1)[:, ::-1][:, :k]
+    np.testing.assert_allclose(np.asarray(v), wv, rtol=1e-5, atol=1e-5)
+    got_items = np.asarray(items)
+    for r in range(b):
+        assert not (set(got_items[r].tolist())
+                    & set(np.flatnonzero(seen[r]).tolist()))
+        # Values at the returned items match the claimed values.
+        np.testing.assert_allclose(want[r, got_items[r]],
+                                   np.asarray(v)[r], rtol=1e-5, atol=1e-5)
 
 
 def test_fused_kernel_topk_excludes_seen():
