@@ -109,6 +109,11 @@ def run_ours(name, epochs, neg, embed=None, seed=42, path="auto"):
     cfg._v["seed"] = str(seed)
     if path == "scan":
         cfg._v["train.fused_kernel"] = "False"
+    elif path == "bf16":
+        # bf16 table storage: ml-1m @ embed 64 fits the bf16 RESIDENT
+        # plan (the f32 plan is 13.01MB — a hair over budget — so the
+        # f32 arm runs the grouped tier).
+        cfg._v["train.fused_bf16"] = "True"
     data = load_ranking_data(cfg)
     model = make_model(cfg, DataMeta(data.user_nums, data.item_nums))
     tr = Trainer(model, data, cfg, logger=logging.getLogger("ml1m"))
@@ -135,6 +140,10 @@ def run_ours(name, epochs, neg, embed=None, seed=42, path="auto"):
         "examples_per_s": round(tr._epoch_rows / per_epoch, 1),
         "fused_path": hasattr(tr, "_epoch_body")
         and tr._fused_epoch_eligible(),
+        # resident=True: the whole-epoch VMEM-resident kernel; False
+        # with fused_path=True means the GROUPED overflow tier ran.
+        "fused_resident": getattr(tr, "_fused_plan", None) is not None,
+        "fused_bf16": bool(getattr(tr, "_fused_bf16", False)),
     })
 
 

@@ -53,11 +53,22 @@ def _round_up(x: int, m: int) -> int:
     return ((x + m - 1) // m) * m
 
 
-def _onehot_t(ids_row, n_rows: int, blk: int):
-    """[n_rows, blk] transposed one-hot of a lane-oriented id row."""
+def _onehot_t(ids_row, n_rows: int, blk: int, dtype=jnp.float32):
+    """[n_rows, blk] transposed one-hot of a lane-oriented id row.
+
+    bf16 one-hots are built from an int16 iota so every intermediate
+    lives in (16, 128) tiling end-to-end: deriving bf16 from 32-bit
+    lane structures forces an (8,128)->(16,128) retile per block that
+    measured 35x slower (round-2 note in ``plan_fused``).  i16 ids are
+    safe for any VMEM-resident table (``plan_fused`` bf16 plans are
+    gated at 32768 rows)."""
+    if dtype == jnp.bfloat16:
+        iota = jax.lax.broadcasted_iota(jnp.int16, (n_rows, blk), 0)
+        ids16 = jnp.broadcast_to(ids_row.astype(jnp.int16), (n_rows, blk))
+        return (iota == ids16).astype(jnp.bfloat16)
     iota = jax.lax.broadcasted_iota(jnp.int32, (n_rows, blk), 0)
     return (iota == jnp.broadcast_to(ids_row, (n_rows, blk))).astype(
-        jnp.float32)
+        dtype)
 
 
 def _mxu_gather(oh_t, table_ref):
@@ -86,12 +97,16 @@ def _adam_step(t0_ref, s, b1: float, b2: float):
 
 def _adam_apply(p_r, m_r, v_r, g, bc1, bc2, *, lr: float, b1: float,
                 b2: float, eps: float):
-    """Dense in-place Adam over one resident table."""
-    m = b1 * m_r[...] + (1.0 - b1) * g
-    v = b2 * v_r[...] + (1.0 - b2) * (g * g)
-    m_r[...] = m
-    v_r[...] = v
-    p_r[...] -= lr * (m / bc1) / (jnp.sqrt(v / bc2) + eps)
+    """Dense in-place Adam over one resident table.  bf16-stored state
+    computes in f32 and rounds back on write (round-to-nearest); for
+    f32 refs the casts are no-ops and the math is unchanged."""
+    m = b1 * m_r[...].astype(jnp.float32) + (1.0 - b1) * g
+    v = b2 * v_r[...].astype(jnp.float32) + (1.0 - b2) * (g * g)
+    m_r[...] = m.astype(m_r.dtype)
+    v_r[...] = v.astype(v_r.dtype)
+    p_r[...] = (p_r[...].astype(jnp.float32)
+                - lr * (m / bc1) / (jnp.sqrt(v / bc2) + eps)).astype(
+                    p_r.dtype)
 
 
 
@@ -117,7 +132,9 @@ def _epoch_kernel(t0_ref, u_ref, i_ref, j_ref,
     # -- batch pass: grads into dp/dq scratch ---------------------------
     dp_ref[...] = jnp.zeros_like(dp_ref)
     dq_ref[...] = jnp.zeros_like(dq_ref)
-    onehot_t = lambda ids_row, n_rows: _onehot_t(ids_row, n_rows, blk)  # noqa: E731
+    tdt = p_ref.dtype   # table storage dtype (f32 or bf16)
+    onehot_t = lambda ids_row, n_rows: _onehot_t(ids_row, n_rows, blk,  # noqa: E731
+                                                 dtype=tdt)
     gather = _mxu_gather
 
     def block(kb, loss):
@@ -128,7 +145,7 @@ def _epoch_kernel(t0_ref, u_ref, i_ref, j_ref,
         oh_u = onehot_t(u_ref[0, row, :], u_pad)
         oh_i = onehot_t(i_ref[0, row, :], i_pad)
         oh_j = onehot_t(j_ref[0, row, :], i_pad)
-        pe = gather(oh_u, p_ref)                    # [blk, d]
+        pe = gather(oh_u, p_ref)                    # [blk, d] f32
         qi = gather(oh_i, q_ref)
         qj = gather(oh_j, q_ref)
         qd = qi - qj
@@ -136,9 +153,11 @@ def _epoch_kernel(t0_ref, u_ref, i_ref, j_ref,
         loss = loss + jnp.sum(-jax.nn.log_sigmoid(diff)) + 0.5 * reg * (
             jnp.sum(pe * pe) + jnp.sum(qi * qi) + jnp.sum(qj * qj))
         g = -jax.nn.sigmoid(-diff)                          # dL/ddiff
-        d_pe = g * qd + reg * pe
-        d_qi = g * pe + reg * qi
-        d_qj = -g * pe + reg * qj
+        # Row grads ride the scatter dots in the table dtype (the
+        # accumulator scratch stays f32 via preferred_element_type).
+        d_pe = (g * qd + reg * pe).astype(tdt)
+        d_qi = (g * pe + reg * qi).astype(tdt)
+        d_qj = (-g * pe + reg * qj).astype(tdt)
         dp_ref[...] += jnp.dot(oh_u, d_pe,
                                preferred_element_type=jnp.float32)
         dq_ref[...] += (jnp.dot(oh_i, d_qi,
@@ -161,17 +180,27 @@ def _epoch_kernel(t0_ref, u_ref, i_ref, j_ref,
 
 
 @functools.partial(jax.jit, static_argnames=(
-    "lr", "reg", "b1", "b2", "eps", "blk", "interpret"))
+    "lr", "reg", "b1", "b2", "eps", "blk", "interpret", "table_dtype"))
 def fused_bpr_epoch(p, q, mp, vp, mq, vq, u_idx, i_idx, j_idx, t0,
                     *, lr: float, reg: float, b1: float = 0.9,
                     b2: float = 0.999, eps: float = 1e-8,
-                    blk: int = 256, interpret: bool = False):
+                    blk: int = 256, interpret: bool = False,
+                    table_dtype=jnp.float32):
     """One full BPR training epoch in a single Pallas program.
 
     p/q: [U, d]/[I, d] tables; mp/vp/mq/vq: matching Adam moments;
     u_idx/i_idx/j_idx: [steps, B] pre-sampled rows with INVALID slots
     already pointing at the sentinel ids U_pad-1 / I_pad-1 (see
     ``sentinel_dims``); t0: scalar int32 Adam step count so far.
+
+    ``table_dtype=jnp.bfloat16`` stores the six resident state arrays
+    (tables + Adam moments) in bf16 — halving their VMEM charge so 2x
+    larger tables stay fused-resident (``plan_fused(bf16=True)``) —
+    while ALL arithmetic stays f32 (gather/scatter dots accumulate via
+    preferred_element_type; Adam computes in f32 and rounds back on
+    write).  Inputs are cast on entry and the outputs are returned
+    upcast to f32 carrying bf16-rounded values: re-rounding them next
+    epoch is exact, so trainer state round-trips losslessly.
 
     Returns (p, q, mp, vp, mq, vq, loss_total) — loss_total still
     includes log(2) per sentinel row; callers subtract
@@ -184,6 +213,11 @@ def fused_bpr_epoch(p, q, mp, vp, mq, vq, u_idx, i_idx, j_idx, t0,
     u_real, d = p.shape
     i_real, _ = q.shape
     u_pad, i_pad = sentinel_dims(u_real, i_real)
+    if table_dtype != jnp.float32:
+        assert max(u_pad, i_pad) < (1 << 15), (
+            "bf16 fused plan requires i16-addressable tables")
+        p, q, mp, vp, mq, vq = (x.astype(table_dtype)
+                                for x in (p, q, mp, vp, mq, vq))
     pads = lambda a, n: jnp.pad(a, ((0, n - a.shape[0]), (0, 0)))  # noqa: E731
     p, mp, vp = (pads(x, u_pad) for x in (p, mp, vp))
     q, mq, vq = (pads(x, i_pad) for x in (q, mq, vq))
@@ -227,12 +261,12 @@ def fused_bpr_epoch(p, q, mp, vp, mq, vq, u_idx, i_idx, j_idx, t0,
             pl.BlockSpec(memory_space=pltpu.SMEM),      # loss
         ),
         out_shape=(
-            jax.ShapeDtypeStruct((u_pad, d), jnp.float32),
-            jax.ShapeDtypeStruct((i_pad, d), jnp.float32),
-            jax.ShapeDtypeStruct((u_pad, d), jnp.float32),
-            jax.ShapeDtypeStruct((u_pad, d), jnp.float32),
-            jax.ShapeDtypeStruct((i_pad, d), jnp.float32),
-            jax.ShapeDtypeStruct((i_pad, d), jnp.float32),
+            jax.ShapeDtypeStruct((u_pad, d), table_dtype),
+            jax.ShapeDtypeStruct((i_pad, d), table_dtype),
+            jax.ShapeDtypeStruct((u_pad, d), table_dtype),
+            jax.ShapeDtypeStruct((u_pad, d), table_dtype),
+            jax.ShapeDtypeStruct((i_pad, d), table_dtype),
+            jax.ShapeDtypeStruct((i_pad, d), table_dtype),
             jax.ShapeDtypeStruct((steps,), jnp.float32),
         ),
         scratch_shapes=[
@@ -244,8 +278,9 @@ def fused_bpr_epoch(p, q, mp, vp, mq, vq, u_idx, i_idx, j_idx, t0,
     )(jnp.asarray([t0], jnp.int32), u_idx, i_idx, j_idx,
       p, q, mp, vp, mq, vq)
     p_o, q_o, mp_o, vp_o, mq_o, vq_o, loss = outs
-    return (p_o[:u_real], q_o[:i_real], mp_o[:u_real], vp_o[:u_real],
-            mq_o[:i_real], vq_o[:i_real],
+    f32 = lambda x: x.astype(jnp.float32)  # noqa: E731
+    return (f32(p_o[:u_real]), f32(q_o[:i_real]), f32(mp_o[:u_real]),
+            f32(vp_o[:u_real]), f32(mq_o[:i_real]), f32(vq_o[:i_real]),
             jnp.sum(loss) - steps * padb * LOG2)
 
 
@@ -1554,7 +1589,7 @@ def sentinel_dims(u_real: int, i_real: int) -> tuple[int, int]:
 
 def vmem_footprint_bytes(u_real: int, i_real: int, d: int, b: int,
                          blk: int = 256, idx_planes: int = 3,
-                         oh_items: int = 2) -> int:
+                         oh_items: int = 2, bf16: bool = False) -> int:
     """Rough VMEM bytes the fused epoch needs: 6 resident state arrays +
     dP/dQ scratch + the live [*, blk] block temporaries + streamed index
     rows (x2 buffers; ``idx_planes`` [steps, b]-shaped index streams —
@@ -1566,12 +1601,15 @@ def vmem_footprint_bytes(u_real: int, i_real: int, d: int, b: int,
     axis in slabs and only the item one-hot stays full-width (the
     trainer picks the value)."""
     u_pad, i_pad = sentinel_dims(u_real, i_real)
-    state = 4 * d * (3 * u_pad + 3 * i_pad)
+    # bf16 storage halves the six resident state arrays and the live
+    # one-hot blocks; the dP/dQ grad scratch stays f32 (accumulation).
+    elem = 2 if bf16 else 4
+    state = elem * d * (3 * u_pad + 3 * i_pad)
     scratch = 4 * d * (u_pad + i_pad)
     # One-hot buffers physically occupy >= 128 lanes (f32 (8, 128)
     # tiling) no matter how narrow blk is — accounting with raw blk=64
     # once under-planned an 18MB layout past the 16MB VMEM limit.
-    onehots = 4 * max(blk, 128) * (u_pad + oh_items * i_pad)
+    onehots = elem * max(blk, 128) * (u_pad + oh_items * i_pad)
     # Index tiles are [b/blk, blk] int32 per plane, double-buffered by
     # the pipeline; like the one-hots they physically occupy >= 128
     # lanes per row regardless of blk (b is padded to a blk multiple).
@@ -1583,18 +1621,26 @@ FUSED_VMEM_BUDGET = 13 * 2 ** 20
 
 
 def plan_fused(u_real: int, i_real: int, d: int, b: int,
-               idx_planes: int = 3, oh_items: int = 2):
+               idx_planes: int = 3, oh_items: int = 2,
+               bf16: bool = False):
     """Pick a block size that fits the VMEM budget, or None (caller
-    falls back to the scan path).  A bf16-compute variant was measured
-    and REJECTED: bf16 one-hot construction forces (8,128)->(16,128)
-    retiling per block and ran 35x slower than f32, and even bf16 VMEM
-    sizing cannot fit ml-1m-class state (the remote compiler rejects
-    13MB+ resident layouts).  No blk < 128 rung: the one-hot and index
-    buffers physically occupy >= 128 lanes regardless, so blk=64 has
-    blk=128's footprint at half the MXU lane utilization."""
+    falls back to the scan path).
+
+    ``bf16=True`` plans bf16 STORAGE (tables + moments + one-hots in
+    bf16, arithmetic f32, ``fused_bpr_epoch(table_dtype=bf16)``) —
+    roughly doubling the resident table capacity.  The round-2 bf16
+    attempt was rejected because its one-hots were derived from 32-bit
+    lane structures, paying an (8,128)->(16,128) retile per block (35x
+    slower); the storage variant builds them from an int16 iota so
+    everything stays (16,128)-tiled, which also caps bf16 plans at
+    table heights < 32768 (i16 ids).  No blk < 128 rung: the one-hot
+    and index buffers physically occupy >= 128 lanes regardless, so
+    blk=64 has blk=128's footprint at half the MXU lane utilization."""
+    if bf16 and max(sentinel_dims(u_real, i_real)) >= (1 << 15):
+        return None
     for blk in (256, 128):
         if vmem_footprint_bytes(u_real, i_real, d, b, blk, idx_planes,
-                                oh_items) < FUSED_VMEM_BUDGET:
+                                oh_items, bf16=bf16) < FUSED_VMEM_BUDGET:
             return blk
     return None
 

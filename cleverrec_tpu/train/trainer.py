@@ -338,10 +338,27 @@ class Trainer:
             oh = 5 if i_pad <= 1792 else 3
         else:
             oh = 2
+        # Opt-in bf16 STORAGE for the BPR protocol: tables + moments +
+        # one-hots bf16 (f32 arithmetic) — 2x the resident capacity, so
+        # shapes that overflow the f32 plan (ml-1m @ embed 128) stay on
+        # the fused tier instead of dropping to grouped/scan.  Falls
+        # back to the f32 plan when bf16 itself declines (tables too
+        # tall for i16 one-hot ids).
+        self._fused_bf16 = (proto == "pairwise_bpr"
+                            and self.cfg.bool("train.fused_bf16", False))
         self._fused_plan = plan_fused(self.dd.user_nums, self.dd.item_nums,
                                       self.model.embed_size,
                                       self.batch_size, idx_planes=planes,
-                                      oh_items=oh)
+                                      oh_items=oh, bf16=self._fused_bf16)
+        if self._fused_bf16 and self._fused_plan is None:
+            self._fused_bf16 = False
+            self._fused_plan = plan_fused(
+                self.dd.user_nums, self.dd.item_nums,
+                self.model.embed_size, self.batch_size,
+                idx_planes=planes, oh_items=oh)
+        if self._fused_bf16 and self.logger:
+            self.logger.info("fused epoch kernel: bf16 table storage "
+                             "(f32 compute, train.fused_bf16)")
         self._fused_grouped_plan = None
         # train.fused_groups > 1 forces the grouped path (testing and
         # tuning hook); 0 = auto (grouped only on VMEM overflow).
@@ -477,6 +494,9 @@ class Trainer:
             j = jnp.where(inval, i_pad - 1, batch["j"]).astype(jnp.int32)
             return (u, i, j)
 
+        table_dtype = (jnp.bfloat16 if getattr(self, "_fused_bf16", False)
+                       else jnp.float32)
+
         def apply_pairwise(params, opt_state, tensors):
             u, i, j = tensors
             adam_st = opt_state[0]
@@ -485,7 +505,8 @@ class Trainer:
                 adam_st.mu["P"], adam_st.nu["P"],
                 adam_st.mu["Q"], adam_st.nu["Q"],
                 u, i, j, adam_st.count,
-                lr=lr, reg=reg, blk=blk, interpret=interpret)
+                lr=lr, reg=reg, blk=blk, interpret=interpret,
+                table_dtype=table_dtype)
             new_st = adam_st._replace(count=adam_st.count + u.shape[0],
                                       mu={"P": mp, "Q": mq},
                                       nu={"P": vp, "Q": vq})

@@ -1117,3 +1117,79 @@ def test_lrml_fused_rows_matches_scan(stream, toy_dataset):
     r1 = t_fused.evaluate(p1)
     for k in r0:
         assert r1[k] == pytest.approx(r0[k], abs=2e-4)
+
+
+def test_fused_bpr_bf16_storage_close_to_f32():
+    """table_dtype=bf16 stores state in bf16 (outputs bf16-representable)
+    while tracking the f32 kernel closely on a short epoch."""
+    rng = np.random.default_rng(5)
+    u_n, i_n, d = 64, 96, 16
+    steps, b = 6, 64
+    from cleverrec_tpu.ops.pallas_train import sentinel_dims
+    u_pad, i_pad = sentinel_dims(u_n, i_n)
+    u = jnp.asarray(rng.integers(0, u_n, (steps, b)), jnp.int32)
+    i = jnp.asarray(rng.integers(0, i_n, (steps, b)), jnp.int32)
+    j = jnp.asarray(rng.integers(0, i_n, (steps, b)), jnp.int32)
+    p0 = jnp.asarray(rng.normal(size=(u_n, d)).astype(np.float32) * 0.1)
+    q0 = jnp.asarray(rng.normal(size=(i_n, d)).astype(np.float32) * 0.1)
+    zu = jnp.zeros((u_n, d), jnp.float32)
+    zi = jnp.zeros((i_n, d), jnp.float32)
+    args = (p0, q0, zu, zu, zi, zi, u, i, j, jnp.asarray(0, jnp.int32))
+    f32_out = fused_bpr_epoch(*args, lr=0.01, reg=0.01, blk=8,
+                              interpret=True)
+    bf_out = fused_bpr_epoch(*args, lr=0.01, reg=0.01, blk=8,
+                             interpret=True, table_dtype=jnp.bfloat16)
+    # Outputs are f32 arrays carrying bf16-rounded values.
+    for x in bf_out[:6]:
+        assert x.dtype == jnp.float32
+        np.testing.assert_array_equal(
+            np.asarray(x),
+            np.asarray(x.astype(jnp.bfloat16).astype(jnp.float32)))
+    # And they track the f32 epoch closely (worst per-element delta is
+    # lr-scale: early Adam steps normalize by sqrt(v) with v itself
+    # bf16-rounded, so a handful of elements move a full step apart).
+    np.testing.assert_allclose(np.asarray(bf_out[0]),
+                               np.asarray(f32_out[0]), atol=2e-2)
+    np.testing.assert_allclose(np.asarray(bf_out[1]),
+                               np.asarray(f32_out[1]), atol=2e-2)
+    assert float(jnp.mean(jnp.abs(bf_out[0] - f32_out[0]))) < 1e-3
+    assert float(bf_out[6]) == pytest.approx(float(f32_out[6]), rel=2e-2)
+
+
+def test_fused_bf16_plan_doubles_capacity():
+    """bf16 planning accepts the north-star BPR ml-1m @ embed-64 shape
+    the f32 plan rejects (13.01MB, a hair over the 13MB budget — it
+    runs GROUPED today), and declines tables too tall for i16 one-hot
+    ids."""
+    from cleverrec_tpu.ops.pallas_train import plan_fused
+    assert plan_fused(6040, 3706, 64, 6144) is None
+    assert plan_fused(6040, 3706, 64, 6144, bf16=True) is not None
+    assert plan_fused(40000, 3706, 64, 6144, bf16=True) is None
+
+
+def test_fused_bf16_trainer_trains(toy_dataset):
+    """train.fused_bf16: the trainer takes the bf16 fused path, loss
+    falls, and metrics land near the f32 fused arm."""
+    ov = {"epoches": "4", "batch_size": "64", "embed_size": "16",
+          "lr": "0.05", "neg_ratio": "2", "is_pairwise": "True",
+          "loss_func": "bpr", "reg": "0.01",
+          "train.fused_kernel": "True"}
+    cfg32 = base_config(toy_dataset, **ov)
+    cfg16 = base_config(toy_dataset, **ov, **{"train.fused_bf16": "True"})
+    data = load_ranking_data(cfg32)
+    model = make_model(cfg32, DataMeta(data.user_nums, data.item_nums))
+    t32 = Trainer(model, data, cfg32)
+    t16 = Trainer(model, data, cfg16)
+    assert not t32._fused_bf16 and t16._fused_bf16
+    p0, o0 = t32.init_state()
+    p1, o1 = t16.init_state()
+    l32 = l16 = None
+    for _ in range(4):
+        p0, o0, l32 = t32.train_epoch(p0, o0)
+        p1, o1, l16 = t16.train_epoch(p1, o1)
+    assert l16 == pytest.approx(l32, rel=5e-2), (l32, l16)
+    r32 = t32.evaluate(p0)
+    r16 = t16.evaluate(p1)
+    for k in r32:
+        for a, b in zip(r32[k], r16[k]):
+            assert b == pytest.approx(a, abs=0.08), (k, r32[k], r16[k])
