@@ -196,7 +196,8 @@ def main():
     ap.add_argument("neg", nargs="?", type=int, default=1000)
     ap.add_argument("embed", nargs="?", type=int, default=None)
     ap.add_argument("--seed", type=int, default=42)
-    ap.add_argument("--path", choices=["auto", "scan"], default="auto")
+    ap.add_argument("--path", choices=["auto", "scan", "bf16"],
+                    default="auto")
     a = ap.parse_args()
     ensure_data()
     if a.model == "tf1":
