@@ -96,7 +96,8 @@ def record(rec):
     print(json.dumps(rec, indent=2))
 
 
-def run_ours(name, epochs, neg, embed=None, seed=42, path="auto"):
+def run_ours(name, epochs, neg, embed=None, seed=42, path="auto",
+             interval=None):
     enable_compilation_cache()
     from cleverrec_tpu.data import load_ranking_data
     from cleverrec_tpu.models import make_model
@@ -107,6 +108,11 @@ def run_ours(name, epochs, neg, embed=None, seed=42, path="auto"):
                         format="%(message)s")
     cfg = base_cfg(name, epochs, neg, embed)
     cfg._v["seed"] = str(seed)
+    if interval is not None:
+        # Models that peak at epoch ~1 on the reconstruction (NeuMF)
+        # need every-epoch eval for a fair best-metric comparison with
+        # the TF1 arm (which always evals every epoch).
+        cfg._v["test.interval"] = str(interval)
     if path == "scan":
         cfg._v["train.fused_kernel"] = "False"
     elif path == "bf16":

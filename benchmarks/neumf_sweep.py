@@ -74,6 +74,9 @@ def run_pretrain(epochs: int, neg: int, seed: int = 42):
 
     cfg = ml1m_runs.base_cfg("NeuMF", epochs, neg)
     cfg._v.update({"seed": str(seed),
+                   # every-epoch eval: NeuMF peaks in the first epochs
+                   # on the reconstruction; interval=5 misses the peak.
+                   "test.interval": "1",
                    "gmf_pretrain": paths["GMF"],
                    "mlp_pretrain": paths["MLP"],
                    # The reference trains pretrained NeuMF with plain SGD
@@ -104,7 +107,13 @@ def main():
     ml1m_runs.ensure_data()
     if mode == "ours":
         for seed in SEEDS_OURS:
-            ml1m_runs.run_ours("NeuMF", epochs, neg, embed=64, seed=seed)
+            # interval=1: the TF1 arm evals every epoch and NeuMF peaks
+            # at epoch ~1 on the reconstruction — interval=5 (the round-3
+            # default) MISSED the peak and explained the -0.004 HR@10
+            # "parity gap" (it was an eval-cadence artifact, not model
+            # drift).
+            ml1m_runs.run_ours("NeuMF", epochs, neg, embed=64, seed=seed,
+                               interval=1)
     elif mode == "tf1":
         for seed in SEEDS_TF1:
             ml1m_runs.run_tf1_model("NeuMF", epochs, neg, seed=seed)

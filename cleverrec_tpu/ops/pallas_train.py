@@ -53,19 +53,28 @@ def _round_up(x: int, m: int) -> int:
     return ((x + m - 1) // m) * m
 
 
-def _onehot_t(ids_row, n_rows: int, blk: int, dtype=jnp.float32):
+def _onehot_t(ids_row, n_rows: int, blk: int, dtype=jnp.float32,
+              iotas=None):
     """[n_rows, blk] transposed one-hot of a lane-oriented id row.
 
-    bf16 one-hots are built from an int16 iota so every intermediate
-    lives in (16, 128) tiling end-to-end: deriving bf16 from 32-bit
-    lane structures forces an (8,128)->(16,128) retile per block that
-    measured 35x slower (round-2 note in ``plan_fused``).  i16 ids are
-    safe for any VMEM-resident table (``plan_fused`` bf16 plans are
-    gated at 32768 rows)."""
-    if dtype == jnp.bfloat16:
-        iota = jax.lax.broadcasted_iota(jnp.int16, (n_rows, blk), 0)
-        ids16 = jnp.broadcast_to(ids_row.astype(jnp.int16), (n_rows, blk))
-        return (iota == ids16).astype(jnp.bfloat16)
+    bf16 one-hots: deriving bf16 from 32-bit lane structures pays an
+    (8,128)->(16,128) retile per block (measured 2.04x the f32 step
+    cost on v5e; an i16 iota would avoid it but "16-bit iota not
+    supported by hardware").  With ``iotas`` = (lo_ref, hi_ref) — bf16
+    scratch holding each row index's base-128 digits, filled ONCE at
+    grid step 0 — the one-hot composes from two bf16-exact compares
+    with no per-block retile: row < 32768 means hi < 256 and lo < 128,
+    both exactly representable in bf16's 8-bit mantissa."""
+    if dtype == jnp.bfloat16 and iotas is not None:
+        lo_ref, hi_ref = iotas
+        lo_b = jnp.broadcast_to(lo_ref[0:n_rows, 0:1], (n_rows, blk))
+        hi_b = jnp.broadcast_to(hi_ref[0:n_rows, 0:1], (n_rows, blk))
+        ids_lo = jnp.broadcast_to(
+            (ids_row % 128).astype(jnp.bfloat16), (n_rows, blk))
+        ids_hi = jnp.broadcast_to(
+            (ids_row // 128).astype(jnp.bfloat16), (n_rows, blk))
+        eq = (lo_b == ids_lo) & (hi_b == ids_hi)
+        return jnp.where(eq, jnp.bfloat16(1), jnp.bfloat16(0))
     iota = jax.lax.broadcasted_iota(jnp.int32, (n_rows, blk), 0)
     return (iota == jnp.broadcast_to(ids_row, (n_rows, blk))).astype(
         dtype)
@@ -113,8 +122,8 @@ def _adam_apply(p_r, m_r, v_r, g, bc1, bc2, *, lr: float, b1: float,
 def _epoch_kernel(t0_ref, u_ref, i_ref, j_ref,
                   hbm_p, hbm_q, hbm_mp, hbm_vp, hbm_mq, hbm_vq,
                   p_ref, q_ref, mp_ref, vp_ref, mq_ref, vq_ref, loss_ref,
-                  dp_ref, dq_ref, sem,
-                  *, steps: int, blk: int, lr: float, reg: float,
+                  dp_ref, dq_ref, sem, *iota_refs,
+                  steps: int, blk: int, lr: float, reg: float,
                   b1: float, b2: float, eps: float):
     import jax.experimental.pallas as pl
 
@@ -129,12 +138,24 @@ def _epoch_kernel(t0_ref, u_ref, i_ref, j_ref,
                         (hbm_vp, vp_ref), (hbm_mq, mq_ref),
                         (hbm_vq, vq_ref)), sem)
 
+    iotas = iota_refs if iota_refs else None
+    if iotas:
+        # bf16 one-hot digit tables: one 32-bit-derived fill (the only
+        # retile) at grid step 0; every block then composes its one-hot
+        # from bf16-exact compares (see _onehot_t).
+        @pl.when(s == 0)
+        def _fill_iota():
+            lo_ref, hi_ref = iotas
+            r = jax.lax.broadcasted_iota(jnp.int32, lo_ref.shape, 0)
+            lo_ref[...] = (r % 128).astype(jnp.bfloat16)
+            hi_ref[...] = (r // 128).astype(jnp.bfloat16)
+
     # -- batch pass: grads into dp/dq scratch ---------------------------
     dp_ref[...] = jnp.zeros_like(dp_ref)
     dq_ref[...] = jnp.zeros_like(dq_ref)
     tdt = p_ref.dtype   # table storage dtype (f32 or bf16)
     onehot_t = lambda ids_row, n_rows: _onehot_t(ids_row, n_rows, blk,  # noqa: E731
-                                                 dtype=tdt)
+                                                 dtype=tdt, iotas=iotas)
     gather = _mxu_gather
 
     def block(kb, loss):
@@ -273,7 +294,9 @@ def fused_bpr_epoch(p, q, mp, vp, mq, vq, u_idx, i_idx, j_idx, t0,
             pltpu.VMEM((u_pad, d), jnp.float32),        # dP
             pltpu.VMEM((i_pad, d), jnp.float32),        # dQ
             pltpu.SemaphoreType.DMA((6,)),
-        ],
+        ] + ([pltpu.VMEM((max(u_pad, i_pad), 128), jnp.bfloat16),
+              pltpu.VMEM((max(u_pad, i_pad), 128), jnp.bfloat16)]
+             if table_dtype == jnp.bfloat16 else []),
         interpret=interpret,
     )(jnp.asarray([t0], jnp.int32), u_idx, i_idx, j_idx,
       p, q, mp, vp, mq, vq)
@@ -678,9 +701,11 @@ def _rows_kernel(t0_ref, *refs, steps: int, blk: int, sides: tuple,
     res = rest[3 * A:6 * A]
     loss_ref = rest[6 * A]
     grads = rest[6 * A + 1:6 * A + 1 + A]
-    sem = rest[-1]
+    sem = rest[6 * A + 1 + A]
+    iotas = rest[6 * A + 2 + A:] or None
     p_res, m_res, v_res = res[:A], res[A:2 * A], res[2 * A:]
     pu_ref, qi_ref = p_res[0], p_res[1]
+    tdt = pu_ref.dtype                 # table storage dtype (f32 / bf16)
 
     s = pl.program_id(0)
     u_pad = pu_ref.shape[0]
@@ -691,19 +716,29 @@ def _rows_kernel(t0_ref, *refs, steps: int, blk: int, sides: tuple,
     def _load_state():
         _load_resident(tuple(zip(hbm, res)), sem)
 
+    if iotas:
+        # bf16 one-hot digit tables (see _onehot_t / _epoch_kernel).
+        @pl.when(s == 0)
+        def _fill_iota():
+            lo_ref, hi_ref = iotas
+            r = jax.lax.broadcasted_iota(jnp.int32, lo_ref.shape, 0)
+            lo_ref[...] = (r % 128).astype(jnp.bfloat16)
+            hi_ref[...] = (r // 128).astype(jnp.bfloat16)
+
     for g in grads:
         g[...] = jnp.zeros_like(g)
-    ones_u = jnp.ones((u_pad, 1), jnp.float32)
+    ones_u = jnp.ones((u_pad, 1), tdt)
 
     def block(kb, loss):
         row = pl.ds(kb, 1)             # dynamic sublane, static lanes
         ohs = tuple(
             _onehot_t(plane_refs[p][0, row, :],
-                      u_pad if sides[p] == "u" else i_pad, blk)
+                      u_pad if sides[p] == "u" else i_pad, blk,
+                      dtype=tdt, iotas=iotas)
             for p in range(P))
-        w_t = (plane_refs[0][0, row, :] != u_pad - 1).astype(jnp.float32)
+        w_t = (plane_refs[0][0, row, :] != u_pad - 1).astype(tdt)
         lane2col = lambda v_t: jax.lax.dot_general(  # noqa: E731
-            ohs[0] * v_t, ones_u, (((0,), (0,)), ((), ())),
+            ohs[0] * v_t.astype(tdt), ones_u, (((0,), (0,)), ((), ())),
             preferred_element_type=jnp.float32)
         w_c = lane2col(w_t)
         floats = tuple(lane2col(float_refs[f][0, row, :])
@@ -711,12 +746,13 @@ def _rows_kernel(t0_ref, *refs, steps: int, blk: int, sides: tuple,
         rows = tuple(
             _mxu_gather(ohs[p], pu_ref if sides[p] == "u" else qi_ref)
             for p in range(P))
-        dense_vals = tuple(r[...] for r in p_res[2:])
+        dense_vals = tuple(r[...].astype(jnp.float32) for r in p_res[2:])
         lval, (g_rows, g_dv) = jax.value_and_grad(
             row_loss, argnums=(0, 2))(rows, floats, dense_vals, w_c)
         for p in range(P):
             grads[0 if sides[p] == "u" else 1][...] += jnp.dot(
-                ohs[p], g_rows[p], preferred_element_type=jnp.float32)
+                ohs[p], g_rows[p].astype(tdt),
+                preferred_element_type=jnp.float32)
         for k in range(nd):
             grads[2 + k][...] += g_dv[k]
         return loss + lval
@@ -730,12 +766,13 @@ def _rows_kernel(t0_ref, *refs, steps: int, blk: int, sides: tuple,
 
 
 @functools.partial(jax.jit, static_argnames=(
-    "sides", "row_loss", "lr", "b1", "b2", "eps", "blk", "interpret"))
+    "sides", "row_loss", "lr", "b1", "b2", "eps", "blk", "interpret",
+    "table_dtype"))
 def fused_rows_epoch(pu, qi, dense, mpu, mqi, mdense, vpu, vqi, vdense,
                      planes, floats, t0, *, sides: tuple, row_loss,
                      lr: float, b1: float = 0.9, b2: float = 0.999,
                      eps: float = 1e-8, blk: int = 256,
-                     interpret: bool = False):
+                     interpret: bool = False, table_dtype=jnp.float32):
     """One full multi-plane (social-triple family) training epoch in a
     single Pallas program with all params + Adam moments VMEM-resident.
 
@@ -762,6 +799,16 @@ def fused_rows_epoch(pu, qi, dense, mpu, mqi, mdense, vpu, vqi, vdense,
     u_pad, i_pad = sentinel_dims(u_real, i_real)
     nd, nf = len(dense), len(floats)
     d_shapes = tuple(x.shape for x in dense)
+    if table_dtype != jnp.float32:
+        # bf16 STORAGE (see fused_bpr_epoch): state + one-hots bf16,
+        # arithmetic f32, outputs returned upcast (lossless round-trip).
+        assert max(u_pad, i_pad) < (1 << 15), (
+            "bf16 rows plan requires digit-addressable tables")
+        cast = lambda t: tuple(x.astype(table_dtype) for x in t)  # noqa: E731
+        pu, qi = pu.astype(table_dtype), qi.astype(table_dtype)
+        mpu, mqi = mpu.astype(table_dtype), mqi.astype(table_dtype)
+        vpu, vqi = vpu.astype(table_dtype), vqi.astype(table_dtype)
+        dense, mdense, vdense = cast(dense), cast(mdense), cast(vdense)
     lift = lambda x: x.reshape((1, -1)) if x.ndim < 2 else x  # noqa: E731
     dense, mdense, vdense = (tuple(lift(x) for x in t)
                              for t in (dense, mdense, vdense))
@@ -800,19 +847,24 @@ def fused_rows_epoch(pu, qi, dense, mpu, mqi, mdense, vpu, vqi, vdense,
         + [hbm] * len(arrs),
         out_specs=tuple(full(sh) for sh in shapes)
         + (pl.BlockSpec(memory_space=pltpu.SMEM),),         # loss
-        out_shape=tuple(jax.ShapeDtypeStruct(sh, jnp.float32)
+        out_shape=tuple(jax.ShapeDtypeStruct(sh, table_dtype)
                         for sh in shapes)
         + (jax.ShapeDtypeStruct((steps,), jnp.float32),),
         scratch_shapes=[pltpu.VMEM(sh, jnp.float32)
                         for sh in shapes[:2 + nd]]
-        + [pltpu.SemaphoreType.DMA((len(arrs),))],
+        + [pltpu.SemaphoreType.DMA((len(arrs),))]
+        + ([pltpu.VMEM((max(u_pad, i_pad), 128), jnp.bfloat16),
+            pltpu.VMEM((max(u_pad, i_pad), 128), jnp.bfloat16)]
+           if table_dtype == jnp.bfloat16 else []),
         interpret=interpret,
     )(jnp.asarray([t0], jnp.int32), *planes, *floats, *arrs)
 
     A = 2 + nd
+    f32 = lambda x: x.astype(jnp.float32)  # noqa: E731
     unlift = lambda t: tuple(  # noqa: E731
-        x.reshape(sh) for x, sh in zip(t, d_shapes))
-    group = lambda k: (outs[k * A][:u_real], outs[k * A + 1][:i_real],  # noqa: E731
+        f32(x).reshape(sh) for x, sh in zip(t, d_shapes))
+    group = lambda k: (f32(outs[k * A][:u_real]),  # noqa: E731
+                       f32(outs[k * A + 1][:i_real]),
                        unlift(outs[k * A + 2:(k + 1) * A]))
     (pu_o, qi_o, dense_o) = group(0)
     (mpu_o, mqi_o, mdense_o) = group(1)
@@ -823,19 +875,26 @@ def fused_rows_epoch(pu, qi, dense, mpu, mqi, mdense, vpu, vqi, vdense,
 
 def plan_fused_rows(u_real: int, i_real: int, tw_u: int, tw_i: int,
                     dense_elems: int, b: int, n_u_planes: int,
-                    n_i_planes: int, nf: int):
+                    n_i_planes: int, nf: int, bf16: bool = False):
     """Block size for the generic multi-plane fused epoch, or None
     (scan fallback).  Charges every plane's one-hot as simultaneously
-    live (they are, within a block)."""
+    live (they are, within a block).  ``bf16``: bf16 STORAGE sizing
+    (p/m/v + one-hots bf16, grad scratch f32, + the digit-iota
+    scratch) — see fused_rows_epoch(table_dtype=...)."""
     u_pad, i_pad = sentinel_dims(u_real, i_real)
-    state = 4 * 4 * (u_pad * tw_u + i_pad * tw_i + dense_elems)
+    if bf16 and max(u_pad, i_pad) >= (1 << 15):
+        return None
+    elem = 2 if bf16 else 4
+    # p/m/v copies in the table dtype + the f32 grad scratch.
+    state = (3 * elem + 4) * (u_pad * tw_u + i_pad * tw_i + dense_elems)
+    iota = 2 * 2 * max(u_pad, i_pad) * 128 if bf16 else 0
     for blk in (256, 128):
         lanes = max(blk, 128)
-        onehots = 4 * lanes * (n_u_planes * u_pad + n_i_planes * i_pad)
+        onehots = elem * lanes * (n_u_planes * u_pad + n_i_planes * i_pad)
         idx = 2 * (n_u_planes + n_i_planes + nf) * 4 * (
             _round_up(b, blk) // blk) * lanes
         acts = 4 * lanes * 4 * (tw_u + tw_i)
-        if state + onehots + idx + acts < FUSED_VMEM_BUDGET:
+        if state + onehots + idx + acts + iota < FUSED_VMEM_BUDGET:
             return blk
     return None
 
@@ -1614,7 +1673,9 @@ def vmem_footprint_bytes(u_real: int, i_real: int, d: int, b: int,
     # the pipeline; like the one-hots they physically occupy >= 128
     # lanes per row regardless of blk (b is padded to a blk multiple).
     idx = 2 * idx_planes * 4 * (_round_up(b, blk) // blk) * max(blk, 128)
-    return state + scratch + onehots + idx
+    # bf16 one-hot digit scratch (lo + hi iota tables, _onehot_t).
+    iota = 2 * 2 * max(u_pad, i_pad) * 128 if bf16 else 0
+    return state + scratch + onehots + idx + iota
 
 
 FUSED_VMEM_BUDGET = 13 * 2 ** 20

@@ -275,8 +275,17 @@ class Trainer:
                             f"(slabs {su}/{si}, blk {blk}, state stays "
                             "in HBM)")
                     return True
-            self._fused_plan = plan_fused_rows(*dims)
+            self._fused_bf16 = self.cfg.bool("train.fused_bf16", False)
+            self._fused_plan = plan_fused_rows(*dims,
+                                               bf16=self._fused_bf16)
+            if self._fused_bf16 and self._fused_plan is None:
+                self._fused_bf16 = False
+                self._fused_plan = plan_fused_rows(*dims)
             if self._fused_plan is not None:
+                if self._fused_bf16 and self.logger:
+                    self.logger.info(
+                        "fused epoch kernel: bf16 table storage "
+                        "(f32 compute, train.fused_bf16)")
                 return True
             if self.logger:
                 self.logger.info(
@@ -663,7 +672,8 @@ class Trainer:
                 kernel = functools.partial(fused_rows_epoch_stream,
                                            slab_u=slab_u, slab_i=slab_i)
             else:
-                kernel = fused_rows_epoch
+                kernel = functools.partial(fused_rows_epoch,
+                                           table_dtype=table_dtype)
             outs = kernel(
                 packs[0][0], packs[0][1], packs[0][2],
                 packs[1][0], packs[1][1], packs[1][2],

@@ -1193,3 +1193,42 @@ def test_fused_bf16_trainer_trains(toy_dataset):
     for k in r32:
         for a, b in zip(r32[k], r16[k]):
             assert b == pytest.approx(a, abs=0.08), (k, r32[k], r16[k])
+
+
+def test_lrml_bf16_rows_trainer(toy_dataset):
+    """train.fused_bf16 on the rows protocol (LRML): the bf16-resident
+    epoch trains, loss tracks the f32 fused arm, and state stays
+    bf16-representable; plan-wise, bf16 accepts LRML's ml-1m dims
+    (the f32 plan declines them -> fused_path false in ML1M_RUNS)."""
+    from cleverrec_tpu.ops.pallas_train import plan_fused_rows
+    # LRML @ ml-1m dims: planes (u, i, j), tw 64, dense K/M (2*64*20).
+    assert plan_fused_rows(6040, 3706, 64, 64, 2 * 64 * 20,
+                           6144, 1, 2, 0) is None
+    assert plan_fused_rows(6040, 3706, 64, 64, 2 * 64 * 20,
+                           6144, 1, 2, 0, bf16=True) is not None
+
+    ov = {"epoches": "2", "batch_size": "64", "embed_size": "16",
+          "lr": "0.05", "neg_ratio": "2", "is_pairwise": "True",
+          "loss_func": "hinge", "margin": "0.2", "reg": "0.01",
+          "mem_size": "6", "stddev": "0.1", "recommender": "LRML",
+          "train.fused_kernel": "True"}
+    cfg32 = base_config(toy_dataset, **ov)
+    cfg16 = base_config(toy_dataset, **ov, **{"train.fused_bf16": "True"})
+    data = load_ranking_data(cfg32)
+    model = make_model(cfg32, DataMeta(data.user_nums, data.item_nums))
+    t32 = Trainer(model, data, cfg32)
+    t16 = Trainer(model, data, cfg16)
+    assert not t32._fused_bf16 and t16._fused_bf16
+    p0, o0 = t32.init_state()
+    p1, o1 = t16.init_state()
+    l32 = l16 = None
+    for _ in range(2):
+        p0, o0, l32 = t32.train_epoch(p0, o0)
+        p1, o1, l16 = t16.train_epoch(p1, o1)
+    assert l16 == pytest.approx(l32, rel=5e-2), (l32, l16)
+    for k in p1:
+        x = jnp.asarray(p1[k])
+        np.testing.assert_array_equal(
+            np.asarray(x),
+            np.asarray(x.astype(jnp.bfloat16).astype(jnp.float32)),
+            err_msg=k)
