@@ -201,6 +201,20 @@ class Evaluator:
         else:
             rows = np.asarray(dd.seen.rows)[users]
             out["rows"] = jnp.asarray(rows.reshape(nb, bt, rows.shape[1]))
+            if (self.mode == "full_fused"
+                    and self.cfg.bool("eval.device_bitmaps", True)):
+                # Past the GLOBAL bitmap budget only the [U, W] table is
+                # too big — the TEST USERS' bitmaps are training-
+                # invariant and usually fit, so build them ONCE here
+                # instead of per batch per eval inside the hot scan
+                # (rows_to_bits on every eval step; round-4 breakdown).
+                words = cdiv(dd.item_nums, 32)
+                budget = self.cfg.int("eval.test_bitmap_budget_mb", 512)
+                if padded * words * 4 <= budget * 2 ** 20:
+                    from cleverrec_tpu.sampling import rows_to_bits
+                    out["bits"] = jax.jit(jax.vmap(
+                        lambda r: rows_to_bits(r, dd.item_nums)))(
+                            out.pop("rows"))
         return out
 
     def _metric_sums(self, rec, real, row_w):

@@ -136,13 +136,14 @@ def fused_dot_topk_scores(u_vecs: jax.Array, q_table: jax.Array,
     else:
         i = q_table.shape[0]
         i_padded = i + ((-i) % BLOCK_I)
-    if i_padded >= (1 << 17):
-        # Very wide catalogs: the per-tile working set (double-buffered
-        # [block_b, 4096] score block + q slab + the group-max temps)
-        # sits 16.13MB > the 16MB scoped-VMEM limit at block_b=256
-        # (measured OOM at 319k items); halve the user block — these
-        # shapes are HBM-bound, so MXU utilization doesn't care.
-        block_b = min(block_b, 128)
+    # The per-tile working set (double-buffered [block_b, 4096] score
+    # block + q slab + bitmap words + the group-max temps) measures
+    # 16.13MB > the 16MB scoped-VMEM limit at block_b=256 — the gmax
+    # additions pushed the round-3 layout just over, at ANY tile count
+    # (OOMs measured at both 319k and 103k items).  block_b=128 keeps
+    # the whole pipeline ~8MB; these shapes are HBM-bound, so the MXU
+    # doesn't care about the narrower user block.
+    block_b = min(block_b, 128)
     grid = (cdiv(b, block_b), i_padded // BLOCK_I)
     b_pad = grid[0] * block_b - b
     i_pad = i_padded - i

@@ -73,8 +73,15 @@ def _onehot_t(ids_row, n_rows: int, blk: int, dtype=jnp.float32,
             (ids_row % 128).astype(jnp.bfloat16), (n_rows, blk))
         ids_hi = jnp.broadcast_to(
             (ids_row // 128).astype(jnp.bfloat16), (n_rows, blk))
-        eq = (lo_b == ids_lo) & (hi_b == ids_hi)
-        return jnp.where(eq, jnp.bfloat16(1), jnp.bfloat16(0))
+        # Equality as ARITHMETIC (v5e rejects bf16 comparisons: "Target
+        # does not support this comparison"): digits are exact small
+        # ints, so |a - b| is 0 when equal and >= 1 otherwise, and
+        # relu(1 - |a - b|) is an exact 0/1 indicator in bf16.
+        one = jnp.bfloat16(1)
+        zero = jnp.bfloat16(0)
+        eq_lo = jnp.maximum(one - jnp.abs(lo_b - ids_lo), zero)
+        eq_hi = jnp.maximum(one - jnp.abs(hi_b - ids_hi), zero)
+        return eq_lo * eq_hi
     iota = jax.lax.broadcasted_iota(jnp.int32, (n_rows, blk), 0)
     return (iota == jnp.broadcast_to(ids_row, (n_rows, blk))).astype(
         dtype)
@@ -888,9 +895,12 @@ def plan_fused_rows(u_real: int, i_real: int, tw_u: int, tw_i: int,
     # p/m/v copies in the table dtype + the f32 grad scratch.
     state = (3 * elem + 4) * (u_pad * tw_u + i_pad * tw_i + dense_elems)
     iota = 2 * 2 * max(u_pad, i_pad) * 128 if bf16 else 0
+    # bf16 digit-construction temporaries (see vmem_footprint_bytes).
+    oh_mult = 4 if bf16 else 1
     for blk in (256, 128):
         lanes = max(blk, 128)
-        onehots = elem * lanes * (n_u_planes * u_pad + n_i_planes * i_pad)
+        onehots = (oh_mult * elem * lanes
+                   * (n_u_planes * u_pad + n_i_planes * i_pad))
         idx = 2 * (n_u_planes + n_i_planes + nf) * 4 * (
             _round_up(b, blk) // blk) * lanes
         acts = 4 * lanes * 4 * (tw_u + tw_i)
@@ -1668,7 +1678,12 @@ def vmem_footprint_bytes(u_real: int, i_real: int, d: int, b: int,
     # One-hot buffers physically occupy >= 128 lanes (f32 (8, 128)
     # tiling) no matter how narrow blk is — accounting with raw blk=64
     # once under-planned an 18MB layout past the 16MB VMEM limit.
-    onehots = elem * max(blk, 128) * (u_pad + oh_items * i_pad)
+    # bf16's arithmetic digit construction keeps ~3 extra table-height
+    # temporaries live per one-hot (broadcast digits + indicators):
+    # calibrated against measured scoped allocations — ml-1m@64 bf16
+    # really is 20.6MB (fails), ml-100k@256 and 3000x2500@64 compile.
+    oh_mult = 4 if bf16 else 1
+    onehots = oh_mult * elem * max(blk, 128) * (u_pad + oh_items * i_pad)
     # Index tiles are [b/blk, blk] int32 per plane, double-buffered by
     # the pipeline; like the one-hots they physically occupy >= 128
     # lanes per row regardless of blk (b is padded to a blk multiple).

@@ -1156,15 +1156,18 @@ def test_fused_bpr_bf16_storage_close_to_f32():
     assert float(bf_out[6]) == pytest.approx(float(f32_out[6]), rel=2e-2)
 
 
-def test_fused_bf16_plan_doubles_capacity():
-    """bf16 planning accepts the north-star BPR ml-1m @ embed-64 shape
-    the f32 plan rejects (13.01MB, a hair over the 13MB budget — it
-    runs GROUPED today), and declines tables too tall for i16 one-hot
-    ids."""
+def test_fused_bf16_plan_extends_capacity():
+    """bf16 planning accepts STATE-dominated shapes the f32 plan
+    rejects (ml-100k @ embed 256 — grouped today; compile-calibrated
+    on chip), and declines both digit-unaddressable tables (>= 32768
+    rows) and one-hot-dominated shapes whose construction temporaries
+    eat the savings (ml-1m @ 64 measured 20.6MB scoped — a real
+    fail)."""
     from cleverrec_tpu.ops.pallas_train import plan_fused
-    assert plan_fused(6040, 3706, 64, 6144) is None
-    assert plan_fused(6040, 3706, 64, 6144, bf16=True) is not None
-    assert plan_fused(40000, 3706, 64, 6144, bf16=True) is None
+    assert plan_fused(943, 1682, 256, 6144) is None
+    assert plan_fused(943, 1682, 256, 6144, bf16=True) is not None
+    assert plan_fused(6040, 3706, 64, 6144, bf16=True) is None
+    assert plan_fused(20000, 1682, 256, 6144, bf16=True) is None
 
 
 def test_fused_bf16_trainer_trains(toy_dataset):
@@ -1198,13 +1201,19 @@ def test_fused_bf16_trainer_trains(toy_dataset):
 def test_lrml_bf16_rows_trainer(toy_dataset):
     """train.fused_bf16 on the rows protocol (LRML): the bf16-resident
     epoch trains, loss tracks the f32 fused arm, and state stays
-    bf16-representable; plan-wise, bf16 accepts LRML's ml-1m dims
-    (the f32 plan declines them -> fused_path false in ML1M_RUNS)."""
+    bf16-representable.  Plan economics: the 3-plane rows protocol is
+    one-hot-dominated, and bf16's digit-construction temporaries cost
+    more than f32's plain one-hots — so bf16 plans only where the
+    STATE term dominates (wide tables), and LRML's ml-1m dims decline
+    in both dtypes (honest: ml-1m LRML stays scan)."""
     from cleverrec_tpu.ops.pallas_train import plan_fused_rows
     # LRML @ ml-1m dims: planes (u, i, j), tw 64, dense K/M (2*64*20).
     assert plan_fused_rows(6040, 3706, 64, 64, 2 * 64 * 20,
                            6144, 1, 2, 0) is None
     assert plan_fused_rows(6040, 3706, 64, 64, 2 * 64 * 20,
+                           6144, 1, 2, 0, bf16=True) is None
+    # A state-dominated rows shape still plans in bf16.
+    assert plan_fused_rows(2500, 2000, 96, 96, 2 * 96 * 20,
                            6144, 1, 2, 0, bf16=True) is not None
 
     ov = {"epoches": "2", "batch_size": "64", "embed_size": "16",

@@ -460,8 +460,11 @@ def test_streaming_topk_grouped_chunks():
 
 def test_fused_eval_device_bitmaps_matches_full(tmp_path):
     """full_fused past the global bitmap budget (seen.bits=None): the
-    batches carry sorted rows, the kernel's bitmaps are built on device
-    per batch, and metrics match the dense evaluator exactly."""
+    TEST USERS' bitmaps are built on device ONCE at Evaluator init
+    (training-invariant — round 4 hoisted the per-batch rows_to_bits
+    out of the eval scan), and metrics match the dense evaluator
+    exactly.  A zero test-bitmap budget falls back to per-batch
+    building from rows."""
     import dataclasses
 
     from cleverrec_tpu.data import load_ranking_data
@@ -490,10 +493,20 @@ def test_fused_eval_device_bitmaps_matches_full(tmp_path):
     cfg_fused = base_config(toy, **{**base, "eval.fused_kernel": "True"})
     ev = Evaluator(model, dd_nobits, cfg_fused)
     assert ev.mode == "full_fused"
-    assert "bits" not in ev._batches and "rows" in ev._batches
+    assert "bits" in ev._batches and "rows" not in ev._batches
     r_fused = ev.evaluate(params, t_full.arrays)
     for k in r_full:
         assert r_fused[k] == pytest.approx(r_full[k], abs=1e-6), k
+
+    # Budget 0 -> the rows path with per-batch device bitmap building.
+    cfg_rows = base_config(toy, **{**base, "eval.fused_kernel": "True",
+                                   "eval.test_bitmap_budget_mb": "0"})
+    ev_rows = Evaluator(model, dd_nobits, cfg_rows)
+    assert ev_rows.mode == "full_fused"
+    assert "rows" in ev_rows._batches and "bits" not in ev_rows._batches
+    r_rows = ev_rows.evaluate(params, t_full.arrays)
+    for k in r_full:
+        assert r_rows[k] == pytest.approx(r_full[k], abs=1e-6), k
 
 
 def test_rank_fused_tile_pruned_exact():
