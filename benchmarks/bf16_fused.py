@@ -70,7 +70,11 @@ def main():
         best = tr.run()
         wall = time.time() - t0
         p, o = tr.params, tr.opt_state
+        # Warm BOTH program shapes (1-epoch and 8-epoch scans compile
+        # separately) before timing — an earlier version warmed only
+        # the 1-epoch shape and timed the 8-epoch compile as epochs.
         p, o, _ = tr.train_epochs(p, o, 1)
+        p, o, _ = tr.train_epochs(p, o, 8)
         t0 = time.time()
         p, o, _ = tr.train_epochs(p, o, 1)
         t1 = time.time() - t0

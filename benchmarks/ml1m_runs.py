@@ -116,9 +116,12 @@ def run_ours(name, epochs, neg, embed=None, seed=42, path="auto",
     if path == "scan":
         cfg._v["train.fused_kernel"] = "False"
     elif path == "bf16":
-        # bf16 table storage: ml-1m @ embed 64 fits the bf16 RESIDENT
-        # plan (the f32 plan is 13.01MB — a hair over budget — so the
-        # f32 arm runs the grouped tier).
+        # bf16 table storage opt-in.  NOTE: after the round-4 planner
+        # recalibration (bf16's digit one-hots keep ~3 extra
+        # table-height temporaries live; ml-1m @ 64 measures 20.6MB
+        # scoped) this shape honestly DECLINES bf16-resident and runs
+        # grouped either way — the recorded bf16 resident demo is
+        # ml-100k @ embed 256 (benchmarks/bf16_fused.py).
         cfg._v["train.fused_bf16"] = "True"
     data = load_ranking_data(cfg)
     model = make_model(cfg, DataMeta(data.user_nums, data.item_nums))

@@ -38,16 +38,14 @@ GROUP_I = 128   # group-max granularity (one lane-window reduce each)
 _GROUPS = BLOCK_I // GROUP_I  # 32 real group maxes per tile
 
 
-def _kernel(u_ref, q_ref, bits_ref, bias_ref, out_ref, gmax_ref, *,
-            interpret: bool):
-    """One tile: scores[:, c] = u . q_perm[c] + bias_perm[c], masked by
-    bit test word = c % 128, bit = c // 128 of the user's seen bitmap;
-    also emits per-128-column GROUP maxes (free here in VMEM — they feed
-    the exact group-pruned top-k, which otherwise pays a full [B, I]
-    HBM re-read to reduce; round-3 verdict item 2).  The tile's 32
-    group maxes fill the first 32 lanes of a 128-lane output block
-    (Mosaic's minimum lane tile); lanes 32.. carry the NEG sentinel and
-    can never win a top-k."""
+def _masked_tile(u_ref, q_ref, bits_ref, bias_ref, *, interpret: bool):
+    """Shared tile body: scores[:, c] = u . q_perm[c] + bias_perm[c],
+    masked by bit test word = c % 128, bit = c // 128 of the user's seen
+    bitmap, plus the per-128-column GROUP maxes (free here in VMEM —
+    they feed the exact group-pruned top-k; round-3 verdict item 2).
+    The tile's 32 group maxes fill the first 32 lanes of a 128-lane
+    output block (Mosaic's minimum lane tile); lanes 32.. carry the NEG
+    sentinel and can never win a top-k."""
     from jax.experimental.pallas import tpu as pltpu
 
     scores = jnp.dot(u_ref[...], q_ref[...].T,
@@ -61,13 +59,32 @@ def _kernel(u_ref, q_ref, bits_ref, bias_ref, out_ref, gmax_ref, *,
     col = jax.lax.broadcasted_iota(jnp.uint32, scores.shape, 1)
     seen = ((rep >> (col >> 7)) & 1) == 1
     masked = jnp.where(seen, NEG, scores)
-    out_ref[...] = masked
     # Static lane-window reduces: the one group-max form Mosaic accepts
     # (a [bm, 32, 128] reshape-max fails to compile; measured probe).
     parts = [jnp.max(masked[:, g * GROUP_I:(g + 1) * GROUP_I], axis=1,
                      keepdims=True) for g in range(_GROUPS)]
     pad = jnp.full((masked.shape[0], GROUP_I - _GROUPS), NEG, jnp.float32)
-    gmax_ref[...] = jnp.concatenate(parts + [pad], axis=1)
+    return masked, jnp.concatenate(parts + [pad], axis=1)
+
+
+def _kernel(u_ref, q_ref, bits_ref, bias_ref, out_ref, gmax_ref, *,
+            interpret: bool):
+    masked, gmax = _masked_tile(u_ref, q_ref, bits_ref, bias_ref,
+                                interpret=interpret)
+    out_ref[...] = masked
+    gmax_ref[...] = gmax
+
+
+def _kernel_gmax_only(u_ref, q_ref, bits_ref, bias_ref, gmax_ref, *,
+                      interpret: bool):
+    """Group maxes WITHOUT the [B, I] score write: the masked score tile
+    lives and dies in VMEM.  Callers rescue the winning groups' scores
+    by recomputing them from the table rows (ranking.rank_fused) — the
+    [B, I_pad] HBM write + re-read this kernel variant deletes is ~2x
+    the rescue gather's traffic at d=64."""
+    masked, gmax = _masked_tile(u_ref, q_ref, bits_ref, bias_ref,
+                                interpret=interpret)
+    gmax_ref[...] = gmax
 
 
 def _column_permutation(i_padded: int) -> np.ndarray:
@@ -125,9 +142,82 @@ def fused_dot_topk_scores(u_vecs: jax.Array, q_table: jax.Array,
     Rank the scores as-is and translate the top-k indices:
         v, idx = lax.top_k(scores, k); items = item_map[idx]
     """
+    args, meta = _prepare(u_vecs, q_table, seen_bits, block_b,
+                          pre_permuted, item_nums, bias)
+    b, b_pad, i_padded, block_b, grid, d, item_map = meta
     from jax.experimental import pallas as pl
     from jax.experimental.pallas import tpu as pltpu
+    out, gmax = pl.pallas_call(
+        functools.partial(_kernel, interpret=interpret),
+        out_shape=(
+            jax.ShapeDtypeStruct((b + b_pad, i_padded), jnp.float32),
+            jax.ShapeDtypeStruct((b + b_pad, i_padded // 32),
+                                 jnp.float32),
+        ),
+        grid=grid,
+        in_specs=_in_specs(pl, pltpu, block_b, d),
+        out_specs=(
+            pl.BlockSpec((block_b, BLOCK_I), lambda bi, ii: (bi, ii),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((block_b, GROUP_I), lambda bi, ii: (bi, ii),
+                         memory_space=pltpu.VMEM),
+        ),
+        interpret=interpret,
+    )(*args)
+    return out[:b], gmax[:b], jnp.asarray(item_map)
 
+
+@functools.partial(jax.jit, static_argnames=("block_b", "interpret",
+                                             "item_nums"))
+def fused_dot_gmax(u_vecs: jax.Array, q_perm: jax.Array,
+                   seen_bits: jax.Array, block_b: int = 128,
+                   interpret: bool = False,
+                   item_nums: int | None = None,
+                   bias_perm: jax.Array | None = None) -> jax.Array:
+    """Masked per-128-column GROUP maxes only — the [B, I_padded] score
+    matrix never leaves VMEM (the write is ~1.3GB/batch at 320k items,
+    and the group-pruned rescue re-read doubled it; round-4 eval tail).
+    Inputs must be PRE-permuted (``permute_item_table``); returns gmax
+    [B, I_padded/32] in the padded lane layout of
+    ``fused_dot_topk_scores``.  Callers recover the winning groups'
+    exact scores by recomputing u . q_perm[col] for the k*128 candidate
+    columns (ranking.rank_fused) — bit-identical to the kernel's dot
+    (same f32 MXU contraction over d)."""
+    assert item_nums is not None, "fused_dot_gmax needs item_nums"
+    args, meta = _prepare(u_vecs, q_perm, seen_bits, block_b,
+                          True, item_nums, bias_perm)
+    b, b_pad, i_padded, block_b, grid, d, _ = meta
+    from jax.experimental import pallas as pl
+    from jax.experimental.pallas import tpu as pltpu
+    gmax = pl.pallas_call(
+        functools.partial(_kernel_gmax_only, interpret=interpret),
+        out_shape=jax.ShapeDtypeStruct((b + b_pad, i_padded // 32),
+                                       jnp.float32),
+        grid=grid,
+        in_specs=_in_specs(pl, pltpu, block_b, d),
+        out_specs=pl.BlockSpec((block_b, GROUP_I), lambda bi, ii: (bi, ii),
+                               memory_space=pltpu.VMEM),
+        interpret=interpret,
+    )(*args)
+    return gmax[:b]
+
+
+def _in_specs(pl, pltpu, block_b: int, d: int):
+    return [
+        pl.BlockSpec((block_b, d), lambda bi, ii: (bi, 0),
+                     memory_space=pltpu.VMEM),
+        pl.BlockSpec((BLOCK_I, d), lambda bi, ii: (ii, 0),
+                     memory_space=pltpu.VMEM),
+        pl.BlockSpec((block_b, _WORDS), lambda bi, ii: (bi, ii),
+                     memory_space=pltpu.VMEM),
+        pl.BlockSpec((1, BLOCK_I), lambda bi, ii: (0, ii),
+                     memory_space=pltpu.VMEM),
+    ]
+
+
+def _prepare(u_vecs, q_table, seen_bits, block_b, pre_permuted,
+             item_nums, bias):
+    """Shared padding/permutation setup for both kernel variants."""
     b, d = u_vecs.shape
     if pre_permuted:
         assert item_nums is not None, "pre_permuted needs item_nums"
@@ -174,31 +264,6 @@ def fused_dot_topk_scores(u_vecs: jax.Array, q_table: jax.Array,
                                     - bias.shape[0]))[jnp.asarray(item_map)])
     if bias_perm is None:
         bias_perm = jnp.zeros((i_padded,), jnp.float32)
-
-    out, gmax = pl.pallas_call(
-        functools.partial(_kernel, interpret=interpret),
-        out_shape=(
-            jax.ShapeDtypeStruct((b + b_pad, i_padded), jnp.float32),
-            jax.ShapeDtypeStruct((b + b_pad, i_padded // 32),
-                                 jnp.float32),
-        ),
-        grid=grid,
-        in_specs=[
-            pl.BlockSpec((block_b, d), lambda bi, ii: (bi, 0),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((BLOCK_I, d), lambda bi, ii: (ii, 0),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((block_b, _WORDS), lambda bi, ii: (bi, ii),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, BLOCK_I), lambda bi, ii: (0, ii),
-                         memory_space=pltpu.VMEM),
-        ],
-        out_specs=(
-            pl.BlockSpec((block_b, BLOCK_I), lambda bi, ii: (bi, ii),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((block_b, GROUP_I), lambda bi, ii: (bi, ii),
-                         memory_space=pltpu.VMEM),
-        ),
-        interpret=interpret,
-    )(u_vecs, q_perm, seen_bits, bias_perm[None, :])
-    return out[:b], gmax[:b], jnp.asarray(item_map)
+    args = (u_vecs, q_perm, seen_bits, bias_perm[None, :])
+    return args, (b, b_pad, i_padded, block_b, grid, d,
+                  jnp.asarray(item_map))

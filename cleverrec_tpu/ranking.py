@@ -196,73 +196,95 @@ def rank_fused(model, params, aux, u, seen_bits, k: int,
     Group-pruned selection (exact — the ops/topk.grouped_topk argument
     at group=128): any 128-column group holding a top-k item has
     group-max >= the k-th score, and at most k groups can, so top-k
-    over the in-kernel group maxes, a batched one-hot MXU rescue of
-    those k groups' columns, and a [B, k*128] top_k recover the exact
-    top-k VALUES (tie ORDER may differ from a full-row lax.top_k).
-    Replaces the round-3 tile-pruned path (top-k over 4096-wide tile
-    maxes + a [B, k*4096] sort, ~12ms per [1024, 320k] batch on v5e):
-    the only remaining full-width HBM traffic is the kernel's score
-    write and the rescue's one re-read.  Narrow catalogs rank the full
-    row directly."""
-    from cleverrec_tpu.ops.pallas_scores import (GROUP_I,
-                                                 fused_dot_topk_scores)
+    over the in-kernel group maxes, then an exact RESCUE of those k
+    groups' scores.  Round 4 deleted the [B, I_pad] score matrix from
+    the pruned path entirely (fused_dot_gmax): the rescue recomputes
+    the k*128 candidate scores from the gathered table rows
+    (u . q_perm[col] — the same f32 MXU contraction the kernel ran, so
+    values match bit-for-bit) instead of re-reading HBM scores.  At
+    [1024 x 320k] d=64 that swaps ~2.6GB of score write+re-read for a
+    ~0.7GB row gather.  Narrow catalogs keep the full-scores kernel
+    and rank the row directly."""
+    from cleverrec_tpu.ops.pallas_scores import (
+        BLOCK_I, GROUP_I, NEG, fused_dot_gmax, fused_dot_topk_scores,
+        permute_item_table)
     u_vecs, table, bias = model.dot_decomposition(params, u, aux)
     if model.cml_like:
         # Negate INSIDE the dot (-u).q so the kernel's -3e38 seen mask
         # stays the worst score; never negate after masking.
         u_vecs = -u_vecs
         bias = None if bias is None else -bias
+    i_real = model.meta.item_nums if pre is not None else table.shape[0]
+    n = i_real + ((-i_real) % BLOCK_I)                     # padded width
+    n_groups = n // GROUP_I
+    b = u_vecs.shape[0]
+    if not (n >= 8192 and n_groups >= 2 * k):
+        # Narrow catalog: full masked scores + a plain row top_k.
+        if pre is not None:
+            q_perm, bias_perm, item_map = pre
+            scores, _, _ = fused_dot_topk_scores(
+                u_vecs, q_perm, seen_bits, interpret=interpret,
+                pre_permuted=True, item_nums=i_real, bias=bias_perm)
+        else:
+            scores, _, item_map = fused_dot_topk_scores(
+                u_vecs, table, seen_bits, interpret=interpret, bias=bias)
+        v, idx = jax.lax.top_k(scores, k)
+        return jnp.where(v > -1e37, v, -jnp.inf), item_map[idx]
+
     if pre is not None:
         q_perm, bias_perm, item_map = pre
-        scores, gmax, _ = fused_dot_topk_scores(
-            u_vecs, q_perm, seen_bits, interpret=interpret,
-            pre_permuted=True, item_nums=model.meta.item_nums,
-            bias=bias_perm)
     else:
-        scores, gmax, item_map = fused_dot_topk_scores(
-            u_vecs, table, seen_bits, interpret=interpret, bias=bias)
-    b, n = scores.shape
-    n_groups = n // GROUP_I
-    if n >= 8192 and n_groups >= 2 * k:
-        # gmax lane t*128 + j (j < 32) is tile t's group j; pad lanes
-        # (j >= 32) carry NEG and only surface when a row has fewer
-        # than k unmasked groups — clamp keeps their ids in range (the
-        # -inf -> PAD remap below drops them from the metrics).
-        # Hierarchical group selection: grouped_topk over the gmax row
-        # (its own 128-lane groups are exactly the kernel's TILES, pad
-        # lanes included) beats a plain [B, n/32] sort ~2.6x on chip.
-        from cleverrec_tpu.ops.topk import grouped_topk
-        _, gi = grouped_topk(gmax, k, min_cols=4096)       # [B, k]
-        gflat = ((gi // 128) * 32
-                 + jnp.minimum(gi % 128, 31))              # flat group id
-        onehot = (gflat[:, :, None] == jax.lax.broadcasted_iota(
-            jnp.int32, (1, 1, n_groups), 2)).astype(jnp.float32)
-        s3 = scores.reshape(b, n_groups, GROUP_I)
-        # Batched one-hot MXU rescue (a take_along_axis element gather
-        # here scalar-gathers at ~23ns/element); scores are >= NEG by
-        # kernel construction, so 0 * score never makes a NaN.
-        cand = jax.lax.dot_general(
-            onehot, s3, (((2,), (1,)), ((0,), (0,))),
-            preferred_element_type=jnp.float32)            # [B, k, 128]
-        # Final selection by k-fold max extraction: k unrolled
-        # max+argmax+mask passes over [B, k*128] measured ~3.7x faster
-        # than lax.top_k's sort on chip; argmax's first-index tie rule
-        # matches top_k's lowest-index order exactly.
-        c = cand.reshape(b, k * GROUP_I)
-        lanes = jax.lax.broadcasted_iota(jnp.int32, c.shape, 1)
-        vs, cis = [], []
-        for _ in range(k):
-            m = jnp.max(c, axis=1)
-            a = jnp.argmax(c, axis=1)
-            vs.append(m)
-            cis.append(a)
-            c = jnp.where(lanes == a[:, None], -jnp.inf, c)
-        v = jnp.stack(vs, axis=1)
-        ci = jnp.stack(cis, axis=1)
-        grp = jnp.take_along_axis(gflat, ci // GROUP_I, axis=1)
-        idx = grp * GROUP_I + ci % GROUP_I
-    else:
-        v, idx = jax.lax.top_k(scores, k)
+        q_perm, item_map = permute_item_table(table)
+        bias_perm = (None if bias is None else
+                     jnp.pad(bias, (0, item_map.shape[0]
+                                    - bias.shape[0]))[item_map])
+    gmax = fused_dot_gmax(u_vecs, q_perm, seen_bits, interpret=interpret,
+                          item_nums=i_real, bias_perm=bias_perm)
+    # gmax lane t*128 + j (j < 32) is tile t's group j; pad lanes
+    # (j >= 32) carry NEG and only surface when a row has fewer
+    # than k unmasked groups — clamp keeps their ids in range (the
+    # -inf -> PAD remap below drops them from the metrics).
+    # Hierarchical group selection: grouped_topk over the gmax row
+    # (its own 128-lane groups are exactly the kernel's TILES, pad
+    # lanes included) beats a plain [B, n/32] sort ~2.6x on chip.
+    from cleverrec_tpu.ops.topk import grouped_topk
+    _, gi = grouped_topk(gmax, k, min_cols=4096)           # [B, k]
+    gflat = ((gi // 128) * 32
+             + jnp.minimum(gi % 128, 31))                  # flat group id
+    cols = (gflat[:, :, None] * GROUP_I
+            + jax.lax.broadcasted_iota(jnp.int32, (b, k, GROUP_I), 2))
+    ids = item_map[cols]                                   # [B, k, 128]
+    # Recompute the candidates' masked scores: gather the k*128 table
+    # rows and redo the dot (bit-identical to the kernel's — same f32
+    # MXU contraction over d), re-apply bias and the seen-bit mask.
+    qc = q_perm[cols]                                      # [B, k, 128, d]
+    cand = jax.lax.dot_general(
+        qc, u_vecs, (((3,), (1,)), ((0,), (0,))),
+        preferred_element_type=jnp.float32)                # [B, k, 128]
+    if bias_perm is not None:
+        cand = cand + bias_perm[cols]
+    words = jnp.minimum(ids >> 5, seen_bits.shape[1] - 1)
+    bits = jnp.take_along_axis(seen_bits, words.reshape(b, -1),
+                               axis=1).reshape(ids.shape)
+    seen = ((bits >> (ids & 31).astype(jnp.uint32)) & 1) == 1
+    cand = jnp.where(seen | (ids >= i_real), NEG, cand)
+    # Final selection by k-fold max extraction: k unrolled
+    # max+argmax+mask passes over [B, k*128] measured ~3.7x faster
+    # than lax.top_k's sort on chip; argmax's first-index tie rule
+    # matches top_k's lowest-index order exactly.
+    c = cand.reshape(b, k * GROUP_I)
+    ids_flat = ids.reshape(b, k * GROUP_I)
+    lanes = jax.lax.broadcasted_iota(jnp.int32, c.shape, 1)
+    vs, cis = [], []
+    for _ in range(k):
+        m = jnp.max(c, axis=1)
+        a = jnp.argmax(c, axis=1)
+        vs.append(m)
+        cis.append(a)
+        c = jnp.where(lanes == a[:, None], -jnp.inf, c)
+    v = jnp.stack(vs, axis=1)
+    ci = jnp.stack(cis, axis=1)
+    items = jnp.take_along_axis(ids_flat, ci, axis=1)
     # Normalize the kernel's finite -3e38 sentinel to the module-wide
     # -inf contract.
-    return jnp.where(v > -1e37, v, -jnp.inf), item_map[idx]
+    return jnp.where(v > -1e37, v, -jnp.inf), items
