@@ -38,14 +38,10 @@ GROUP_I = 128   # group-max granularity (one lane-window reduce each)
 _GROUPS = BLOCK_I // GROUP_I  # 32 real group maxes per tile
 
 
-def _masked_tile(u_ref, q_ref, bits_ref, bias_ref, *, interpret: bool):
-    """Shared tile body: scores[:, c] = u . q_perm[c] + bias_perm[c],
-    masked by bit test word = c % 128, bit = c // 128 of the user's seen
-    bitmap, plus the per-128-column GROUP maxes (free here in VMEM —
-    they feed the exact group-pruned top-k; round-3 verdict item 2).
-    The tile's 32 group maxes fill the first 32 lanes of a 128-lane
-    output block (Mosaic's minimum lane tile); lanes 32.. carry the NEG
-    sentinel and can never win a top-k."""
+def _masked_scores(u_ref, q_ref, bits_ref, bias_ref, *, interpret: bool):
+    """Masked score tile: scores[:, c] = u . q_perm[c] + bias_perm[c],
+    masked to NEG by bit test word = c % 128, bit = c // 128 of the
+    user's seen bitmap."""
     from jax.experimental.pallas import tpu as pltpu
 
     scores = jnp.dot(u_ref[...], q_ref[...].T,
@@ -58,7 +54,17 @@ def _masked_tile(u_ref, q_ref, bits_ref, bias_ref, *, interpret: bool):
         rep = pltpu.repeat(words, 32, axis=1)              # [bm, 4096]
     col = jax.lax.broadcasted_iota(jnp.uint32, scores.shape, 1)
     seen = ((rep >> (col >> 7)) & 1) == 1
-    masked = jnp.where(seen, NEG, scores)
+    return jnp.where(seen, NEG, scores)
+
+
+def _masked_tile(u_ref, q_ref, bits_ref, bias_ref, *, interpret: bool):
+    """Masked scores plus the per-128-column GROUP maxes (free here in
+    VMEM — they feed the exact group-pruned top-k; round-3 verdict item
+    2).  The tile's 32 group maxes fill the first 32 lanes of a
+    128-lane output block (Mosaic's minimum lane tile); lanes 32..
+    carry the NEG sentinel and can never win a top-k."""
+    masked = _masked_scores(u_ref, q_ref, bits_ref, bias_ref,
+                            interpret=interpret)
     # Static lane-window reduces: the one group-max form Mosaic accepts
     # (a [bm, 32, 128] reshape-max fails to compile; measured probe).
     parts = [jnp.max(masked[:, g * GROUP_I:(g + 1) * GROUP_I], axis=1,
@@ -73,6 +79,17 @@ def _kernel(u_ref, q_ref, bits_ref, bias_ref, out_ref, gmax_ref, *,
                                 interpret=interpret)
     out_ref[...] = masked
     gmax_ref[...] = gmax
+
+
+def _kernel_scores_only(u_ref, q_ref, bits_ref, bias_ref, out_ref, *,
+                        interpret: bool):
+    """Masked scores WITHOUT the group-max epilogue: the narrow-catalog
+    eval path ranks the [B, I] row directly and never consumes gmax, so
+    computing it there only shrank the tile budget (the gmax temps push
+    block_b=256's working set past the 16MB scoped-VMEM limit —
+    round-4 verdict item 2: eval 1.631M -> 1.399M users/s)."""
+    out_ref[...] = _masked_scores(u_ref, q_ref, bits_ref, bias_ref,
+                                  interpret=interpret)
 
 
 def _kernel_gmax_only(u_ref, q_ref, bits_ref, bias_ref, gmax_ref, *,
@@ -202,6 +219,40 @@ def fused_dot_gmax(u_vecs: jax.Array, q_perm: jax.Array,
     return gmax[:b]
 
 
+@functools.partial(jax.jit, static_argnames=("block_b", "interpret",
+                                             "pre_permuted", "item_nums"))
+def fused_dot_scores(u_vecs: jax.Array, q_table: jax.Array,
+                     seen_bits: jax.Array, block_b: int = 256,
+                     interpret: bool = False,
+                     pre_permuted: bool = False,
+                     item_nums: int | None = None,
+                     bias: jax.Array | None = None
+                     ) -> tuple[jax.Array, jax.Array]:
+    """Masked full-catalog scores WITHOUT group maxes — the
+    narrow-catalog eval variant.  Skipping the gmax epilogue keeps the
+    block_b=256 tile under the 16MB scoped-VMEM limit (the gmax temps
+    measured 16.13MB there), restoring the round-3 eval throughput for
+    catalogs whose rank path never consumes gmax (ranking.rank_fused's
+    plain-top_k branch).  Same argument contract as
+    ``fused_dot_topk_scores``; returns (scores [B, I_padded], item_map
+    [I_padded])."""
+    args, meta = _prepare(u_vecs, q_table, seen_bits, block_b,
+                          pre_permuted, item_nums, bias, cap=256)
+    b, b_pad, i_padded, block_b, grid, d, item_map = meta
+    from jax.experimental import pallas as pl
+    from jax.experimental.pallas import tpu as pltpu
+    out = pl.pallas_call(
+        functools.partial(_kernel_scores_only, interpret=interpret),
+        out_shape=jax.ShapeDtypeStruct((b + b_pad, i_padded), jnp.float32),
+        grid=grid,
+        in_specs=_in_specs(pl, pltpu, block_b, d),
+        out_specs=pl.BlockSpec((block_b, BLOCK_I), lambda bi, ii: (bi, ii),
+                               memory_space=pltpu.VMEM),
+        interpret=interpret,
+    )(*args)
+    return out[:b], jnp.asarray(item_map)
+
+
 def _in_specs(pl, pltpu, block_b: int, d: int):
     return [
         pl.BlockSpec((block_b, d), lambda bi, ii: (bi, 0),
@@ -216,8 +267,8 @@ def _in_specs(pl, pltpu, block_b: int, d: int):
 
 
 def _prepare(u_vecs, q_table, seen_bits, block_b, pre_permuted,
-             item_nums, bias):
-    """Shared padding/permutation setup for both kernel variants."""
+             item_nums, bias, cap: int = 128):
+    """Shared padding/permutation setup for all kernel variants."""
     b, d = u_vecs.shape
     if pre_permuted:
         assert item_nums is not None, "pre_permuted needs item_nums"
@@ -231,9 +282,9 @@ def _prepare(u_vecs, q_table, seen_bits, block_b, pre_permuted,
     # 16.13MB > the 16MB scoped-VMEM limit at block_b=256 — the gmax
     # additions pushed the round-3 layout just over, at ANY tile count
     # (OOMs measured at both 319k and 103k items).  block_b=128 keeps
-    # the whole pipeline ~8MB; these shapes are HBM-bound, so the MXU
-    # doesn't care about the narrower user block.
-    block_b = min(block_b, 128)
+    # the gmax-emitting pipeline ~8MB; the scores-only kernel (no gmax
+    # temps) fits block_b=256 and passes cap=256 to get it back.
+    block_b = min(block_b, cap)
     grid = (cdiv(b, block_b), i_padded // BLOCK_I)
     b_pad = grid[0] * block_b - b
     i_pad = i_padded - i

@@ -6,8 +6,9 @@ import jax.numpy as jnp
 import numpy as np
 import pytest
 
-from cleverrec_tpu.ops import (fused_dot_topk_scores, merge_topk,
-                               sharded_topk_scores, streaming_topk)
+from cleverrec_tpu.ops import (fused_dot_scores, fused_dot_topk_scores,
+                               merge_topk, sharded_topk_scores,
+                               streaming_topk)
 
 
 def test_merge_topk():
@@ -75,6 +76,51 @@ def test_fused_dot_kernel_matches_reference():
     np.testing.assert_allclose(gm[:, :32], g3[:, :32].reshape(b, -1),
                                rtol=1e-6)
     assert (gm[:, 32:] == -3.0e38).all()
+
+
+def test_fused_dot_scores_matches_gmax_variant():
+    """The scores-only kernel (narrow-catalog eval path, no gmax
+    epilogue) returns the same masked scores and item_map as the
+    gmax-emitting kernel, with and without bias."""
+    rng = np.random.default_rng(12)
+    b, i, d = 8, 4096 + 300, 16
+    u = rng.normal(size=(b, d)).astype(np.float32)
+    q = rng.normal(size=(i, d)).astype(np.float32)
+    bias = rng.normal(size=(i,)).astype(np.float32)
+    words = -(-i // 32)
+    bits = np.zeros((b, words), np.uint32)
+    for r in range(b):
+        s = rng.choice(i, size=30, replace=False)
+        np.bitwise_or.at(bits[r], s >> 5, np.uint32(1) << (s & 31))
+    for bs in (None, jnp.asarray(bias)):
+        want, _, want_map = fused_dot_topk_scores(
+            jnp.asarray(u), jnp.asarray(q), jnp.asarray(bits), block_b=8,
+            interpret=True, bias=bs)
+        got, got_map = fused_dot_scores(
+            jnp.asarray(u), jnp.asarray(q), jnp.asarray(bits), block_b=8,
+            interpret=True, bias=bs)
+        np.testing.assert_array_equal(np.asarray(got), np.asarray(want))
+        np.testing.assert_array_equal(np.asarray(got_map),
+                                      np.asarray(want_map))
+
+
+def test_fused_dot_scores_pre_permuted():
+    """pre_permuted + item_nums contract of the scores-only kernel
+    (the multi-batch eval path in ranking.rank_fused)."""
+    from cleverrec_tpu.ops.pallas_scores import permute_item_table
+    rng = np.random.default_rng(13)
+    b, i, d = 4, 500, 8
+    u = rng.normal(size=(b, d)).astype(np.float32)
+    q = rng.normal(size=(i, d)).astype(np.float32)
+    bits = np.zeros((b, -(-i // 32)), np.uint32)
+    q_perm, item_map = permute_item_table(jnp.asarray(q))
+    got, _ = fused_dot_scores(jnp.asarray(u), q_perm, jnp.asarray(bits),
+                              block_b=4, interpret=True,
+                              pre_permuted=True, item_nums=i)
+    want, _ = fused_dot_scores(jnp.asarray(u), jnp.asarray(q),
+                               jnp.asarray(bits), block_b=4,
+                               interpret=True)
+    np.testing.assert_array_equal(np.asarray(got), np.asarray(want))
 
 
 def test_fused_kernel_bias_and_group_max():
