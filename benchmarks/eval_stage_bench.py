@@ -58,8 +58,7 @@ def main():
     model = _Stub(i_real)
 
     from cleverrec_tpu import ranking
-    from cleverrec_tpu.ops.pallas_scores import (GROUP_I, fused_dot_gmax,
-                                                 permute_item_table)
+    from cleverrec_tpu.ops.pallas_scores import GROUP_I, fused_dot_gmax
     from cleverrec_tpu.ops.topk import grouped_topk
 
     pre = jax.jit(ranking.fused_precompute, static_argnames=("model",))(

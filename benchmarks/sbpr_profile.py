@@ -52,7 +52,7 @@ def main():
     tr = Trainer(model, data, cfg, logger=logging.getLogger("prof"))
     print(f"setup {time.time() - t0:.1f}s; steps/epoch="
           f"{tr.steps_per_epoch}, batch={tr.batch_size}")
-    params, opt = tr.params, tr.opt_state
+    params, opt = tr.init_state()
     key = jax.random.PRNGKey(0)
     arrays = tr.arrays
     steps, b = tr.steps_per_epoch, tr.batch_size
@@ -60,9 +60,15 @@ def main():
     padded = steps * b
 
     # -- full epoch --------------------------------------------------
+    # The trainer jits the epoch fn with donate_argnums=(0,1): copy the
+    # param/opt LEAVES per call (dict()/tuple() copy only containers),
+    # or call 2+ would read donated-away buffers.
+    def fresh(t):
+        return jax.tree_util.tree_map(jnp.copy, t)
+
     epoch = tr._build_epoch_fn(register_body=False)
-    full_ms, _ = timed(lambda: epoch(dict(params), tuple(opt), key,
-                                     arrays)[2])
+    full_ms, _ = timed(lambda: epoch(fresh(dict(params)),
+                                     fresh(tuple(opt)), key, arrays)[2])
 
     # -- sampling-only scan ------------------------------------------
     @jax.jit
@@ -76,11 +82,13 @@ def main():
             (rows, w), k = xs
             sk, _ = jax.random.split(k)
             batch = tr._build_batch(sk, rows, w, arrays)
-            s = sum(jnp.sum(v) for kk, v in batch.items()
-                    if kk != "dropout_key" and v.dtype != jnp.float32)
-            return carry + s.astype(jnp.int32), None
+            # Force EVERY batch output (float entries included) so XLA
+            # can't dead-code-eliminate part of the sampling work.
+            s = sum(jnp.sum(v).astype(jnp.float32)
+                    for kk, v in batch.items() if kk != "dropout_key")
+            return carry + s, None
 
-        tot, _ = jax.lax.scan(step, jnp.int32(0), xs)
+        tot, _ = jax.lax.scan(step, jnp.float32(0), xs)
         return tot
 
     samp_ms, _ = timed(lambda: sample_only(key, arrays))
@@ -114,7 +122,8 @@ def main():
             step, (params, opt_state), None, length=steps)
         return jnp.mean(losses)
 
-    grad_ms, _ = timed(lambda: grad_only(dict(params), tuple(opt), fixed))
+    grad_ms, _ = timed(lambda: grad_only(fresh(dict(params)),
+                                         fresh(tuple(opt)), fixed))
 
     # -- grad-only, no optimizer (value_and_grad alone) ---------------
     @jax.jit
@@ -129,7 +138,7 @@ def main():
         p, losses = jax.lax.scan(step, params, None, length=steps)
         return jnp.mean(losses)
 
-    vg_ms, _ = timed(lambda: vg_only(dict(params), fixed))
+    vg_ms, _ = timed(lambda: vg_only(fresh(dict(params)), fixed))
 
     rec = {"model": "SBPR", "steps": steps, "batch": b,
            "full_epoch_ms": round(full_ms, 1),
