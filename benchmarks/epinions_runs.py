@@ -105,7 +105,10 @@ def main():
                         format="%(message)s")
     cfg = base_cfg(name, epochs)
     if path == "scan":
+        # True dense-Adam scan baseline: no fused kernel AND no lazy
+        # row-Adam tier (which otherwise takes rows overflow shapes).
         cfg._v["train.fused_kernel"] = "False"
+        cfg._v["train.sparse_rows"] = "False"
     t0 = time.time()
     data = load_ranking_data(cfg)
     model = make_model(cfg, DataMeta(data.user_nums, data.item_nums))
@@ -126,8 +129,11 @@ def main():
     p, o, _ = tr.train_epochs(p, o, 4)
     t4 = time.time() - t0
     per_epoch = max((t4 - t1) / 3, 1e-9)
+    tier = ("fused" if tr._fused_plan is not None
+            else "sparse_rows" if getattr(tr, "_sparse_tier", False)
+            else "scan")
     rec = {
-        "model": name, "dataset": "epinions-synth",
+        "model": name, "dataset": "epinions-synth", "tier": tier,
         "users": data.user_nums, "items": data.item_nums,
         "epochs": epochs, "best_epoch": best["epoch"],
         "metrics": {str(k): list(v) for k, v in best["metrics"].items()},

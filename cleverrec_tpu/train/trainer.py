@@ -115,6 +115,21 @@ class Trainer:
                 jnp.asarray, sampling.pairwise_epoch_static(
                     pos_u, pos_i, self.dd.seen.lens, self.dd.item_nums,
                     padded, 1))
+        elif (model.sampler == "sbpr"
+              and cfg.bool("train.sbpr_epoch_tensors", True)):
+            # Static pair-order layout + SPu draw geometry for the
+            # whole-epoch SBPR sampler (sampling.sbpr_epoch_tensors) —
+            # per-step sampling was 113.5ms of the 336.7ms Epinions
+            # epoch (benchmarks/sbpr_profile.py round-5 breakdown).
+            padded = cdiv(self.n_pairs * cfg.neg_ratio,
+                          cfg.batch_size) * cfg.batch_size
+            arrays["sbpr_static"] = jax.tree_util.tree_map(
+                jnp.asarray, sampling.sbpr_epoch_static(
+                    pos_u, pos_i,
+                    np.asarray(model_aux["social_neg"].lens),
+                    np.asarray(model_aux["spu"].lens),
+                    np.asarray(model_aux["spu_csr"]["off"]),
+                    self.dd.item_nums, padded, cfg.neg_ratio))
         elif model.sampler == "pointwise" and not (
                 getattr(model, "history_bucketing", False)
                 and cfg.bool("train.bucketed_histories", True)):
@@ -145,6 +160,8 @@ class Trainer:
             self._bucket_plan = None
             if self._fused_epoch_eligible():
                 self._epoch_fn = self._build_fused_epoch_fn()
+            elif self._sparse_rows_eligible():
+                self._epoch_fn = self._build_sparse_rows_epoch_fn()
             elif (getattr(model, "history_bucketing", False)
                   and model.sampler == "pointwise"
                   and cfg.bool("train.bucketed_histories", True)):
@@ -213,6 +230,7 @@ class Trainer:
         tables (model axis > 1) and the explicit-exchange tier need the
         scan path."""
         proto = getattr(self.model, "fused_protocol", None)
+        self._sparse_rows_ok = False
         if proto is None:
             return False
         if self.cfg.optimizer != "Adam":
@@ -287,10 +305,13 @@ class Trainer:
                         "fused epoch kernel: bf16 table storage "
                         "(f32 compute, train.fused_bf16)")
                 return True
+            # VMEM overflow: the lazy row-Adam scan tier takes these
+            # shapes (_sparse_rows_eligible) unless opted out.
+            self._sparse_rows_ok = True
             if self.logger:
                 self.logger.info(
                     "fused epoch kernel skipped: params exceed the VMEM "
-                    "budget; using the scan path")
+                    "budget; using the sparse-rows/scan path")
             return False
         if proto == "pointwise_mlp":
             # Generic in-kernel-AD pointwise epoch (NeuMF/MLP): the
@@ -307,16 +328,17 @@ class Trainer:
             self._fused_grouped_plan = None
             self._fused_plan = plan_fused_mlp(*dims)
             force_g = self.cfg.int("train.fused_groups", 0)
-            if force_g > 1 and mesh_dp == 1:
+            if force_g > 1:
                 self._fused_grouped_plan = plan_fused_mlp_grouped(
                     *dims, force_g=force_g)
                 if self._fused_grouped_plan is not None:
                     return True
             if self._fused_plan is not None:
                 return True
-            # The grouped tier's sequential block-coordinate schedule has
-            # no DP decomposition — multi-chip overflow takes scan.
-            if self.cfg.bool("train.fused_grouped", on_tpu) and mesh_dp == 1:
+            # Grouped overflow under a pure-DP mesh: each group's steps
+            # shard over 'data' (chips run disjoint chunks locally, one
+            # delta-average per epoch — see _build_grouped_epoch_fn).
+            if self.cfg.bool("train.fused_grouped", on_tpu):
                 self._fused_grouped_plan = plan_fused_mlp_grouped(*dims)
             if self._fused_grouped_plan is not None:
                 if self.logger:
@@ -372,7 +394,7 @@ class Trainer:
         # train.fused_groups > 1 forces the grouped path (testing and
         # tuning hook); 0 = auto (grouped only on VMEM overflow).
         force_g = self.cfg.int("train.fused_groups", 0)
-        if force_g > 1 and mesh_dp == 1:
+        if force_g > 1:
             self._fused_grouped_plan = plan_fused_grouped(
                 self.dd.user_nums, self.dd.item_nums,
                 self.model.embed_size, self.batch_size,
@@ -395,7 +417,9 @@ class Trainer:
         # during its own group's steps; items stay fully resident and
         # dense; CML's covariance regularizer spans the frozen rows via
         # closed-form partial sums).  Opt-out via train.fused_grouped.
-        if self.cfg.bool("train.fused_grouped", on_tpu) and mesh_dp == 1:
+        # Under a pure-DP mesh the groups' steps shard over 'data'
+        # (_build_grouped_epoch_fn's chunked launch).
+        if self.cfg.bool("train.fused_grouped", on_tpu):
             self._fused_grouped_plan = plan_fused_grouped(
                 self.dd.user_nums, self.dd.item_nums,
                 self.model.embed_size, self.batch_size, idx_planes=planes,
@@ -467,22 +491,11 @@ class Trainer:
         static_key = static_keys.get(proto)
         if proto == "rows" and self.model.sampler == "pairwise":
             static_key = "pairwise_static"
+        if (proto == "rows" and self.model.sampler == "sbpr"
+                and "sbpr_static" in self.arrays):
+            static_key = "sbpr_static"
         if steps != self.steps_per_epoch and static_key is not None:
-            pos_u = np.asarray(self.arrays["pos_u"])
-            pos_i = np.asarray(self.arrays["pos_i"])
-            lens = self.dd.seen.lens
-            if static_key == "pointwise_static":
-                st = sampling.pointwise_epoch_static(
-                    pos_u, pos_i, lens, item_nums, padded, neg_ratio)
-            elif static_key == "cml_static":
-                st = sampling.pairwise_epoch_static(
-                    pos_u, pos_i, lens, item_nums, padded, 1)
-            else:
-                st = sampling.pairwise_epoch_static(
-                    pos_u, pos_i, lens, item_nums, padded, neg_ratio)
-            static_key = static_key + "_dp"
-            self.arrays[static_key] = jax.tree_util.tree_map(jnp.asarray,
-                                                             st)
+            static_key = self._ensure_dp_static(static_key, padded)
 
         # Each protocol is a (sample, apply, correct) triple: ``sample``
         # draws the WHOLE padded epoch's kernel inputs (global, pure XLA —
@@ -633,6 +646,12 @@ class Trainer:
                 batch = sampling.pairwise_epoch_tensors(
                     pkey, arrays[static_key], arrays["seen"],
                     item_nums, steps, b, pop_cdf=arrays.get("pop_cdf"))
+            elif static_key is not None and "sbpr" in static_key:
+                # SBPR/CUNE share the scan path's whole-epoch sampler
+                # (same pkey, same stream — the fused==scan pin holds).
+                batch = sampling.sbpr_epoch_tensors(
+                    pkey, arrays[static_key], arrays["social_neg"],
+                    arrays["spu_csr"], item_nums, steps, b)
             else:
                 step_keys = jax.random.split(skey, steps)
                 perm, valid = sampling.epoch_permutation(pkey, rows_total,
@@ -866,6 +885,14 @@ class Trainer:
         steps_eq = max(1, max(
             int(cdiv((bounds[g + 1] - bounds[g]) * rows_per_pair, b))
             for g in range(n_groups)))
+        # Pure-DP mesh: each group's steps shard over 'data' — every
+        # chip samples the group's FULL tensors (same key, cheap XLA)
+        # and runs the kernel over its steps_eq/D chunk; deltas are
+        # averaged once per epoch (the fused-resident tier's local-Adam
+        # schedule, applied inside the block-coordinate walk).
+        mesh_dp = getattr(self, "_fused_mesh_dp", 1)
+        steps_eq = cdiv(steps_eq, mesh_dp) * mesh_dp
+        steps_loc = steps_eq // mesh_dp
         padded = steps_eq * b
         statics, n_sents = [], []
         for g in range(n_groups):
@@ -887,7 +914,10 @@ class Trainer:
         self.arrays.pop("pairwise_static", None)
         self.arrays.pop("pointwise_static", None)
         self.arrays.pop("cml_static", None)
-        n_sents_arr = jnp.asarray(n_sents, jnp.float32)
+        # Per-chip sentinel correction: the group shuffle spreads
+        # sentinel rows uniformly over chunks, so each chip subtracts
+        # nsent/D — exact in the psum'd TOTAL (which is all we report).
+        n_sents_arr = jnp.asarray(n_sents, jnp.float32) / mesh_dp
         # Real-user count per group (CML's covariance population needs
         # it; fillers are the tail slots of each group's range).
         grp_counts = jnp.asarray(
@@ -896,7 +926,12 @@ class Trainer:
         blk = min(plan_blk, max(b, 8))
         interpret = jax.default_backend() != "tpu"
         lr, reg = self.cfg.lr, getattr(self.model, "reg", 0.0)
+        # Loss means divide by the GLOBAL step count (a chip's local
+        # mean-part psums to the global mean); Adam counts advance by
+        # the LOCAL steps each chip actually ran (identical on every
+        # chip, so integer leaves pass delta-averaging through).
         steps_total = n_groups * steps_eq
+        steps_total_loc = n_groups * steps_loc
         old_idx = jnp.asarray(old_of_new, jnp.int32)    # un == pad row
         new_idx = jnp.asarray(new_of_old, jnp.int32)
 
@@ -932,7 +967,16 @@ class Trainer:
         def sentinel_ids(inval, ids):
             return jnp.where(inval, i_pad - 1, ids).astype(jnp.int32)
 
-        def epoch_pairwise(params, opt_state, key, arrays):
+        def take_chunk(batch, chunk):
+            """This chip's steps_loc-step slice of the group's sampled
+            tensors (identity when unmeshed)."""
+            if mesh_dp == 1:
+                return batch
+            return jax.tree_util.tree_map(
+                lambda a: jax.lax.dynamic_slice_in_dim(
+                    a, chunk * steps_loc, steps_loc, 0), batch)
+
+        def epoch_pairwise(params, opt_state, key, arrays, chunk):
             adam_st = opt_state[0]
             P, mP, vP = perm_in(params, adam_st)
             Q, mQ, vQ = params["Q"], adam_st.mu["Q"], adam_st.nu["Q"]
@@ -941,10 +985,10 @@ class Trainer:
                 P, mP, vP, Q, mQ, vQ, loss_total = carry
                 g, gkey, static_g, nsent = xs
                 pkey, _ = jax.random.split(gkey)
-                batch = sampling.pairwise_epoch_tensors(
+                batch = take_chunk(sampling.pairwise_epoch_tensors(
                     pkey, static_g, arrays["grouped_seen"],
                     item_nums, steps_eq, b,
-                    pop_cdf=arrays.get("pop_cdf"))
+                    pop_cdf=arrays.get("pop_cdf")), chunk)
                 inval = batch["w"] == 0.0
                 g0 = g * group_rows
                 u = jnp.where(inval, u_pad - 1,
@@ -954,7 +998,7 @@ class Trainer:
                 p_g, mp_g, vp_g = slice_p(P, mP, vP, g0)
                 p_g, Q, mp_g, vp_g, mQ, vQ, loss = fused_bpr_epoch(
                     p_g, Q, mp_g, vp_g, mQ, vQ, u, i, j,
-                    adam_st.count + g * steps_eq,
+                    adam_st.count + g * steps_loc,
                     lr=lr, reg=reg, blk=blk, interpret=interpret)
                 P, mP, vP = update_p(P, mP, vP, p_g, mp_g, vp_g, g0)
                 return (P, mP, vP, Q, mQ, vQ,
@@ -963,14 +1007,14 @@ class Trainer:
             P, mP, vP, Q, mQ, vQ, loss_total = scan_groups(
                 group_body, (P, mP, vP, Q, mQ, vQ, 0.0), key, arrays)
             new_st = adam_st._replace(
-                count=adam_st.count + steps_total,
+                count=adam_st.count + steps_total_loc,
                 mu={"P": mP[new_idx], "Q": mQ},
                 nu={"P": vP[new_idx], "Q": vQ})
             return ({"P": P[new_idx], "Q": Q},
                     (new_st,) + tuple(opt_state[1:]),
                     loss_total / steps_total)
 
-        def epoch_pointwise(params, opt_state, key, arrays):
+        def epoch_pointwise(params, opt_state, key, arrays, chunk):
             adam_st = opt_state[0]
             P, mP, vP = perm_in(params, adam_st)
             Q, mQ, vQ = params["Q"], adam_st.mu["Q"], adam_st.nu["Q"]
@@ -981,10 +1025,10 @@ class Trainer:
                 P, mP, vP, Q, mQ, vQ, h, mh, vh, loss_total = carry
                 g, gkey, static_g, nsent = xs
                 pkey, _ = jax.random.split(gkey)
-                batch = sampling.pointwise_epoch_tensors(
+                batch = take_chunk(sampling.pointwise_epoch_tensors(
                     pkey, static_g, arrays["grouped_seen"],
                     item_nums, steps_eq, b,
-                    pop_cdf=arrays.get("pop_cdf"))
+                    pop_cdf=arrays.get("pop_cdf")), chunk)
                 inval = batch["w"] == 0.0
                 z = jnp.where(batch["y"] > 0, 1, -1)
                 g0 = g * group_rows
@@ -996,7 +1040,7 @@ class Trainer:
                 (p_g, Q, h, mp_g, vp_g, mQ, vQ, mh, vh,
                  loss) = fused_gmf_epoch(
                     p_g, Q, h, mp_g, vp_g, mQ, vQ, mh, vh,
-                    uz, i, adam_st.count + g * steps_eq,
+                    uz, i, adam_st.count + g * steps_loc,
                     lr=lr, reg=reg, blk=blk, interpret=interpret)
                 P, mP, vP = update_p(P, mP, vP, p_g, mp_g, vp_g, g0)
                 return (P, mP, vP, Q, mQ, vQ, h, mh, vh,
@@ -1006,14 +1050,14 @@ class Trainer:
                 group_body, (P, mP, vP, Q, mQ, vQ, h, mh, vh, 0.0),
                 key, arrays)
             new_st = adam_st._replace(
-                count=adam_st.count + steps_total,
+                count=adam_st.count + steps_total_loc,
                 mu={"P": mP[new_idx], "Q": mQ, "h_gmf": mh},
                 nu={"P": vP[new_idx], "Q": vQ, "h_gmf": vh})
             return ({"P": P[new_idx], "Q": Q, "h_gmf": h},
                     (new_st,) + tuple(opt_state[1:]),
                     loss_total / steps_total)
 
-        def epoch_mlp(params, opt_state, key, arrays):
+        def epoch_mlp(params, opt_state, key, arrays, chunk):
             from cleverrec_tpu.ops.pallas_train import fused_mlp_epoch
             spec = mlp_spec
             adam_st = opt_state[0]
@@ -1032,10 +1076,10 @@ class Trainer:
                 PU, mPU, vPU, QI, mQI, vQI, D, mD, vD, loss_total = carry
                 g, gkey, static_g, nsent = xs
                 pkey, _ = jax.random.split(gkey)
-                batch = sampling.pointwise_epoch_tensors(
+                batch = take_chunk(sampling.pointwise_epoch_tensors(
                     pkey, static_g, arrays["grouped_seen"],
                     item_nums, steps_eq, b,
-                    pop_cdf=arrays.get("pop_cdf"))
+                    pop_cdf=arrays.get("pop_cdf")), chunk)
                 inval = batch["w"] == 0.0
                 z = jnp.where(batch["y"] > 0, 1, -1)
                 g0 = g * group_rows
@@ -1047,7 +1091,7 @@ class Trainer:
                 (pu_g, QI, D, mpu_g, mQI, mD, vpu_g, vQI, vD,
                  loss) = fused_mlp_epoch(
                     pu_g, QI, D, mpu_g, mQI, mD, vpu_g, vQI, vD, uz, i,
-                    adam_st.count + g * steps_eq,
+                    adam_st.count + g * steps_loc,
                     row_loss=spec["row_loss"], lr=lr, blk=blk,
                     interpret=interpret)
                 PU, mPU, vPU = update_p(PU, mPU, vPU, pu_g, mpu_g,
@@ -1063,14 +1107,14 @@ class Trainer:
 
             split = functools.partial(_mlp_unsplit, spec, params)
             new_st = adam_st._replace(
-                count=adam_st.count + steps_total,
+                count=adam_st.count + steps_total_loc,
                 mu={**adam_st.mu, **split(mPU[new_idx], mQI, mD)},
                 nu={**adam_st.nu, **split(vPU[new_idx], vQI, vD)})
             return ({**params, **split(PU[new_idx], QI, D)},
                     (new_st,) + tuple(opt_state[1:]),
                     loss_total / steps_total)
 
-        def epoch_cml(params, opt_state, key, arrays):
+        def epoch_cml(params, opt_state, key, arrays, chunk):
             from cleverrec_tpu.ops.pallas_train import (cml_sentinel_bias,
                                                         fused_cml_epoch)
             adam_st = opt_state[0]
@@ -1096,10 +1140,11 @@ class Trainer:
                 P, mP, vP, Q, mQ, vQ, tot, loss_total = carry
                 g, gkey, static_g, nsent = xs
                 pkey, _ = jax.random.split(gkey)
-                batch = sampling.cml_epoch_tensors(
+                batch = take_chunk(sampling.cml_epoch_tensors(
                     pkey, static_g, arrays["grouped_seen"],
                     item_nums, steps_eq, b,
-                    pop_cdf=arrays.get("pop_cdf"), neg_ratio=neg_ratio)
+                    pop_cdf=arrays.get("pop_cdf"), neg_ratio=neg_ratio),
+                    chunk)
                 inval = batch["w"] == 0.0
                 g0 = g * group_rows
                 u = jnp.where(inval, u_pad - 1,
@@ -1113,7 +1158,7 @@ class Trainer:
                 frozen = (grp_counts[g], float(un) - grp_counts[g]) + fro
                 p_g, Q, mp_g, vp_g, mQ, vQ, loss = fused_cml_epoch(
                     p_g, Q, mp_g, vp_g, mQ, vQ, u, i, negs,
-                    adam_st.count + g * steps_eq,
+                    adam_st.count + g * steps_loc,
                     lr=lr, reg=reg, margin=self.model.margin,
                     item_nums=item_nums, blk=blk, interpret=interpret,
                     frozen=frozen)
@@ -1125,23 +1170,212 @@ class Trainer:
             P, mP, vP, Q, mQ, vQ, _, loss_total = scan_groups(
                 group_body, (P, mP, vP, Q, mQ, vQ, tot, 0.0), key, arrays)
             new_st = adam_st._replace(
-                count=adam_st.count + steps_total,
+                count=adam_st.count + steps_total_loc,
                 mu={"P": mP[new_idx], "Q": mQ},
                 nu={"P": vP[new_idx], "Q": vQ})
             return ({"P": P[new_idx], "Q": Q},
                     (new_st,) + tuple(opt_state[1:]),
                     loss_total / steps_total)
 
-        epoch = {"pairwise_bpr": epoch_pairwise,
-                 "pointwise_bce": epoch_pointwise,
-                 "pointwise_mlp": epoch_mlp,
-                 "cml_hinge": epoch_cml}[proto]
+        epoch_local = {"pairwise_bpr": epoch_pairwise,
+                       "pointwise_bce": epoch_pointwise,
+                       "pointwise_mlp": epoch_mlp,
+                       "cml_hinge": epoch_cml}[proto]
+
+        if mesh_dp > 1:
+            # Every chip runs the full block-coordinate group walk over
+            # its own chunk of every group's steps; float deltas are
+            # averaged ONCE per epoch (the fused-resident tier's
+            # local-Adam schedule).  Chips report local mean-parts that
+            # psum to the global epoch mean.
+            from jax import shard_map
+            from jax.sharding import PartitionSpec as P
+            mesh = self.mesh
+
+            def chip_fn(params, opt_state, key, arrays):
+                chunk = jax.lax.axis_index("data")
+                p2, o2, mean_part = epoch_local(params, opt_state, key,
+                                                arrays, chunk)
+                mean_loss = jax.lax.psum(mean_part, "data")
+
+                def delta_mean(n, o):
+                    if jnp.issubdtype(jnp.asarray(n).dtype, jnp.floating):
+                        return o + jax.lax.pmean(n - o, "data")
+                    return n
+
+                p2 = jax.tree_util.tree_map(delta_mean, p2, params)
+                o2 = jax.tree_util.tree_map(delta_mean, o2, opt_state)
+                return p2, o2, mean_loss
+
+            chip = shard_map(chip_fn, mesh=mesh,
+                             in_specs=(P(), P(), P(), P()),
+                             out_specs=(P(), P(), P()), check_vma=False)
+
+            def epoch(params, opt_state, key, arrays):
+                return chip(params, opt_state, key, arrays)
+        else:
+            def epoch(params, opt_state, key, arrays):
+                return epoch_local(params, opt_state, key, arrays, 0)
+
         self._epoch_body = epoch
+        self._grouped_parts = (epoch_local, steps_eq, mesh_dp)  # test hook
+        return jax.jit(epoch, donate_argnums=(0, 1))
+
+    def _sparse_rows_eligible(self) -> bool:
+        """Lazy row-Adam scan tier for rows protocols past VMEM
+        (round-4 verdict item 1): only the touched rows' params/moments
+        move per step (ops/sparse_adam) — dense optax.adam's full-table
+        traversal was 214.8 ms of the 336.7 ms Epinions SBPR epoch
+        (benchmarks/sbpr_profile.py) while the Adam math itself was
+        ~6 ms.  Applies when the resident fused plan declined (tables
+        overflow VMEM).  Semantics: LazyAdam — pinned step-wise in
+        tests/test_sparse_rows.py, metric-level in EPINIONS_RUNS.jsonl.
+        Unmeshed only (meshes keep the scan path's GSPMD/dp tiers).
+        Opt-out: train.sparse_rows=False; train.sparse_rows_force=True
+        engages it even where the resident fused plan fits (test/bench
+        hook)."""
+        if getattr(self.model, "fused_protocol", None) != "rows":
+            return False
+        if self.cfg.optimizer != "Adam":
+            return False
+        if (self.mesh is not None
+                and math.prod(self.mesh.shape.values()) > 1):
+            return False
+        if self.cfg.bool("train.sparse_rows_force", False):
+            return True
+        return (getattr(self, "_sparse_rows_ok", False)
+                and self.cfg.bool("train.sparse_rows", True))
+
+    def _build_sparse_rows_epoch_fn(self):
+        """Scan epoch for rows-protocol models with LazyAdam updates:
+        per step, gather the batch's plane rows, differentiate the
+        model's fused_rows_spec row_loss w.r.t. the GATHERED rows (the
+        same per-row loss the fused kernel runs — fused==scan loss
+        parity holds by construction), then update only the touched
+        rows of each side's packed table (duplicates' grads summed,
+        matching a dense scatter-add).  Dense spec params (e.g. CUNE's
+        social scalar) take a plain Adam step each step."""
+        from cleverrec_tpu.ops.sparse_adam import (dense_adam_leaf,
+                                                   sparse_rows_adam)
+        spec = self.model.fused_rows_spec()
+        names = tuple(n for n, _ in spec["planes"])
+        sides = tuple(sd for _, sd in spec["planes"])
+        fnames = spec["floats"]
+        steps, b = self.steps_per_epoch, self.batch_size
+        rows_total = self._epoch_rows
+        padded = steps * b
+        item_nums = self.dd.item_nums
+        lr = self.cfg.lr
+        sampler = self.model.sampler
+        sbpr_tensors = (sampler == "sbpr"
+                        and "sbpr_static" in self.arrays)
+        pairwise_tensors = sampler == "pairwise"
+
+        def epoch(params, opt_state, key, arrays):
+            adam_st = opt_state[0]
+            (P0, QI0, D0), (mP0, mQI0, mD0), (vP0, vQI0, vD0) = [
+                spec["pack"](t) for t in (params, adam_st.mu, adam_st.nu)]
+            pkey, skey = jax.random.split(key)
+            step_keys = jax.random.split(skey, steps)
+            if sbpr_tensors:
+                xs = (sampling.sbpr_epoch_tensors(
+                    pkey, arrays["sbpr_static"], arrays["social_neg"],
+                    arrays["spu_csr"], item_nums, steps, b), step_keys)
+            elif pairwise_tensors:
+                xs = (sampling.pairwise_epoch_tensors(
+                    pkey, arrays["pairwise_static"], arrays["seen"],
+                    item_nums, steps, b,
+                    pop_cdf=arrays.get("pop_cdf")), step_keys)
+            else:
+                perm, valid = sampling.epoch_permutation(
+                    pkey, rows_total, padded)
+                xs = ((perm.reshape(steps, b), valid.reshape(steps, b)),
+                      step_keys)
+
+            def step(carry, x):
+                P, QI, Dn, mP, mQI, mD, vP, vQI, vD, count = carry
+                payload, k = x
+                sk, _ = jax.random.split(k)
+                if sbpr_tensors or pairwise_tensors:
+                    batch = dict(payload)
+                else:
+                    rows, w = payload
+                    batch = self._build_batch(sk, rows, w, arrays)
+                # row_loss consumes w/floats as [B, 1] columns (the
+                # fused kernel's per-block layout).
+                wv = batch["w"][:, None]
+                plane_ids = tuple(batch[n].astype(jnp.int32)
+                                  for n in names)
+                flts = tuple(batch[n].astype(jnp.float32)[:, None]
+                             for n in fnames)
+                tables = {"u": P, "i": QI}
+                rows_g = tuple(tables[sd][ids]
+                               for ids, sd in zip(plane_ids, sides))
+                loss, (g_rows, g_dense) = jax.value_and_grad(
+                    lambda rg, dn: spec["row_loss"](rg, flts, dn, wv),
+                    argnums=(0, 1))(rows_g, Dn)
+                u_ids = jnp.concatenate(
+                    [ids for ids, sd in zip(plane_ids, sides)
+                     if sd == "u"])
+                u_g = jnp.concatenate(
+                    [g for g, sd in zip(g_rows, sides) if sd == "u"],
+                    axis=0)
+                i_ids = jnp.concatenate(
+                    [ids for ids, sd in zip(plane_ids, sides)
+                     if sd == "i"])
+                i_g = jnp.concatenate(
+                    [g for g, sd in zip(g_rows, sides) if sd == "i"],
+                    axis=0)
+                P, mP, vP = sparse_rows_adam(P, mP, vP, u_ids, u_g,
+                                             count, lr)
+                QI, mQI, vQI = sparse_rows_adam(QI, mQI, vQI, i_ids,
+                                                i_g, count, lr)
+                if Dn:
+                    upd = [dense_adam_leaf(p_, m_, v_, g_, count, lr)
+                           for p_, m_, v_, g_
+                           in zip(Dn, mD, vD, g_dense)]
+                    Dn = tuple(u_[0] for u_ in upd)
+                    mD = tuple(u_[1] for u_ in upd)
+                    vD = tuple(u_[2] for u_ in upd)
+                return (P, QI, Dn, mP, mQI, mD, vP, vQI, vD,
+                        count + 1), loss
+
+            carry0 = (P0, QI0, D0, mP0, mQI0, mD0, vP0, vQI0, vD0,
+                      adam_st.count)
+            carry, losses = jax.lax.scan(step, carry0, xs)
+            P, QI, Dn, mP, mQI, mD, vP, vQI, vD, count = carry
+            unpack = spec["unpack"]
+            new_params = {**params, **unpack(params, P, QI, Dn)}
+            new_st = adam_st._replace(
+                count=count,
+                mu={**adam_st.mu, **unpack(adam_st.mu, mP, mQI, mD)},
+                nu={**adam_st.nu, **unpack(adam_st.nu, vP, vQI, vD)})
+            return (new_params, (new_st,) + tuple(opt_state[1:]),
+                    jnp.mean(losses))
+
+        self._epoch_body = epoch
+        self._sparse_tier = True
         return jax.jit(epoch, donate_argnums=(0, 1))
 
     def _build_epoch_fn(self, steps=None, rows_total=None,
                         register_body=True, batch_size=None):
+        # Per-epoch delta-averaged local Adam for the SCAN tier under a
+        # pure-DP mesh (train.dp_local_adam): the epoch's step axis is
+        # sharded over 'data', each chip scans its steps/D chunk against
+        # a full replica, and parameter/moment deltas are averaged once
+        # per epoch — the same optimizer schedule as the fused mesh-DP
+        # tier (_build_fused_epoch_fn), available to EVERY sampler
+        # protocol.  Default off: the scan tier's standard semantics
+        # (batch sharded over 'data', grads psum'd per step) stay.
+        local_adam_dp = 1
+        if (steps is None and self.mesh is not None
+                and self.mesh.shape.get("model", 1) == 1
+                and self.mesh.shape.get("data", 1) > 1
+                and self.cfg.str("parallel.exchange", "gspmd") != "explicit"
+                and self.cfg.bool("train.dp_local_adam", False)):
+            local_adam_dp = self.mesh.shape["data"]
         steps = self.steps_per_epoch if steps is None else steps
+        steps = cdiv(steps, local_adam_dp) * local_adam_dp
         rows_total = self._epoch_rows if rows_total is None else rows_total
         b = self.batch_size if batch_size is None else batch_size
         padded = steps * b
@@ -1172,8 +1406,15 @@ class Trainer:
                           neg_ratio=self.neg_ratio),
                       }.get(self.model.sampler)
         static_key = f"{self.model.sampler}_static"
+        sbpr_tensors = (self.model.sampler == "sbpr"
+                        and "sbpr_static" in self.arrays)
+        if ((tensors_fn is not None or sbpr_tensors)
+                and local_adam_dp > 1 and steps != self.steps_per_epoch):
+            # D-padded step grids need D-padded static epoch layouts
+            # (same rebuild the fused mesh-DP tier does).
+            static_key = self._ensure_dp_static(static_key, padded)
 
-        def epoch(params, opt_state, key, arrays):
+        def build_xs(key, arrays):
             # Pairwise/pointwise epochs pre-materialize the whole epoch's
             # sampled tensors in pair/group order (near-sequential
             # complement gathers, one sort-shuffle — see
@@ -1186,38 +1427,115 @@ class Trainer:
                     pkey, arrays[static_key], arrays["seen"],
                     self.dd.item_nums, steps, b,
                     pop_cdf=arrays.get("pop_cdf"))
-                xs = (epoch_batch, step_keys)
-            else:
-                perm, valid = sampling.epoch_permutation(pkey, rows_total,
-                                                         padded)
-                xs = ((perm.reshape(steps, b), valid.reshape(steps, b)),
-                      step_keys)
+                return (epoch_batch, step_keys)
+            if sbpr_tensors:
+                epoch_batch = sampling.sbpr_epoch_tensors(
+                    pkey, arrays[static_key], arrays["social_neg"],
+                    arrays["spu_csr"], self.dd.item_nums, steps, b)
+                return (epoch_batch, step_keys)
+            perm, valid = sampling.epoch_permutation(pkey, rows_total,
+                                                     padded)
+            return ((perm.reshape(steps, b), valid.reshape(steps, b)),
+                    step_keys)
 
+        def run_scan(params, opt_state, xs, arrays, constrain_b):
             def step(carry, xs):
                 params, opt_state = carry
                 payload, k = xs
                 sk, dk = jax.random.split(k)
-                if tensors_fn is not None:
+                if tensors_fn is not None or sbpr_tensors:
                     batch = dict(payload)
                 else:
                     rows, w = payload
                     batch = self._build_batch(sk, rows, w, arrays)
-                batch = constrain(batch)
+                batch = constrain_b(batch)
                 batch["dropout_key"] = dk
                 loss, grads = jax.value_and_grad(
                     lambda p: model.loss(view(p), batch, arrays))(params)
-                updates, opt_state = optimizer.update(grads, opt_state, params)
+                updates, opt_state = optimizer.update(grads, opt_state,
+                                                      params)
                 params = optax.apply_updates(params, updates)
                 params = model.postprocess(params)
                 return (params, opt_state), loss
 
             (params, opt_state), losses = jax.lax.scan(
                 step, (params, opt_state), xs)
-            return params, opt_state, jnp.mean(losses)
+            return params, opt_state, losses
+
+        if local_adam_dp > 1:
+            from jax import shard_map
+            from jax.sharding import PartitionSpec as P
+            mesh = self.mesh
+            ident = lambda batch: batch  # noqa: E731
+            real_steps = self.steps_per_epoch
+
+            def chip_fn(params, opt_state, xs, arrays):
+                p2, o2, losses = run_scan(params, opt_state, xs, arrays,
+                                          ident)
+                # Padded steps are fully invalid (w == 0 -> loss 0), so
+                # the psum'd TOTAL over padded steps equals the total
+                # over real steps; divide by the real count to match the
+                # unmeshed mean.
+                raw = jax.lax.psum(jnp.sum(losses), "data")
+
+                def delta_mean(n, o):
+                    if jnp.issubdtype(jnp.asarray(n).dtype, jnp.floating):
+                        return o + jax.lax.pmean(n - o, "data")
+                    return n
+
+                p2 = jax.tree_util.tree_map(delta_mean, p2, params)
+                o2 = jax.tree_util.tree_map(delta_mean, o2, opt_state)
+                return p2, o2, raw
+
+            chip = shard_map(chip_fn, mesh=mesh,
+                             in_specs=(P(), P(), P("data"), P()),
+                             out_specs=(P(), P(), P()), check_vma=False)
+
+            def epoch(params, opt_state, key, arrays):
+                xs = build_xs(key, arrays)
+                p2, o2, raw = chip(params, opt_state, xs, arrays)
+                return p2, o2, raw / real_steps
+        else:
+            def epoch(params, opt_state, key, arrays):
+                xs = build_xs(key, arrays)
+                params, opt_state, losses = run_scan(
+                    params, opt_state, xs, arrays, constrain)
+                return params, opt_state, jnp.mean(losses)
 
         if register_body:
             self._epoch_body = epoch
+            self._scan_parts = (build_xs, run_scan, steps,
+                                local_adam_dp)  # test hook
         return jax.jit(epoch, donate_argnums=(0, 1))
+
+    def _ensure_dp_static(self, static_key: str, padded: int) -> str:
+        """Build (once) the D-padded static epoch layout for a padded
+        step grid and return its arrays key (``<static_key>_dp`` — the
+        same key/content the fused mesh-DP tier builds)."""
+        dp_key = static_key + "_dp"
+        if dp_key in self.arrays:
+            return dp_key
+        pos_u = np.asarray(self.arrays["pos_u"])
+        pos_i = np.asarray(self.arrays["pos_i"])
+        lens = self.dd.seen.lens
+        item_nums = self.dd.item_nums
+        if static_key == "pointwise_static":
+            st = sampling.pointwise_epoch_static(
+                pos_u, pos_i, lens, item_nums, padded, self.neg_ratio)
+        elif static_key == "cml_static":
+            st = sampling.pairwise_epoch_static(
+                pos_u, pos_i, lens, item_nums, padded, 1)
+        elif static_key == "sbpr_static":
+            st = sampling.sbpr_epoch_static(
+                pos_u, pos_i, np.asarray(self.arrays["social_neg"].lens),
+                np.asarray(self.arrays["spu"].lens),
+                np.asarray(self.arrays["spu_csr"]["off"]),
+                item_nums, padded, self.neg_ratio)
+        else:
+            st = sampling.pairwise_epoch_static(
+                pos_u, pos_i, lens, item_nums, padded, self.neg_ratio)
+        self.arrays[dp_key] = jax.tree_util.tree_map(jnp.asarray, st)
+        return dp_key
 
     def _build_bucketed_epochs(self):
         """History-length bucketing for attention-over-history models

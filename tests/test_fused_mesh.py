@@ -125,6 +125,60 @@ def test_fused_mesh_dp_trains_and_evaluates(toy_dataset):
     assert all(np.isfinite(np.asarray(v)).all() for v in res.values())
 
 
+def test_grouped_mesh_dp_matches_chunk_oracle(toy_dataset):
+    """GROUPED overflow tier under a pure-DP mesh (round-4 verdict item
+    5): every chip runs the full block-coordinate group walk over its
+    1/D chunk of each group's steps; float deltas averaged once per
+    epoch.  Pinned against serial per-chunk runs of the same grouped
+    program."""
+    D = 8
+    tr = _trainer(toy_dataset, mesh=make_mesh(D, 1),
+                  **{"train.fused_groups": "2"})
+    assert tr._fused_grouped_plan is not None
+    epoch_local, steps_eq, mesh_dp = tr._grouped_parts
+    assert mesh_dp == D and steps_eq % D == 0
+    params, opt = tr.init_state()
+    key = jax.random.PRNGKey(11)
+    got_p, got_o, got_loss = jax.jit(tr._epoch_body)(
+        params, opt, key, tr.arrays)
+
+    deltas_p, loss_total = [], 0.0
+    for c in range(D):
+        p_c, o_c, mean_part = epoch_local(params, opt, key, tr.arrays,
+                                          jnp.int32(c))
+        deltas_p.append(jax.tree_util.tree_map(
+            lambda n, o_: np.asarray(n) - np.asarray(o_), p_c, params))
+        loss_total += float(mean_part)
+    want_p = jax.tree_util.tree_map(
+        lambda o_, *ds: np.asarray(o_) + np.mean(ds, axis=0),
+        params, *deltas_p)
+    for lg, lw in zip(jax.tree_util.tree_leaves(got_p),
+                      jax.tree_util.tree_leaves(want_p)):
+        np.testing.assert_allclose(np.asarray(lg), lw, rtol=1e-5,
+                                   atol=1e-6)
+    # Adam count advances by each chip's LOCAL steps (2 groups x
+    # steps_eq/D each).
+    assert int(got_o[0].count) == int(opt[0].count) + 2 * steps_eq // D
+    assert float(got_loss) == pytest.approx(loss_total, rel=1e-5)
+
+
+def test_grouped_mesh_dp_trains_and_evaluates(toy_dataset):
+    """Grouped + DP mesh end-to-end for the pointwise protocol too."""
+    tr = _trainer(toy_dataset, mesh=make_mesh(8, 1), recommender="GMF",
+                  **{"is_pairwise": "False",
+                     "loss_func": "cross_entropy",
+                     "train.fused_groups": "2"})
+    assert tr._fused_grouped_plan is not None
+    params, opt = tr.init_state()
+    losses = []
+    for _ in range(3):
+        params, opt, loss = tr.train_epoch(params, opt)
+        losses.append(float(loss))
+    assert losses[-1] < losses[0]
+    res = tr.evaluate(params)
+    assert all(np.isfinite(np.asarray(v)).all() for v in res.values())
+
+
 def test_fused_mesh_dp_gmf_and_cml(toy_dataset):
     """The pointwise (GMF) and cml protocols run under the DP mesh too."""
     for name, ov in (

@@ -233,6 +233,57 @@ def test_pairwise_epoch_tensors_rejection_fallback():
         assert int(jj) not in user_items[int(uu)]
 
 
+def test_sbpr_epoch_tensors_invariants():
+    """Whole-epoch SBPR tensors: every pair appears neg_ratio times,
+    k in SPu(u) with its aligned suk, j outside seen(u) UNION SPu(u)
+    (utils/sampler.py:102-141 semantics)."""
+    rng = np.random.default_rng(4)
+    n_users, n_items, neg_ratio = 8, 50, 3
+    user_items = {u: sorted(rng.choice(n_items, size=8,
+                                       replace=False).tolist())
+                  for u in range(n_users)}
+    spu = {u: sorted(rng.choice(n_items, size=5,
+                                replace=False).tolist())
+           for u in range(n_users)}
+    suk = {u: [float(x % 4) for x in spu[u]] for u in range(n_users)}
+    pos_u = np.repeat(np.arange(n_users, dtype=np.int32), 8)
+    pos_i = np.concatenate([np.asarray(user_items[u], np.int32)
+                            for u in range(n_users)])
+    union = {u: sorted(set(user_items[u]) | set(spu[u]))
+             for u in range(n_users)}
+    social_neg = sampling.build_member_table(union, n_users, n_items)
+    assert social_neg.complement is not None
+    spu_t = sampling.build_member_table(spu, n_users, n_items)
+    spu_csr = sampling.build_csr_lists(spu, n_users, aux=suk)
+    steps, b = 8, 32   # padded=256, rows_total=192
+    static = jax.tree_util.tree_map(jnp.asarray, sampling.sbpr_epoch_static(
+        pos_u, pos_i, social_neg.lens, spu_t.lens, spu_csr["off"],
+        n_items, steps * b, neg_ratio))
+    sn_dev = jax.tree_util.tree_map(
+        lambda x: jnp.asarray(x) if x is not None else None, social_neg)
+    csr_dev = jax.tree_util.tree_map(jnp.asarray, spu_csr)
+    batch = sampling.sbpr_epoch_tensors(jax.random.PRNGKey(5), static,
+                                        sn_dev, csr_dev, n_items, steps, b)
+    u = np.asarray(batch["u"]).ravel()
+    i = np.asarray(batch["i"]).ravel()
+    k = np.asarray(batch["k"]).ravel()
+    j = np.asarray(batch["j"]).ravel()
+    s = np.asarray(batch["suk"]).ravel()
+    w = np.asarray(batch["w"]).ravel()
+    assert w.sum() == len(pos_u) * neg_ratio
+    from collections import Counter
+    got = Counter(zip(u[w > 0].tolist(), i[w > 0].tolist()))
+    assert all(c == neg_ratio for c in got.values())
+    assert len(got) == len(pos_u)
+    for uu, kk, jj, ss in zip(u[w > 0], k[w > 0], j[w > 0], s[w > 0]):
+        uu, kk, jj = int(uu), int(kk), int(jj)
+        assert kk in spu[uu]
+        assert ss == suk[uu][spu[uu].index(kk)]
+        assert jj not in user_items[uu] and jj not in spu[uu]
+    # Social draws cover the SPu lists (5 per user, 24 draws per user).
+    assert len(set(k[w > 0].tolist())) > 10
+
+
 def test_pointwise_epoch_tensors_layout():
     """Pointwise epoch tensors: every pair contributes exactly one
     positive row (y=1, its own item) and neg_ratio negative rows (y=0,
