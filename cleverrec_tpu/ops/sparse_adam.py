@@ -26,6 +26,26 @@ import jax
 import jax.numpy as jnp
 
 
+def _segment_totals(g_s: jax.Array, newseg: jax.Array) -> jax.Array:
+    """Per-position running totals of a SEGMENTED sum (segments =
+    contiguous runs flagged by ``newseg``), via the classic segmented
+    associative scan.  At each segment's LAST position the running
+    total is the full segment sum.  Exact within a segment (no
+    cross-segment accumulation, so no f32 cancellation), and entirely
+    gather/scatter-free — ``jax.ops.segment_sum`` at this width (18k
+    segments) lowered to a pathological TPU scatter-add that dominated
+    the whole training step (measured ~0.8 ms/step; the sort feeding
+    it is 6 us)."""
+    def comb(a, b):
+        fa, va = a
+        fb, vb = b
+        keep = (~fb).astype(va.dtype)[..., None]
+        return fa | fb, vb + va * keep
+
+    _, v = jax.lax.associative_scan(comb, (newseg, g_s))
+    return v
+
+
 def dedup_rows(ids: jax.Array, grads: jax.Array, n_rows: int):
     """Sum duplicate ids' gradient rows.
 
@@ -38,12 +58,13 @@ def dedup_rows(ids: jax.Array, grads: jax.Array, n_rows: int):
     ids_s, order = jax.lax.sort_key_val(ids,
                                         jnp.arange(m, dtype=jnp.int32))
     g_s = grads[order]
-    newseg = jnp.concatenate([
-        jnp.ones((1,), jnp.int32),
-        (ids_s[1:] != ids_s[:-1]).astype(jnp.int32)])
-    seg = jnp.cumsum(newseg) - 1                        # [m] in [0, m)
-    gsum = jax.ops.segment_sum(g_s, seg, num_segments=m)
-    rep = jnp.full((m,), n_rows, ids_s.dtype).at[seg].set(ids_s)
+    newseg = jnp.concatenate([jnp.ones((1,), bool),
+                              ids_s[1:] != ids_s[:-1]])
+    is_last = jnp.concatenate([ids_s[1:] != ids_s[:-1],
+                               jnp.ones((1,), bool)])
+    gsum = _segment_totals(g_s, newseg)
+    rep = jnp.where(is_last, ids_s,
+                    jnp.asarray(n_rows, ids_s.dtype))
     return rep, gsum
 
 

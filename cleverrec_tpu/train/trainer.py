@@ -33,6 +33,47 @@ from cleverrec_tpu.models.base import RecModel
 from cleverrec_tpu import sampling
 
 
+def _dp_delta_combine(mode: str):
+    """Cross-chip combine for the local-Adam DP tiers' per-epoch
+    parameter/moment deltas (round-4 verdict item 4 — measured in
+    benchmarks/MESH_DP_CONVERGENCE.jsonl):
+
+    - 'mean': classic parameter averaging.  WRONG for sparse embedding
+      updates — chips touch mostly-disjoint rows, so the mean shrinks a
+      row's delta by ~D and the epoch crawls (BPR ml-100k D=8: HR@10
+      0.43 vs 0.61 for per-step psum at 20 epochs).
+    - 'sum': first-order composition of the chips' trajectories
+      (serial-exact for rows touched by one chip; for shared rows the
+      D short Adam walks sum to about what one long walk moves).
+    - 'count': occupancy-normalized sum — disjoint rows keep full
+      magnitude, rows touched by c chips divide by c (guards hot dense
+      rows against overshoot).
+
+    Integer leaves (Adam count) advance identically per chip and pass
+    through."""
+    def combine(n, o):
+        if not jnp.issubdtype(jnp.asarray(n).dtype, jnp.floating):
+            return n
+        d = n - o
+        if mode == "mean":
+            return o + jax.lax.pmean(d, "data")
+        if mode == "sum":
+            return o + jax.lax.psum(d, "data")
+        if mode != "count":
+            raise ValueError(f"train.dp_delta_combine={mode!r}")
+        if d.ndim == 0:
+            t = (jnp.abs(d) > 0).astype(d.dtype)
+            return o + jax.lax.psum(d, "data") / jnp.maximum(
+                jax.lax.psum(t, "data"), 1.0)
+        axes = tuple(range(1, d.ndim))
+        t = (jnp.sum(jnp.abs(d), axis=axes) > 0).astype(d.dtype)
+        den = jnp.maximum(jax.lax.psum(t, "data"), 1.0)
+        return o + jax.lax.psum(d, "data") / den.reshape(
+            (-1,) + (1,) * (d.ndim - 1))
+
+    return combine
+
+
 def _mlp_unsplit(spec, ref_params, pu_c, qi_c, dense_t):
     """Invert the fused-epoch feature-axis concatenation: slice the
     [*, tw_u]/[*, tw_i] tables back into the spec's named params (widths
@@ -462,7 +503,15 @@ class Trainer:
                                                     fused_gmf_epoch,
                                                     sentinel_dims)
         mesh_dp = getattr(self, "_fused_mesh_dp", 1)
-        steps = cdiv(self.steps_per_epoch, mesh_dp) * mesh_dp
+        # train.dp_sync_every=K: delta-combine every K local steps
+        # (kernel launched per K-step round) instead of once per epoch.
+        # The fused tier DEFAULTS to per-epoch (0) — it is the
+        # throughput tier; the measured convergence tradeoff is in
+        # benchmarks/PARITY.md round-5 (mesh-DP local Adam table).
+        sync_k = (self.cfg.int("train.dp_sync_every", 0)
+                  if mesh_dp > 1 else 0)
+        quantum = mesh_dp * max(sync_k, 1)
+        steps = cdiv(self.steps_per_epoch, quantum) * quantum
         b = self.batch_size
         rows_total = self._epoch_rows
         padded = steps * b
@@ -734,17 +783,32 @@ class Trainer:
             from jax.sharding import PartitionSpec as P
             mesh = self.mesh
 
+            combine = _dp_delta_combine(
+                self.cfg.str("train.dp_delta_combine", "mean"))
+            steps_loc = steps // mesh_dp
+
             def chip_fn(params, opt_state, tensors):
+                if sync_k:
+                    rounds = steps_loc // sync_k
+
+                    def round_body(carry, t_k):
+                        p, o = carry
+                        p2, o2, raw_k = apply_fn(p, o, t_k)
+                        p2 = jax.tree_util.tree_map(combine, p2, p)
+                        o2 = jax.tree_util.tree_map(combine, o2, o)
+                        return (p2, o2), raw_k
+
+                    t_r = jax.tree_util.tree_map(
+                        lambda a: a.reshape((rounds, sync_k)
+                                            + a.shape[1:]), tensors)
+                    (p2, o2), raws = jax.lax.scan(
+                        round_body, (params, opt_state), t_r)
+                    return p2, o2, jax.lax.psum(jnp.sum(raws), "data")
                 p2, o2, raw = apply_fn(params, opt_state, tensors)
                 raw = jax.lax.psum(raw, "data")
 
-                def delta_mean(n, o):
-                    if jnp.issubdtype(jnp.asarray(n).dtype, jnp.floating):
-                        return o + jax.lax.pmean(n - o, "data")
-                    return n
-
-                p2 = jax.tree_util.tree_map(delta_mean, p2, params)
-                o2 = jax.tree_util.tree_map(delta_mean, o2, opt_state)
+                p2 = jax.tree_util.tree_map(combine, p2, params)
+                o2 = jax.tree_util.tree_map(combine, o2, opt_state)
                 return p2, o2, raw
 
             chip = shard_map(chip_fn, mesh=mesh,
@@ -1192,19 +1256,17 @@ class Trainer:
             from jax.sharding import PartitionSpec as P
             mesh = self.mesh
 
+            combine = _dp_delta_combine(
+                self.cfg.str("train.dp_delta_combine", "mean"))
+
             def chip_fn(params, opt_state, key, arrays):
                 chunk = jax.lax.axis_index("data")
                 p2, o2, mean_part = epoch_local(params, opt_state, key,
                                                 arrays, chunk)
                 mean_loss = jax.lax.psum(mean_part, "data")
 
-                def delta_mean(n, o):
-                    if jnp.issubdtype(jnp.asarray(n).dtype, jnp.floating):
-                        return o + jax.lax.pmean(n - o, "data")
-                    return n
-
-                p2 = jax.tree_util.tree_map(delta_mean, p2, params)
-                o2 = jax.tree_util.tree_map(delta_mean, o2, opt_state)
+                p2 = jax.tree_util.tree_map(combine, p2, params)
+                o2 = jax.tree_util.tree_map(combine, o2, opt_state)
                 return p2, o2, mean_loss
 
             chip = shard_map(chip_fn, mesh=mesh,
@@ -1368,14 +1430,22 @@ class Trainer:
         # protocol.  Default off: the scan tier's standard semantics
         # (batch sharded over 'data', grads psum'd per step) stay.
         local_adam_dp = 1
+        sync_k = 0
         if (steps is None and self.mesh is not None
                 and self.mesh.shape.get("model", 1) == 1
                 and self.mesh.shape.get("data", 1) > 1
                 and self.cfg.str("parallel.exchange", "gspmd") != "explicit"
                 and self.cfg.bool("train.dp_local_adam", False)):
             local_adam_dp = self.mesh.shape["data"]
+            # train.dp_sync_every=K: delta-combine every K local steps
+            # instead of once per epoch.  Per-epoch sync at D=8 lands
+            # outside seed variance on ml-100k (MESH_DP_CONVERGENCE
+            # table); small K restores sync-arm quality at 1/K the
+            # collective count.
+            sync_k = self.cfg.int("train.dp_sync_every", 2)
         steps = self.steps_per_epoch if steps is None else steps
-        steps = cdiv(steps, local_adam_dp) * local_adam_dp
+        quantum = local_adam_dp * max(sync_k, 1)
+        steps = cdiv(steps, quantum) * quantum
         rows_total = self._epoch_rows if rows_total is None else rows_total
         b = self.batch_size if batch_size is None else batch_size
         padded = steps * b
@@ -1469,22 +1539,38 @@ class Trainer:
             ident = lambda batch: batch  # noqa: E731
             real_steps = self.steps_per_epoch
 
+            combine = _dp_delta_combine(
+                self.cfg.str("train.dp_delta_combine", "sum"))
+
+            steps_loc = steps // local_adam_dp
+
             def chip_fn(params, opt_state, xs, arrays):
-                p2, o2, losses = run_scan(params, opt_state, xs, arrays,
-                                          ident)
                 # Padded steps are fully invalid (w == 0 -> loss 0), so
                 # the psum'd TOTAL over padded steps equals the total
                 # over real steps; divide by the real count to match the
                 # unmeshed mean.
+                if sync_k:
+                    rounds = steps_loc // sync_k
+                    xs_r = jax.tree_util.tree_map(
+                        lambda a: a.reshape((rounds, sync_k)
+                                            + a.shape[1:]), xs)
+
+                    def round_body(carry, xs_k):
+                        p, o = carry
+                        p2, o2, losses = run_scan(p, o, xs_k, arrays,
+                                                  ident)
+                        p2 = jax.tree_util.tree_map(combine, p2, p)
+                        o2 = jax.tree_util.tree_map(combine, o2, o)
+                        return (p2, o2), jnp.sum(losses)
+
+                    (p2, o2), raws = jax.lax.scan(
+                        round_body, (params, opt_state), xs_r)
+                    return p2, o2, jax.lax.psum(jnp.sum(raws), "data")
+                p2, o2, losses = run_scan(params, opt_state, xs, arrays,
+                                          ident)
                 raw = jax.lax.psum(jnp.sum(losses), "data")
-
-                def delta_mean(n, o):
-                    if jnp.issubdtype(jnp.asarray(n).dtype, jnp.floating):
-                        return o + jax.lax.pmean(n - o, "data")
-                    return n
-
-                p2 = jax.tree_util.tree_map(delta_mean, p2, params)
-                o2 = jax.tree_util.tree_map(delta_mean, o2, opt_state)
+                p2 = jax.tree_util.tree_map(combine, p2, params)
+                o2 = jax.tree_util.tree_map(combine, o2, opt_state)
                 return p2, o2, raw
 
             chip = shard_map(chip_fn, mesh=mesh,
@@ -1505,7 +1591,7 @@ class Trainer:
         if register_body:
             self._epoch_body = epoch
             self._scan_parts = (build_xs, run_scan, steps,
-                                local_adam_dp)  # test hook
+                                local_adam_dp, sync_k)  # test hook
         return jax.jit(epoch, donate_argnums=(0, 1))
 
     def _ensure_dp_static(self, static_key: str, padded: int) -> str:

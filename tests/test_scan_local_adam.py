@@ -25,9 +25,14 @@ from tests.conftest import base_config
 
 
 def _trainer(toy, mesh=None, **ov):
+    # Oracle tests pin the per-epoch MEAN semantics explicitly; the
+    # production defaults are combine=sum + sync every 2 steps (the
+    # measured quality point, benchmarks/MESH_DP_CONVERGENCE.jsonl).
     base = {"epoches": "2", "batch_size": "16", "embed_size": "16",
             "lr": "0.05", "neg_ratio": "2", "is_pairwise": "True",
             "loss_func": "bpr", "reg": "0.01",
+            "train.dp_delta_combine": "mean",
+            "train.dp_sync_every": "0",
             "train.fused_kernel": "False"}
     base.update(ov)
     cfg = base_config(toy, **base)
@@ -39,7 +44,8 @@ def _trainer(toy, mesh=None, **ov):
 def _oracle(tr, params, opt, key):
     """Serial per-chunk scan runs + delta averaging — the declared
     local-Adam semantics over the SAME sampled epoch tensors."""
-    build_xs, run_scan, steps, dp = tr._scan_parts
+    build_xs, run_scan, steps, dp, sync_k = tr._scan_parts
+    assert sync_k == 0
     assert dp > 1 and steps % dp == 0
     xs = jax.jit(build_xs)(key, tr.arrays)
     chunk = steps // dp
@@ -109,6 +115,64 @@ def test_scan_local_adam_rows_protocol(toy_social_dataset):
         np.testing.assert_allclose(np.asarray(lg), lw, rtol=1e-5,
                                    atol=1e-6)
     assert float(got_loss) == pytest.approx(want_loss, rel=1e-5)
+
+
+def test_scan_local_adam_sync_every_k_matches_round_oracle(toy_dataset):
+    """Production defaults (combine=sum, sync every K=2 local steps):
+    each sync round runs K steps per chip from the synced state, then
+    deltas are SUMMED across chips.  Oracle: serial per-chip K-step
+    runs from the round-start state, delta-sum, repeated over rounds."""
+    D, K = 8, 2
+    mesh = make_mesh(D, 1)
+    tr = _trainer(toy_dataset, mesh=mesh,
+                  **{"train.dp_local_adam": "True",
+                     "train.dp_delta_combine": "sum",
+                     "train.dp_sync_every": str(K)})
+    build_xs, run_scan, steps, dp, sync_k = tr._scan_parts
+    assert dp == D and sync_k == K and steps % (D * K) == 0
+    params, opt = tr.init_state()
+    key = jax.random.PRNGKey(9)
+    got_p, got_o, got_loss = jax.jit(tr._epoch_body)(
+        params, opt, key, tr.arrays)
+
+    xs = jax.jit(build_xs)(key, tr.arrays)
+    steps_loc = steps // D
+    rounds = steps_loc // K
+    ident = lambda b: b  # noqa: E731
+    p_cur, o_cur = params, opt
+    raw = 0.0
+    for r in range(rounds):
+        deltas_p, deltas_o = [], []
+        for c in range(D):
+            lo = c * steps_loc + r * K
+            xs_c = jax.tree_util.tree_map(lambda a: a[lo:lo + K], xs)
+            p_c, o_c, losses = run_scan(p_cur, o_cur, xs_c, tr.arrays,
+                                        ident)
+            deltas_p.append(jax.tree_util.tree_map(
+                lambda n, o_: np.asarray(n) - np.asarray(o_), p_c,
+                p_cur))
+            deltas_o.append(jax.tree_util.tree_map(
+                lambda n, o_: (np.asarray(n) - np.asarray(o_)
+                               if np.issubdtype(np.asarray(n).dtype,
+                                                np.floating)
+                               else np.asarray(n)), o_c, o_cur))
+            raw += float(jnp.sum(losses))
+        p_cur = jax.tree_util.tree_map(
+            lambda o_, *ds: np.asarray(o_) + np.sum(ds, axis=0),
+            p_cur, *deltas_p)
+        o_cur = jax.tree_util.tree_map(
+            lambda o_, *ds: (np.asarray(o_) + np.sum(ds, axis=0)
+                             if np.issubdtype(np.asarray(o_).dtype,
+                                              np.floating)
+                             else ds[0]),
+            o_cur, *deltas_o)
+    for lg, lw in zip(jax.tree_util.tree_leaves(got_p),
+                      jax.tree_util.tree_leaves(p_cur)):
+        np.testing.assert_allclose(np.asarray(lg), np.asarray(lw),
+                                   rtol=2e-4, atol=1e-5)
+    assert int(got_o[0].count) == int(opt[0].count) + steps_loc
+    assert float(got_loss) == pytest.approx(raw / tr.steps_per_epoch,
+                                            rel=1e-5)
 
 
 def test_scan_local_adam_default_off(toy_dataset):
