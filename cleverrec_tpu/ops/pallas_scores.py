@@ -184,10 +184,25 @@ def fused_dot_topk_scores(u_vecs: jax.Array, q_table: jax.Array,
     return out[:b], gmax[:b], jnp.asarray(item_map)
 
 
+def _gmax_block_cap(d: int) -> int:
+    """Largest user block the gmax-only kernel fits in scoped VMEM: the
+    masked [bb, 4096] f32 score tile lives as a VMEM temp (never an
+    output buffer) next to the double-buffered [4096, d] q slab.
+    Bigger blocks cut the kernel's dominant HBM cost — the per-block
+    q-table re-read (319k items d=64: full rank_fused 6.66 ms/batch at
+    bb=128 -> 5.41 ms at bb=512, outputs bit-identical; round-5
+    chained-stage profile)."""
+    budget = 13_500_000 - 8 * 4096 * d          # minus 2x q slab
+    bb = 128
+    while bb < 512 and (2 * bb) * 4096 * 4 <= budget:
+        bb *= 2
+    return bb
+
+
 @functools.partial(jax.jit, static_argnames=("block_b", "interpret",
                                              "item_nums"))
 def fused_dot_gmax(u_vecs: jax.Array, q_perm: jax.Array,
-                   seen_bits: jax.Array, block_b: int = 128,
+                   seen_bits: jax.Array, block_b: int = 512,
                    interpret: bool = False,
                    item_nums: int | None = None,
                    bias_perm: jax.Array | None = None) -> jax.Array:
@@ -202,7 +217,8 @@ def fused_dot_gmax(u_vecs: jax.Array, q_perm: jax.Array,
     (same f32 MXU contraction over d)."""
     assert item_nums is not None, "fused_dot_gmax needs item_nums"
     args, meta = _prepare(u_vecs, q_perm, seen_bits, block_b,
-                          True, item_nums, bias_perm)
+                          True, item_nums, bias_perm,
+                          cap=_gmax_block_cap(u_vecs.shape[1]))
     b, b_pad, i_padded, block_b, grid, d, _ = meta
     from jax.experimental import pallas as pl
     from jax.experimental.pallas import tpu as pltpu

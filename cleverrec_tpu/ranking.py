@@ -254,22 +254,35 @@ def rank_fused(model, params, aux, u, seen_bits, k: int,
     _, gi = grouped_topk(gmax, k, min_cols=4096)           # [B, k]
     gflat = ((gi // 128) * 32
              + jnp.minimum(gi % 128, 31))                  # flat group id
-    cols = (gflat[:, :, None] * GROUP_I
-            + jax.lax.broadcasted_iota(jnp.int32, (b, k, GROUP_I), 2))
-    ids = item_map[cols]                                   # [B, k, 128]
-    # Recompute the candidates' masked scores: gather the k*128 table
-    # rows and redo the dot (bit-identical to the kernel's — same f32
-    # MXU contraction over d), re-apply bias and the seen-bit mask.
-    qc = q_perm[cols]                                      # [B, k, 128, d]
+    # Recompute the candidates' masked scores: each winning group is a
+    # CONTIGUOUS 128-row slab of q_perm, so gather [B, k] whole slabs
+    # from a [G, 128, d] view (slice_sizes (1, 128, d) — DMA-friendly)
+    # instead of 2.6M individual rows: the element-indexed form
+    # (q_perm[cols] with cols [B, k, 128]) lowered to a scalar gather
+    # measured 31.5 ms/batch at [1024 x 319k] (round-5 probe).  The
+    # dot is bit-identical to the kernel's (same f32 MXU contraction).
+    g_total = item_map.shape[0] // GROUP_I
+    ids = item_map.reshape(g_total, GROUP_I)[gflat]        # [B, k, 128]
+    qc = q_perm.reshape(g_total, GROUP_I, -1)[gflat]       # [B,k,128,d]
     cand = jax.lax.dot_general(
         qc, u_vecs, (((3,), (1,)), ((0,), (0,))),
         preferred_element_type=jnp.float32)                # [B, k, 128]
     if bias_perm is not None:
-        cand = cand + bias_perm[cols]
-    words = jnp.minimum(ids >> 5, seen_bits.shape[1] - 1)
-    bits = jnp.take_along_axis(seen_bits, words.reshape(b, -1),
-                               axis=1).reshape(ids.shape)
-    seen = ((bits >> (ids & 31).astype(jnp.uint32)) & 1) == 1
+        cand = cand + bias_perm.reshape(g_total, GROUP_I)[gflat]
+    # Seen-bit re-masking, slab form: group gflat's candidates test
+    # word t*128 + lane (t = gflat // 32 — the kernel tile) at bit
+    # gflat % 32, i.e. the tile's CONTIGUOUS 128-word bitmap window —
+    # gather [B, k] windows, not k*128 scattered words (the elementwise
+    # take_along_axis lowered to a scalar gather costing 27 ms/batch at
+    # [1024 x 319k]; round-5 chained-stage profile).
+    w_total = n // 32
+    sb = seen_bits
+    if sb.shape[1] < w_total:
+        sb = jnp.pad(sb, ((0, 0), (0, w_total - sb.shape[1])))
+    sb3 = sb.reshape(b, n // BLOCK_I, BLOCK_I // 32)
+    words = jnp.take_along_axis(sb3, (gflat // 32)[:, :, None], axis=1)
+    bit = (gflat % 32).astype(jnp.uint32)[:, :, None]
+    seen = ((words >> bit) & 1) == 1
     cand = jnp.where(seen | (ids >= i_real), NEG, cand)
     # Final selection by k-fold max extraction: k unrolled
     # max+argmax+mask passes over [B, k*128] measured ~3.7x faster
