@@ -488,11 +488,15 @@ class Trainer:
         steps (padded to a multiple of D) are sampled globally, the step
         axis is sharded over the 'data' axis, and each chip runs the
         whole-epoch kernel over its steps/D chunk against a full table
-        replica.  Parameter and moment deltas are then AVERAGED across
-        chips (per-epoch local Adam — the classic parameter-averaging
-        schedule; embedding updates are sparse and mostly disjoint, so
-        the averaged epoch tracks the serial one closely; pinned against
-        a serial per-chunk oracle in tests/test_fused_train.py).  With
+        replica.  Parameter and moment deltas are then combined across
+        chips (per-epoch local Adam; train.dp_delta_combine).  NOTE the
+        measured convergence tradeoff: per-epoch sync at D=8 lands
+        OUTSIDE seed variance on ml-100k regardless of combine rule
+        (benchmarks/MESH_DP_CONVERGENCE.jsonl + PARITY.md round 5) —
+        this is the THROUGHPUT tier; train.dp_sync_every=K combines
+        every K local steps instead (K=2 with 'sum' was the measured
+        quality point).  Mechanics pinned against a serial per-chunk
+        oracle in tests/test_fused_mesh.py.  With
         D == 1 the shard_map wrapper is skipped entirely, so a meshed
         single-chip run is bit-identical to the unmeshed fused epoch."""
         if self._fused_grouped_plan is not None:
