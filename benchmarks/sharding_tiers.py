@@ -69,10 +69,14 @@ def count_collectives(text: str) -> dict[str, int]:
     counts = {}
     for op in COLLECTIVES:
         # Instruction names like `%all-gather.3 = ...`; count definitions
-        # (start/done pairs collapse to the async start).
+        # (start/done pairs collapse to the async start).  TUPLE-shaped
+        # defs (`= (f32[...], f32[...]) all-reduce(`) have spaces in the
+        # type, so also match the op token directly before its paren.
         n = len(re.findall(rf"= \S* ?{op}(?:-start)?\(", text))
         if n == 0:
             n = len(re.findall(rf"{op}(?:-start)?\.\d+ =", text))
+        if n == 0:
+            n = len(re.findall(rf"\) {op}(?:-start)?\(", text))
         counts[op] = n
     return counts
 
