@@ -102,25 +102,37 @@ def main():
     b = ev._batches
     acc = jnp.zeros((len(ev.topk), 3), jnp.float32)
 
+    # The n-eval chain runs INSIDE one device program (lax.scan with the
+    # params content chained through each result): one dispatch, so the
+    # marginal is pure device time — immune to both the tunnel's RTT
+    # jitter AND the experimental runtime's memoization of identical
+    # executions (a host-side chain of same-args evals measured cache
+    # hits: 1.2M-2.8M "users/s" swings; the 1e-12 nudge is numerically
+    # invisible but makes every iteration's inputs distinct).
+    import functools
+
+    @functools.partial(jax.jit, static_argnames=("n",))
+    def eval_chain(params, arrays, b, n):
+        def body(p, _):
+            r = ev._device_eval(p, arrays, b)
+            return {**p, "P": p["P"] + r[0, 0] * 1e-12}, r
+        _, rs = jax.lax.scan(body, params, None, length=n)
+        return rs.sum(0)
+
     def run_evals(n):
-        nonlocal acc
         t0 = time.time()
-        a = acc
-        for _ in range(n):
-            a = a + ev._eval_fn(params, trainer.arrays, b)
-        np.asarray(a)
+        np.asarray(eval_chain(params, trainer.arrays, b, n))
         return time.time() - t0
 
-    # Long chains: each eval is ~1ms, so a 10-call difference sits inside
-    # the tunnel's dispatch jitter — 2-vs-62 with retries keeps the
-    # measured difference well above the noise floor.
+    # This ~1ms program's wall time swings ~2x with device state, so
+    # take the best of three 2-vs-62 marginals (the min is the
+    # least-perturbed run — standard for microbenchmarks).
     run_evals(1)
-    for _ in range(3):
-        t2, t62 = run_evals(2), run_evals(62)
-        if t62 > t2:
-            break
-    eval_per = ((t62 - t2) / 60 if t62 > t2
-                else max(t62 / 62, 1e-9))
+    run_evals(2), run_evals(62)     # compile both chain lengths
+    pairs = [(run_evals(2), run_evals(62)) for _ in range(3)]
+    vals = [(t62 - t2) / 60 for t2, t62 in pairs if t62 > t2]
+    eval_per = (min(vals) if vals
+                else max(min(t62 for _, t62 in pairs) / 62, 1e-9))
     eval_users_per_s = len(trainer.dd.test_users) / eval_per
 
     # Roofline accounting for the fused epoch (one-hot matmul form):

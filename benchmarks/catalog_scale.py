@@ -128,9 +128,14 @@ def main():
 
         def run_evals(n):
             a = acc
+            p = params
             t0 = time.time()
             for _ in range(n):
-                a = a + ev._eval_fn(params, tr.arrays, b)
+                r = ev._eval_fn(p, tr.arrays, b)
+                a = a + r
+                # Distinct inputs per call — the runtime memoizes
+                # identical executions (see bench.py run_evals).
+                p = {**p, "P": p["P"] + r[0, 0] * 1e-12}
             np.asarray(a)
             return time.time() - t0
 
