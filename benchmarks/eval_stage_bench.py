@@ -23,11 +23,17 @@ from cleverrec_tpu.utils.logging import enable_compilation_cache  # noqa: E402
 
 
 def timed(fn, *a, n=10):
-    out = fn(*a)
+    """fn(uv, ...) is re-invoked with a slightly nudged first arg each
+    iteration: the experimental axon runtime MEMOIZES identical
+    executions, so a same-args loop can time cache hits (this script
+    once reported a 4 ms kernel as 0.04 ms).  The nudge is numerically
+    invisible; timings remain marginal device+dispatch costs."""
+    uv, rest = a[0], a[1:]
+    out = fn(uv, *rest)
     jax.block_until_ready(out)
     t0 = time.perf_counter()
-    for _ in range(n):
-        out = fn(*a)
+    for i in range(n):
+        out = fn(uv + (i + 1) * 1e-12, *rest)
     jax.block_until_ready(out)
     return (time.perf_counter() - t0) / n * 1e3
 
@@ -65,20 +71,26 @@ def main():
         model=model, params=params, aux={})
     q_perm, bias_perm, item_map = pre
 
+    uv = params["uv"][:b]
+
     full = jax.jit(functools.partial(ranking.rank_fused, model, k=k),
                    static_argnames=())
-    full_ms = timed(lambda: full(params, {}, u, bits, pre=pre))
 
-    uv = params["uv"][:b]
+    def full_once(uv_nudge, *_):
+        # Isolate the pure 1e-12-scale nudge (uv_nudge = uv + i*1e-12).
+        p2 = {**params, "uv": params["uv"] + (uv_nudge[0, 0] - uv[0, 0])}
+        return full(p2, {}, u, bits, pre=pre)
+
+    full_ms = timed(full_once, uv)
 
     s1 = jax.jit(lambda uv, q, sb, bp: fused_dot_gmax(
         uv, q, sb, item_nums=i_real, bias_perm=bp))
-    s1_ms = timed(lambda: s1(uv, q_perm, bits, bias_perm))
+    s1_ms = timed(s1, uv, q_perm, bits, bias_perm)
 
     s2 = jax.jit(lambda uv, q, sb, bp: grouped_topk(
         fused_dot_gmax(uv, q, sb, item_nums=i_real, bias_perm=bp),
         k, min_cols=4096)[1])
-    s2_ms = timed(lambda: s2(uv, q_perm, bits, bias_perm))
+    s2_ms = timed(s2, uv, q_perm, bits, bias_perm)
 
     def to_cols(gi):
         gflat = (gi // 128) * 32 + jnp.minimum(gi % 128, 31)
@@ -88,7 +100,7 @@ def main():
     s3 = jax.jit(lambda uv, q, sb, bp: q_perm[to_cols(grouped_topk(
         fused_dot_gmax(uv, q, sb, item_nums=i_real, bias_perm=bp),
         k, min_cols=4096)[1])].sum())
-    s3_ms = timed(lambda: s3(uv, q_perm, bits, bias_perm))
+    s3_ms = timed(s3, uv, q_perm, bits, bias_perm)
 
     def through_cand(uv, q, sb, bp):
         gi = grouped_topk(fused_dot_gmax(uv, q, sb, item_nums=i_real,

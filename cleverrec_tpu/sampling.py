@@ -572,6 +572,55 @@ def sbpr_epoch_tensors(key, static: dict, social_neg: MemberTable,
             "w": w_s.reshape(steps, b)}
 
 
+def tbpr_epoch_static(pos_u: np.ndarray, pos_i: np.ndarray,
+                      social_lens: np.ndarray, ts_lens: np.ndarray,
+                      ts_off: np.ndarray, tw_lens: np.ndarray,
+                      tw_off: np.ndarray, item_nums: int, padded: int,
+                      neg_ratio: int):
+    """Host-side constants for ``tbpr_epoch_tensors``: the pairwise row
+    layout plus BOTH tie lists' draw geometry (strong + weak CSR
+    offsets/lengths) and the negative draw's complement count w.r.t.
+    seen UNION strong UNION weak (models/social.py TBPR)."""
+    base = sbpr_epoch_static(pos_u, pos_i, social_lens, ts_lens, ts_off,
+                             item_nums, padded, neg_ratio)
+    rows_total = len(pos_u) * neg_ratio
+    u = base["ord_u"]
+    twlen = np.ones(padded, np.int32)
+    twlen[:rows_total] = np.maximum(
+        np.asarray(tw_lens)[u[:rows_total]], 1)
+    twoff = np.zeros(padded, np.int32)
+    twoff[:rows_total] = np.asarray(tw_off)[u[:rows_total]]
+    return {**base, "ord_twlen": twlen, "ord_twoff": twoff}
+
+
+def tbpr_epoch_tensors(key, static: dict, social_neg: MemberTable,
+                       ts_csr, tw_csr, item_nums: int, steps: int,
+                       b: int):
+    """The whole epoch's (u, i, s, t, j, w) as [steps, b] tensors — the
+    TBPR-protocol analog of ``sbpr_epoch_tensors``: one exact negative
+    draw via the triple-union complement, two CSR tie-item gathers, one
+    multi-operand sort shuffle."""
+    padded = steps * b
+    jkey, skey2, tkey, pkey = jax.random.split(key, 4)
+    j = _epoch_negatives(jkey, static, social_neg, item_nums, padded,
+                         None)
+    raw_s = jax.random.randint(skey2, (padded,), 0,
+                               jnp.iinfo(jnp.int32).max, dtype=jnp.int32)
+    s = ts_csr["flat"][static["ord_spuoff"]
+                       + raw_s % static["ord_spulen"]]
+    raw_t = jax.random.randint(tkey, (padded,), 0,
+                               jnp.iinfo(jnp.int32).max, dtype=jnp.int32)
+    t = tw_csr["flat"][static["ord_twoff"]
+                       + raw_t % static["ord_twlen"]]
+    keys = jax.random.bits(pkey, (padded,), jnp.uint32)
+    _, u_s, i_s, s_s, t_s, j_s, w_s = jax.lax.sort(
+        (keys, static["ord_u"], static["ord_i"], s, t, j,
+         static["ord_w"]), num_keys=1)
+    return {"u": u_s.reshape(steps, b), "i": i_s.reshape(steps, b),
+            "s": s_s.reshape(steps, b), "t": t_s.reshape(steps, b),
+            "j": j_s.reshape(steps, b), "w": w_s.reshape(steps, b)}
+
+
 def cml_epoch_tensors(key, static: dict, seen: MemberTable,
                       item_nums: int, steps: int, b: int,
                       pop_cdf=None, *, neg_ratio: int):

@@ -171,6 +171,19 @@ class Trainer:
                     np.asarray(model_aux["spu"].lens),
                     np.asarray(model_aux["spu_csr"]["off"]),
                     self.dd.item_nums, padded, cfg.neg_ratio))
+        elif (model.sampler == "tbpr"
+              and cfg.bool("train.sbpr_epoch_tensors", True)):
+            padded = cdiv(self.n_pairs * cfg.neg_ratio,
+                          cfg.batch_size) * cfg.batch_size
+            arrays["tbpr_static"] = jax.tree_util.tree_map(
+                jnp.asarray, sampling.tbpr_epoch_static(
+                    pos_u, pos_i,
+                    np.asarray(model_aux["social_neg"].lens),
+                    np.asarray(model_aux["tie_strong"].lens),
+                    np.asarray(model_aux["ts_csr"]["off"]),
+                    np.asarray(model_aux["tie_weak"].lens),
+                    np.asarray(model_aux["tw_csr"]["off"]),
+                    self.dd.item_nums, padded, cfg.neg_ratio))
         elif model.sampler == "pointwise" and not (
                 getattr(model, "history_bucketing", False)
                 and cfg.bool("train.bucketed_histories", True)):
@@ -547,6 +560,9 @@ class Trainer:
         if (proto == "rows" and self.model.sampler == "sbpr"
                 and "sbpr_static" in self.arrays):
             static_key = "sbpr_static"
+        if (proto == "rows" and self.model.sampler == "tbpr"
+                and "tbpr_static" in self.arrays):
+            static_key = "tbpr_static"
         if steps != self.steps_per_epoch and static_key is not None:
             static_key = self._ensure_dp_static(static_key, padded)
 
@@ -705,6 +721,11 @@ class Trainer:
                 batch = sampling.sbpr_epoch_tensors(
                     pkey, arrays[static_key], arrays["social_neg"],
                     arrays["spu_csr"], item_nums, steps, b)
+            elif static_key is not None and "tbpr" in static_key:
+                batch = sampling.tbpr_epoch_tensors(
+                    pkey, arrays[static_key], arrays["social_neg"],
+                    arrays["ts_csr"], arrays["tw_csr"], item_nums,
+                    steps, b)
             else:
                 step_keys = jax.random.split(skey, steps)
                 perm, valid = sampling.epoch_permutation(pkey, rows_total,
@@ -1335,6 +1356,8 @@ class Trainer:
         sampler = self.model.sampler
         sbpr_tensors = (sampler == "sbpr"
                         and "sbpr_static" in self.arrays)
+        tbpr_tensors = (sampler == "tbpr"
+                        and "tbpr_static" in self.arrays)
         pairwise_tensors = sampler == "pairwise"
 
         def epoch(params, opt_state, key, arrays):
@@ -1347,6 +1370,11 @@ class Trainer:
                 xs = (sampling.sbpr_epoch_tensors(
                     pkey, arrays["sbpr_static"], arrays["social_neg"],
                     arrays["spu_csr"], item_nums, steps, b), step_keys)
+            elif tbpr_tensors:
+                xs = (sampling.tbpr_epoch_tensors(
+                    pkey, arrays["tbpr_static"], arrays["social_neg"],
+                    arrays["ts_csr"], arrays["tw_csr"], item_nums,
+                    steps, b), step_keys)
             elif pairwise_tensors:
                 xs = (sampling.pairwise_epoch_tensors(
                     pkey, arrays["pairwise_static"], arrays["seen"],
@@ -1362,7 +1390,7 @@ class Trainer:
                 P, QI, Dn, mP, mQI, mD, vP, vQI, vD, count = carry
                 payload, k = x
                 sk, _ = jax.random.split(k)
-                if sbpr_tensors or pairwise_tensors:
+                if sbpr_tensors or tbpr_tensors or pairwise_tensors:
                     batch = dict(payload)
                 else:
                     rows, w = payload
@@ -1482,7 +1510,9 @@ class Trainer:
         static_key = f"{self.model.sampler}_static"
         sbpr_tensors = (self.model.sampler == "sbpr"
                         and "sbpr_static" in self.arrays)
-        if ((tensors_fn is not None or sbpr_tensors)
+        tbpr_tensors = (self.model.sampler == "tbpr"
+                        and "tbpr_static" in self.arrays)
+        if ((tensors_fn is not None or sbpr_tensors or tbpr_tensors)
                 and local_adam_dp > 1 and steps != self.steps_per_epoch):
             # D-padded step grids need D-padded static epoch layouts
             # (same rebuild the fused mesh-DP tier does).
@@ -1507,6 +1537,12 @@ class Trainer:
                     pkey, arrays[static_key], arrays["social_neg"],
                     arrays["spu_csr"], self.dd.item_nums, steps, b)
                 return (epoch_batch, step_keys)
+            if tbpr_tensors:
+                epoch_batch = sampling.tbpr_epoch_tensors(
+                    pkey, arrays[static_key], arrays["social_neg"],
+                    arrays["ts_csr"], arrays["tw_csr"],
+                    self.dd.item_nums, steps, b)
+                return (epoch_batch, step_keys)
             perm, valid = sampling.epoch_permutation(pkey, rows_total,
                                                      padded)
             return ((perm.reshape(steps, b), valid.reshape(steps, b)),
@@ -1517,7 +1553,7 @@ class Trainer:
                 params, opt_state = carry
                 payload, k = xs
                 sk, dk = jax.random.split(k)
-                if tensors_fn is not None or sbpr_tensors:
+                if tensors_fn is not None or sbpr_tensors or tbpr_tensors:
                     batch = dict(payload)
                 else:
                     rows, w = payload
@@ -1620,6 +1656,14 @@ class Trainer:
                 pos_u, pos_i, np.asarray(self.arrays["social_neg"].lens),
                 np.asarray(self.arrays["spu"].lens),
                 np.asarray(self.arrays["spu_csr"]["off"]),
+                item_nums, padded, self.neg_ratio)
+        elif static_key == "tbpr_static":
+            st = sampling.tbpr_epoch_static(
+                pos_u, pos_i, np.asarray(self.arrays["social_neg"].lens),
+                np.asarray(self.arrays["tie_strong"].lens),
+                np.asarray(self.arrays["ts_csr"]["off"]),
+                np.asarray(self.arrays["tie_weak"].lens),
+                np.asarray(self.arrays["tw_csr"]["off"]),
                 item_nums, padded, self.neg_ratio)
         else:
             st = sampling.pairwise_epoch_static(

@@ -284,6 +284,55 @@ def test_sbpr_epoch_tensors_invariants():
     assert len(set(k[w > 0].tolist())) > 10
 
 
+def test_tbpr_epoch_tensors_invariants():
+    """Whole-epoch TBPR tensors: s in strong(u), t in weak(u), j outside
+    seen UNION strong UNION weak."""
+    rng = np.random.default_rng(6)
+    n_users, n_items, neg_ratio = 6, 40, 2
+    user_items = {u: sorted(rng.choice(n_items, size=6,
+                                       replace=False).tolist())
+                  for u in range(n_users)}
+    strong = {u: sorted(rng.choice(n_items, size=4,
+                                   replace=False).tolist())
+              for u in range(n_users)}
+    weak = {u: sorted(rng.choice(n_items, size=3,
+                                 replace=False).tolist())
+            for u in range(n_users)}
+    pos_u = np.repeat(np.arange(n_users, dtype=np.int32), 6)
+    pos_i = np.concatenate([np.asarray(user_items[u], np.int32)
+                            for u in range(n_users)])
+    union = {u: sorted(set(user_items[u]) | set(strong[u]) | set(weak[u]))
+             for u in range(n_users)}
+    social_neg = sampling.build_member_table(union, n_users, n_items)
+    ts = sampling.build_member_table(strong, n_users, n_items)
+    tw = sampling.build_member_table(weak, n_users, n_items)
+    ts_csr = sampling.build_csr_lists(strong, n_users)
+    tw_csr = sampling.build_csr_lists(weak, n_users)
+    steps, b = 4, 32
+    static = jax.tree_util.tree_map(jnp.asarray, sampling.tbpr_epoch_static(
+        pos_u, pos_i, social_neg.lens, ts.lens, ts_csr["off"],
+        tw.lens, tw_csr["off"], n_items, steps * b, neg_ratio))
+    sn_dev = jax.tree_util.tree_map(
+        lambda x: jnp.asarray(x) if x is not None else None, social_neg)
+    batch = sampling.tbpr_epoch_tensors(
+        jax.random.PRNGKey(8), static, sn_dev,
+        jax.tree_util.tree_map(jnp.asarray, ts_csr),
+        jax.tree_util.tree_map(jnp.asarray, tw_csr), n_items, steps, b)
+    u = np.asarray(batch["u"]).ravel()
+    s = np.asarray(batch["s"]).ravel()
+    t = np.asarray(batch["t"]).ravel()
+    j = np.asarray(batch["j"]).ravel()
+    w = np.asarray(batch["w"]).ravel()
+    assert w.sum() == len(pos_u) * neg_ratio
+    for uu, ss, tt, jj in zip(u[w > 0], s[w > 0], t[w > 0], j[w > 0]):
+        uu = int(uu)
+        assert int(ss) in strong[uu]
+        assert int(tt) in weak[uu]
+        assert (int(jj) not in user_items[uu]
+                and int(jj) not in strong[uu]
+                and int(jj) not in weak[uu])
+
+
 def test_pointwise_epoch_tensors_layout():
     """Pointwise epoch tensors: every pair contributes exactly one
     positive row (y=1, its own item) and neg_ratio negative rows (y=0,
