@@ -1,14 +1,19 @@
 """On-chip stage-marginal breakdown of the group-pruned fused eval path
 (ranking.rank_fused) at the 319k-catalog shape — synthetic tables, no
-dataset needed.  Times each pipeline stage cumulatively so the marginal
-cost of every stage is visible.
+dataset needed.
+
+MEASUREMENT PROTOCOL (round 5): every stage is timed as a CHAINED
+computation — each iteration's input derives from the previous
+iteration's output — because the experimental axon runtime (a) MEMOIZES
+identical executions (a same-args loop once reported the 4 ms kernel as
+0.04 ms) and (b) overlaps independent dispatches (even distinct-input
+loops under-report).  Chains measure true serialized device time.
 
 Usage: python benchmarks/eval_stage_bench.py [items] [batch]
 """
 
 from __future__ import annotations
 
-import functools
 import json
 import os
 import sys
@@ -18,24 +23,9 @@ sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
 
 import jax  # noqa: E402
 import jax.numpy as jnp  # noqa: E402
+import numpy as np  # noqa: E402
 
 from cleverrec_tpu.utils.logging import enable_compilation_cache  # noqa: E402
-
-
-def timed(fn, *a, n=10):
-    """fn(uv, ...) is re-invoked with a slightly nudged first arg each
-    iteration: the experimental axon runtime MEMOIZES identical
-    executions, so a same-args loop can time cache hits (this script
-    once reported a 4 ms kernel as 0.04 ms).  The nudge is numerically
-    invisible; timings remain marginal device+dispatch costs."""
-    uv, rest = a[0], a[1:]
-    out = fn(uv, *rest)
-    jax.block_until_ready(out)
-    t0 = time.perf_counter()
-    for i in range(n):
-        out = fn(uv + (i + 1) * 1e-12, *rest)
-    jax.block_until_ready(out)
-    return (time.perf_counter() - t0) / n * 1e3
 
 
 class _Stub:
@@ -58,10 +48,11 @@ def main():
     params = {"uv": jax.random.normal(ku, (un, d), jnp.float32),
               "Q": jax.random.normal(kq, (i_real, d), jnp.float32),
               "bias": jax.random.normal(kb, (i_real,)) * 0.01}
-    u = jnp.arange(b, dtype=jnp.int32)
     words = (i_real + 31) // 32
     bits = jnp.zeros((b, words), jnp.uint32)
     model = _Stub(i_real)
+
+    import functools
 
     from cleverrec_tpu import ranking
     from cleverrec_tpu.ops.pallas_scores import GROUP_I, fused_dot_gmax
@@ -70,58 +61,70 @@ def main():
     pre = jax.jit(ranking.fused_precompute, static_argnames=("model",))(
         model=model, params=params, aux={})
     q_perm, bias_perm, item_map = pre
+    UV = params["uv"]
 
-    uv = params["uv"][:b]
+    def bench(step):
+        """step(u [b]) -> next u (chained); returns marginal ms/call."""
+        f = jax.jit(step)
+        u0 = jnp.arange(b, dtype=jnp.int32)
+        jax.block_until_ready(f(f(u0)))
 
-    full = jax.jit(functools.partial(ranking.rank_fused, model, k=k),
-                   static_argnames=())
+        def chain(n):
+            u = u0 + 3
+            t0 = time.perf_counter()
+            for _ in range(n):
+                u = f(u)
+            np.asarray(u[:1])
+            return time.perf_counter() - t0
 
-    def full_once(uv_nudge, *_):
-        # Isolate the pure 1e-12-scale nudge (uv_nudge = uv + i*1e-12).
-        p2 = {**params, "uv": params["uv"] + (uv_nudge[0, 0] - uv[0, 0])}
-        return full(p2, {}, u, bits, pre=pre)
+        t1 = min(chain(1) for _ in range(3))
+        t9 = min(chain(9) for _ in range(3))
+        return (t9 - t1) / 8 * 1e3
 
-    full_ms = timed(full_once, uv)
+    def kern(u):
+        uv = UV[u]
+        g = fused_dot_gmax(uv, q_perm, bits, item_nums=i_real,
+                           bias_perm=bias_perm)
+        return (u + g[:, 0].astype(jnp.int32) % 3 + 1) % un
 
-    s1 = jax.jit(lambda uv, q, sb, bp: fused_dot_gmax(
-        uv, q, sb, item_nums=i_real, bias_perm=bp))
-    s1_ms = timed(s1, uv, q_perm, bits, bias_perm)
+    def plus_topk(u):
+        uv = UV[u]
+        g = fused_dot_gmax(uv, q_perm, bits, item_nums=i_real,
+                           bias_perm=bias_perm)
+        _, gi = grouped_topk(g, k, min_cols=4096)
+        return (u + gi[:, 0] % 3 + 1) % un
 
-    s2 = jax.jit(lambda uv, q, sb, bp: grouped_topk(
-        fused_dot_gmax(uv, q, sb, item_nums=i_real, bias_perm=bp),
-        k, min_cols=4096)[1])
-    s2_ms = timed(s2, uv, q_perm, bits, bias_perm)
+    g_total = item_map.shape[0] // GROUP_I
 
-    def to_cols(gi):
+    def plus_rescue(u):
+        uv = UV[u]
+        g = fused_dot_gmax(uv, q_perm, bits, item_nums=i_real,
+                           bias_perm=bias_perm)
+        _, gi = grouped_topk(g, k, min_cols=4096)
         gflat = (gi // 128) * 32 + jnp.minimum(gi % 128, 31)
-        return (gflat[:, :, None] * GROUP_I
-                + jax.lax.broadcasted_iota(jnp.int32, (b, k, GROUP_I), 2))
+        qc = q_perm.reshape(g_total, GROUP_I, d)[gflat]
+        cand = jax.lax.dot_general(qc, uv, (((3,), (1,)), ((0,), (0,))),
+                                   preferred_element_type=jnp.float32)
+        return (u + cand[:, 0, 0].astype(jnp.int32) % 3 + 1) % un
 
-    s3 = jax.jit(lambda uv, q, sb, bp: q_perm[to_cols(grouped_topk(
-        fused_dot_gmax(uv, q, sb, item_nums=i_real, bias_perm=bp),
-        k, min_cols=4096)[1])].sum())
-    s3_ms = timed(s3, uv, q_perm, bits, bias_perm)
+    full = jax.jit(functools.partial(ranking.rank_fused, model, k=k))
 
-    def through_cand(uv, q, sb, bp):
-        gi = grouped_topk(fused_dot_gmax(uv, q, sb, item_nums=i_real,
-                                         bias_perm=bp), k,
-                          min_cols=4096)[1]
-        cols = to_cols(gi)
-        qc = q[cols]
-        cand = jax.lax.dot_general(
-            qc, uv, (((3,), (1,)), ((0,), (0,))),
-            preferred_element_type=jnp.float32)
-        return cand.sum()
+    def full_fn(u):
+        v, ids = ranking.rank_fused(model, params, {}, u, bits, k,
+                                    pre=pre)
+        return (u + ids[:, 0] % 3 + 1) % un
 
-    s4_ms = timed(jax.jit(through_cand), uv, q_perm, bits, bias_perm)
-
+    s1 = bench(kern)
+    s2 = bench(plus_topk)
+    s3 = bench(plus_rescue)
+    s4 = bench(full_fn)
     rec = {"items": i_real, "batch": b, "d": d, "k": k,
-           "full_ms": round(full_ms, 2),
-           "gmax_kernel_ms": round(s1_ms, 2),
-           "plus_group_topk_ms": round(s2_ms, 2),
-           "plus_col_gather_ms": round(s3_ms, 2),
-           "plus_cand_dot_ms": round(s4_ms, 2),
-           "users_per_s": round(b / full_ms * 1e3, 1)}
+           "protocol": "chained",
+           "gmax_kernel_ms": round(s1, 2),
+           "plus_group_topk_ms": round(s2, 2),
+           "plus_slab_rescue_ms": round(s3, 2),
+           "full_rank_fused_ms": round(s4, 2),
+           "users_per_s": round(b / s4 * 1e3, 1)}
     print(json.dumps(rec))
 
 
