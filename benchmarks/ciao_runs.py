@@ -20,7 +20,17 @@ sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
 from cleverrec_tpu.config import Config  # noqa: E402
 from cleverrec_tpu.utils.logging import enable_compilation_cache  # noqa: E402
 
-from benchmarks.epinions_runs import MODEL_OVERRIDES  # noqa: E402
+from benchmarks.epinions_runs import MODEL_OVERRIDES as _EPI_OV  # noqa: E402
+
+MODEL_OVERRIDES = {
+    **_EPI_OV,
+    # Latent-friend social triple (deep walks + in-repo JAX SGNS +
+    # cosine top-K) on the real Ciao graph.
+    "CUNE_BPR": {"loss_func": "bpr", "reg": "0.01", "embed_size": "64",
+                 "lr": "0.001", "neg_ratio": "4", "walk_count": "5",
+                 "walk_length": "10", "walk_dim": "32",
+                 "window_size": "3", "topk_f": "10"},
+}
 
 OUT = os.path.join(os.path.dirname(os.path.abspath(__file__)),
                    "CIAO_RUNS.jsonl")
