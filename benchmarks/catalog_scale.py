@@ -178,6 +178,12 @@ def main():
         # B*I_pad*4 bytes per call — 5.2GB at bq=4096 x 320k, in HBM).
         serve_fused_per = serve_marginal(serving.build_retrieval_fn(
             model, params, tr.arrays, tr.dd, k=10, backend="fused"))
+        # Approx fused serving: bf16 rescue-slab copy (candidate scores
+        # round to bf16; ~90% top-20 id agreement) halves the dominant
+        # slab gather of the comb-pruned path.
+        serve_fused_approx_per = serve_marginal(serving.build_retrieval_fn(
+            model, params, tr.arrays, tr.dd, k=10, backend="fused",
+            approx=True))
 
         rec = {"dataset": name, "users": data.user_nums,
                "items": data.item_nums, "pairs": int(tr.n_pairs),
@@ -188,7 +194,9 @@ def main():
                "serve_stream_users_per_s": round(bq / serve_per, 1),
                "serve_stream_approx_users_per_s":
                    round(bq / serve_approx_per, 1),
-               "serve_fused_users_per_s": round(bq / serve_fused_per, 1)}
+               "serve_fused_users_per_s": round(bq / serve_fused_per, 1),
+               "serve_fused_approx_users_per_s":
+                   round(bq / serve_fused_approx_per, 1)}
         with open(OUT, "a") as f:
             f.write(json.dumps(rec) + "\n")
         print(json.dumps(rec))

@@ -55,12 +55,12 @@ def main():
     import functools
 
     from cleverrec_tpu import ranking
-    from cleverrec_tpu.ops.pallas_scores import GROUP_I, fused_dot_gmax
+    from cleverrec_tpu.ops.pallas_scores import COMB_I, fused_dot_gmax
     from cleverrec_tpu.ops.topk import grouped_topk
 
     pre = jax.jit(ranking.fused_precompute, static_argnames=("model",))(
         model=model, params=params, aux={})
-    q_perm, bias_perm, item_map = pre
+    q_perm, bias_perm, item_map, q_pad, bias_pad = pre
     UV = params["uv"]
 
     def bench(step):
@@ -94,15 +94,14 @@ def main():
         _, gi = grouped_topk(g, k, min_cols=4096)
         return (u + gi[:, 0] % 3 + 1) % un
 
-    g_total = item_map.shape[0] // GROUP_I
+    g_total = item_map.shape[0] // COMB_I
 
     def plus_rescue(u):
         uv = UV[u]
         g = fused_dot_gmax(uv, q_perm, bits, item_nums=i_real,
                            bias_perm=bias_perm)
         _, gi = grouped_topk(g, k, min_cols=4096)
-        gflat = (gi // 128) * 32 + jnp.minimum(gi % 128, 31)
-        qc = q_perm.reshape(g_total, GROUP_I, d)[gflat]
+        qc = q_pad.reshape(g_total, COMB_I, d)[gi]
         cand = jax.lax.dot_general(qc, uv, (((3,), (1,)), ((0,), (0,))),
                                    preferred_element_type=jnp.float32)
         return (u + cand[:, 0, 0].astype(jnp.int32) % 3 + 1) % un

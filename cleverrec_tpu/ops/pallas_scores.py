@@ -34,8 +34,10 @@ BLOCK_I = 4096  # 128 bitmap words per tile (Mosaic lane-tiling constraint)
 _WORDS = BLOCK_I // 32  # 128
 
 
-GROUP_I = 128   # group-max granularity (one lane-window reduce each)
+GROUP_I = 128   # full-kernel group-max granularity (lane-window reduces)
 _GROUPS = BLOCK_I // GROUP_I  # 32 real group maxes per tile
+COMB_I = 32     # comb-group size: gmax-only kernel lane gid covers
+                # ORIGINAL item ids [32*gid, 32*gid + 32)
 
 
 def _masked_scores(u_ref, q_ref, bits_ref, bias_ref, *, interpret: bool):
@@ -94,14 +96,26 @@ def _kernel_scores_only(u_ref, q_ref, bits_ref, bias_ref, out_ref, *,
 
 def _kernel_gmax_only(u_ref, q_ref, bits_ref, bias_ref, gmax_ref, *,
                       interpret: bool):
-    """Group maxes WITHOUT the [B, I] score write: the masked score tile
-    lives and dies in VMEM.  Callers rescue the winning groups' scores
-    by recomputing them from the table rows (ranking.rank_fused) — the
-    [B, I_pad] HBM write + re-read this kernel variant deletes is ~2x
-    the rescue gather's traffic at d=64."""
-    masked, gmax = _masked_tile(u_ref, q_ref, bits_ref, bias_ref,
-                                interpret=interpret)
-    gmax_ref[...] = gmax
+    """COMB-group maxes WITHOUT the [B, I] score write: the masked score
+    tile lives and dies in VMEM.  Output lane g of tile t is
+    max_j masked[:, 128j + g] (j < 32) — under the column permutation
+    (item at local c = base + 32*(c % 128) + c // 128) that comb is
+    exactly ORIGINAL item ids [32*gid, 32*gid + 32) for
+    gid = 128t + g, i.e. group gid == bitmap word gid.  Round 5 moved
+    the pruning groups from 128 permuted columns to these 32-item combs:
+    the rescue gather shrinks 4x ([B, k, 32, d] contiguous slabs of the
+    ORIGINAL-order table), candidate ids become pure iota, and the seen
+    re-mask collapses to ONE u32 word per group (319k-item eval 4.89 ->
+    3.57 ms/batch; benchmarks/rescue_probe.py).  Computed as 32 ALIGNED
+    [bb, 128] elementwise maxes into one accumulator — the naive
+    per-32-lane-window reduce allocated 128 keepdims temps each padded
+    to a 128-lane tile (35.75MB > the 16MB scoped-VMEM limit)."""
+    masked = _masked_scores(u_ref, q_ref, bits_ref, bias_ref,
+                            interpret=interpret)
+    acc = masked[:, 0:GROUP_I]
+    for j in range(1, _GROUPS):
+        acc = jnp.maximum(acc, masked[:, GROUP_I * j:GROUP_I * (j + 1)])
+    gmax_ref[...] = acc
 
 
 def _column_permutation(i_padded: int) -> np.ndarray:
@@ -154,8 +168,8 @@ def fused_dot_topk_scores(u_vecs: jax.Array, q_table: jax.Array,
     carry the NEG sentinel).  ``gmax`` holds per-128-column group maxes
     in PADDED lane layout: lane t*128 + j (j < 32) is the max of
     scores[b, 4096t + 128j : 4096t + 128(j+1)]; lanes with j >= 32 are
-    the NEG sentinel.  It feeds the exact group-pruned top-k
-    (ranking.rank_fused) without re-reading the score matrix from HBM.
+    the NEG sentinel.  (The production group-pruned top-k uses the
+    gmax-only kernel's COMB layout instead — ``fused_dot_gmax``.)
     Rank the scores as-is and translate the top-k indices:
         v, idx = lax.top_k(scores, k); items = item_map[idx]
     """
@@ -206,15 +220,17 @@ def fused_dot_gmax(u_vecs: jax.Array, q_perm: jax.Array,
                    interpret: bool = False,
                    item_nums: int | None = None,
                    bias_perm: jax.Array | None = None) -> jax.Array:
-    """Masked per-128-column GROUP maxes only — the [B, I_padded] score
+    """Masked per-COMB-group maxes only — the [B, I_padded] score
     matrix never leaves VMEM (the write is ~1.3GB/batch at 320k items,
     and the group-pruned rescue re-read doubled it; round-4 eval tail).
     Inputs must be PRE-permuted (``permute_item_table``); returns gmax
-    [B, I_padded/32] in the padded lane layout of
-    ``fused_dot_topk_scores``.  Callers recover the winning groups'
-    exact scores by recomputing u . q_perm[col] for the k*128 candidate
-    columns (ranking.rank_fused) — bit-identical to the kernel's dot
-    (same f32 MXU contraction over d)."""
+    [B, I_padded/32] where lane ``gid`` is the max masked score over
+    ORIGINAL item ids [32*gid, 32*gid + 32) — i.e. group gid == packed
+    seen-bitmap word gid (see ``_kernel_gmax_only``).  Callers recover
+    the winning groups' scores by recomputing u . q[item] for the k*32
+    candidate rows gathered as contiguous slabs of the ORIGINAL-order
+    table (ranking.rank_fused) — within f32-MXU rounding of the
+    kernel's dot (same contraction, different tiling)."""
     assert item_nums is not None, "fused_dot_gmax needs item_nums"
     args, meta = _prepare(u_vecs, q_perm, seen_bits, block_b,
                           True, item_nums, bias_perm,

@@ -162,51 +162,65 @@ def rank_stream(model, params, aux, u, rows, item_nums: int, k: int,
                           approx=approx)
 
 
-def fused_precompute(model, params, aux):
+def fused_precompute(model, params, aux, rescue_bf16: bool = False):
     """Batch-INDEPENDENT half of the fused ranking path: the item table
-    permuted into the kernel's column order (+ permuted bias).  The
-    permutation is a full-catalog row gather (~2.7ms at 320k rows) that
-    XLA does not hoist out of a scanned eval body — callers evaluating
-    many batches against one params snapshot compute this ONCE and pass
-    it to ``rank_fused`` as ``pre``."""
+    permuted into the kernel's column order (+ permuted bias), plus the
+    ORIGINAL-order table/bias padded to kernel width for the comb-group
+    rescue gather.  The permutation is a full-catalog row gather
+    (~2.7ms at 320k rows) that XLA does not hoist out of a scanned eval
+    body — callers evaluating many batches against one params snapshot
+    compute this ONCE and pass it to ``rank_fused`` as ``pre``.
+
+    ``rescue_bf16=True`` stores the rescue copy in bfloat16: the slab
+    gather halves (319k-item retrieval 3.57 -> 1.75 ms/batch) at the
+    cost of bf16-rounded candidate scores — an APPROXIMATE mode for
+    serving retrieval (~90% top-20 id agreement on random tables), never
+    used by evaluation."""
     from cleverrec_tpu.ops.pallas_scores import permute_item_table
     _, table, bias = model.dot_decomposition(
         params, jnp.zeros((1,), jnp.int32), aux)
     if model.cml_like:
         bias = None if bias is None else -bias
     q_perm, item_map = permute_item_table(table)
+    n = item_map.shape[0]
     bias_perm = (None if bias is None else
-                 jnp.pad(bias, (0, item_map.shape[0]
-                                - bias.shape[0]))[item_map])
+                 jnp.pad(bias, (0, n - bias.shape[0]))[item_map])
+    q_pad = jnp.pad(table, ((0, n - table.shape[0]), (0, 0)))
+    if rescue_bf16:
+        q_pad = q_pad.astype(jnp.bfloat16)
+    bias_pad = (None if bias is None else
+                jnp.pad(bias, (0, n - bias.shape[0])))
     # Arrays only (no int leaf): pre may cross a jit boundary as an
     # argument; the static catalog size comes from model.meta instead.
-    return q_perm, bias_perm, item_map
+    return q_perm, bias_perm, item_map, q_pad, bias_pad
 
 
 def rank_fused(model, params, aux, u, seen_bits, k: int,
                interpret: bool = False, pre=None):
     """Pallas path for dot-decomposable models: one fused
-    score+bias+bitmap-mask kernel (which also emits per-128-column
-    GROUP maxes for free from VMEM), then exact group-pruned top-k.
-    ``seen_bits``: [B, W] packed uint32 seen bitmaps (pass zeros for
-    unfiltered retrieval).  ``pre``: output of ``fused_precompute`` —
-    skips the per-call table permutation (hot for multi-batch eval /
-    serving).
+    score+bias+bitmap-mask kernel (which emits per-COMB-group maxes
+    from VMEM), then group-pruned top-k.  ``seen_bits``: [B, W] packed
+    uint32 seen bitmaps (pass zeros for unfiltered retrieval).  ``pre``:
+    output of ``fused_precompute`` — skips the per-call table
+    permutation (hot for multi-batch eval / serving).
 
-    Group-pruned selection (exact — the ops/topk.grouped_topk argument
-    at group=128): any 128-column group holding a top-k item has
+    Group-pruned selection (the ops/topk.grouped_topk argument, at
+    comb groups of 32 items): any group holding a top-k item has
     group-max >= the k-th score, and at most k groups can, so top-k
-    over the in-kernel group maxes, then an exact RESCUE of those k
-    groups' scores.  Round 4 deleted the [B, I_pad] score matrix from
-    the pruned path entirely (fused_dot_gmax): the rescue recomputes
-    the k*128 candidate scores from the gathered table rows
-    (u . q_perm[col] — the same f32 MXU contraction the kernel ran, so
-    values match bit-for-bit) instead of re-reading HBM scores.  At
-    [1024 x 320k] d=64 that swaps ~2.6GB of score write+re-read for a
-    ~0.7GB row gather.  Narrow catalogs keep the full-scores kernel
-    and rank the row directly."""
+    over the in-kernel group maxes, then a RESCUE of those k groups'
+    scores.  Round 4 deleted the [B, I_pad] score matrix from the
+    pruned path entirely (fused_dot_gmax); round 5 moved the groups
+    from 128 permuted columns to 32-item COMBS (group gid = items
+    [32*gid, 32*gid+32) = bitmap word gid): the rescue gathers
+    [B, k, 32, d] CONTIGUOUS slabs of the ORIGINAL-order table (4x
+    less traffic than the 128-wide slabs), candidate ids are pure
+    iota, and the seen re-mask reads ONE u32 word per group —
+    [1024 x 319k] d=64 k=20: 4.89 -> 3.57 ms/batch (rescue_probe.py).
+    Rescue scores are within f32-MXU rounding of the kernel's (same
+    contraction, different tiling; bit-exact under interpret).  Narrow
+    catalogs keep the full-scores kernel and rank the row directly."""
     from cleverrec_tpu.ops.pallas_scores import (
-        BLOCK_I, GROUP_I, NEG, fused_dot_gmax, fused_dot_scores,
+        BLOCK_I, COMB_I, NEG, fused_dot_gmax, fused_dot_scores,
         permute_item_table)
     u_vecs, table, bias = model.dot_decomposition(params, u, aux)
     if model.cml_like:
@@ -216,7 +230,7 @@ def rank_fused(model, params, aux, u, seen_bits, k: int,
         bias = None if bias is None else -bias
     i_real = model.meta.item_nums if pre is not None else table.shape[0]
     n = i_real + ((-i_real) % BLOCK_I)                     # padded width
-    n_groups = n // GROUP_I
+    n_groups = n // COMB_I
     b = u_vecs.shape[0]
     if not (n >= 8192 and n_groups >= 2 * k):
         # Narrow catalog: full masked scores + a plain row top_k.  The
@@ -224,7 +238,7 @@ def rank_fused(model, params, aux, u, seen_bits, k: int,
         # this branch never consumes gmax, and computing it here cost
         # 14% of round-4 eval throughput (verdict item 2).
         if pre is not None:
-            q_perm, bias_perm, item_map = pre
+            q_perm, bias_perm, item_map = pre[:3]
             scores, _ = fused_dot_scores(
                 u_vecs, q_perm, seen_bits, interpret=interpret,
                 pre_permuted=True, item_nums=i_real, bias=bias_perm)
@@ -235,61 +249,54 @@ def rank_fused(model, params, aux, u, seen_bits, k: int,
         return jnp.where(v > -1e37, v, -jnp.inf), item_map[idx]
 
     if pre is not None:
-        q_perm, bias_perm, item_map = pre
+        q_perm, bias_perm, _, q_pad, bias_pad = pre
     else:
         q_perm, item_map = permute_item_table(table)
         bias_perm = (None if bias is None else
                      jnp.pad(bias, (0, item_map.shape[0]
                                     - bias.shape[0]))[item_map])
+        q_pad = jnp.pad(table, ((0, n - i_real), (0, 0)))
+        bias_pad = (None if bias is None else
+                    jnp.pad(bias, (0, n - i_real)))
     gmax = fused_dot_gmax(u_vecs, q_perm, seen_bits, interpret=interpret,
                           item_nums=i_real, bias_perm=bias_perm)
-    # gmax lane t*128 + j (j < 32) is tile t's group j; pad lanes
-    # (j >= 32) carry NEG and only surface when a row has fewer
-    # than k unmasked groups — clamp keeps their ids in range (the
-    # -inf -> PAD remap below drops them from the metrics).
+    # gmax lane gid is the max over ORIGINAL items [32*gid, 32*gid+32)
+    # (the comb layout — see _kernel_gmax_only); every lane is real.
     # Hierarchical group selection: grouped_topk over the gmax row
-    # (its own 128-lane groups are exactly the kernel's TILES, pad
-    # lanes included) beats a plain [B, n/32] sort ~2.6x on chip.
+    # beats a plain [B, n/32] sort ~2.6x on chip.
     from cleverrec_tpu.ops.topk import grouped_topk
     _, gi = grouped_topk(gmax, k, min_cols=4096)           # [B, k]
-    gflat = ((gi // 128) * 32
-             + jnp.minimum(gi % 128, 31))                  # flat group id
-    # Recompute the candidates' masked scores: each winning group is a
-    # CONTIGUOUS 128-row slab of q_perm, so gather [B, k] whole slabs
-    # from a [G, 128, d] view (slice_sizes (1, 128, d) — DMA-friendly)
-    # instead of 2.6M individual rows: the element-indexed form
-    # (q_perm[cols] with cols [B, k, 128]) lowered to a scalar gather
-    # measured 31.5 ms/batch at [1024 x 319k] (round-5 probe).  The
-    # dot is bit-identical to the kernel's (same f32 MXU contraction).
-    g_total = item_map.shape[0] // GROUP_I
-    ids = item_map.reshape(g_total, GROUP_I)[gflat]        # [B, k, 128]
-    qc = q_perm.reshape(g_total, GROUP_I, -1)[gflat]       # [B,k,128,d]
+    # Rescue the winning groups' masked scores: comb group gid is a
+    # CONTIGUOUS 32-row slab [32*gid, 32*gid+32) of the ORIGINAL-order
+    # table, so gather [B, k] slabs from a [G, 32, d] view (slice sizes
+    # (1, 32, d) — DMA-friendly; element-indexed gathers lowered to
+    # scalar gathers measured 31.5 ms/batch at [1024 x 319k]).  The
+    # dot recomputes the kernel's contraction (within f32-MXU rounding;
+    # bit-exact under interpret).  bf16 rescue copies (serving approx
+    # mode) halve the slab traffic again: 3.57 -> 1.75 ms/batch.
+    qc = q_pad.reshape(n // COMB_I, COMB_I, -1)[gi]        # [B, k, 32, d]
     cand = jax.lax.dot_general(
-        qc, u_vecs, (((3,), (1,)), ((0,), (0,))),
-        preferred_element_type=jnp.float32)                # [B, k, 128]
-    if bias_perm is not None:
-        cand = cand + bias_perm.reshape(g_total, GROUP_I)[gflat]
-    # Seen-bit re-masking, slab form: group gflat's candidates test
-    # word t*128 + lane (t = gflat // 32 — the kernel tile) at bit
-    # gflat % 32, i.e. the tile's CONTIGUOUS 128-word bitmap window —
-    # gather [B, k] windows, not k*128 scattered words (the elementwise
-    # take_along_axis lowered to a scalar gather costing 27 ms/batch at
-    # [1024 x 319k]; round-5 chained-stage profile).
-    w_total = n // 32
+        qc, u_vecs.astype(qc.dtype), (((3,), (1,)), ((0,), (0,))),
+        preferred_element_type=jnp.float32)                # [B, k, 32]
+    if bias_pad is not None:
+        cand = cand + bias_pad.reshape(n // COMB_I, COMB_I)[gi]
+    ids = gi[:, :, None] * COMB_I + jnp.arange(COMB_I, dtype=gi.dtype)
+    # Seen-bit re-masking: comb group gid IS packed bitmap word gid —
+    # ONE u32 word per winning group, member r at bit r.
     sb = seen_bits
+    w_total = n // 32
     if sb.shape[1] < w_total:
         sb = jnp.pad(sb, ((0, 0), (0, w_total - sb.shape[1])))
-    sb3 = sb.reshape(b, n // BLOCK_I, BLOCK_I // 32)
-    words = jnp.take_along_axis(sb3, (gflat // 32)[:, :, None], axis=1)
-    bit = (gflat % 32).astype(jnp.uint32)[:, :, None]
-    seen = ((words >> bit) & 1) == 1
+    words = jnp.take_along_axis(sb, gi, axis=1)            # [B, k]
+    bit = jnp.arange(COMB_I, dtype=jnp.uint32)
+    seen = ((words[:, :, None] >> bit) & 1) == 1
     cand = jnp.where(seen | (ids >= i_real), NEG, cand)
     # Final selection by k-fold max extraction: k unrolled
-    # max+argmax+mask passes over [B, k*128] measured ~3.7x faster
-    # than lax.top_k's sort on chip; argmax's first-index tie rule
-    # matches top_k's lowest-index order exactly.
-    c = cand.reshape(b, k * GROUP_I)
-    ids_flat = ids.reshape(b, k * GROUP_I)
+    # max+argmax+mask passes measured ~3.7x faster than lax.top_k's
+    # sort on chip; argmax's first-index tie rule matches top_k's
+    # lowest-index order exactly.
+    c = cand.reshape(b, k * COMB_I)
+    ids_flat = ids.reshape(b, k * COMB_I)
     lanes = jax.lax.broadcasted_iota(jnp.int32, c.shape, 1)
     vs, cis = [], []
     for _ in range(k):

@@ -66,7 +66,10 @@ def build_retrieval_fn(model, params, arrays, device_data, k: int = 10,
     ``approx`` (stream backend): ScaNN-style approx_max_k chunk
     selection — TPU PartialReduce instead of the full sort that
     dominates exact streaming at large catalogs (~0.95 recall of the
-    true top-k; ops/topk.streaming_topk).
+    true top-k; ops/topk.streaming_topk).  (fused backend): bf16
+    rescue-slab copy — candidate scores round to bf16, halving the
+    dominant gather of the group-pruned path (319k items: 3.57 ->
+    1.75 ms per 1024-user batch; ~90% top-20 id agreement).
 
     Score-value contract: rankings agree across backends, but the
     fused and stream backends score dot-DECOMPOSED logits — monotone
@@ -181,8 +184,10 @@ def build_retrieval_fn(model, params, arrays, device_data, k: int = 10,
 
     if backend == "fused":
         # Batch-independent half of the fused path (the kernel-order
-        # table permutation): once per retrieval fn, not per call.
-        pre = ranking.fused_precompute(model, params, arrays)
+        # table permutation + original-order rescue copy): once per
+        # retrieval fn, not per call.
+        pre = ranking.fused_precompute(model, params, arrays,
+                                       rescue_bf16=approx)
 
         def retrieve(u):
             return jitted(params, arrays, seen_tbl, u, pre)

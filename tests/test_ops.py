@@ -605,3 +605,86 @@ def test_rank_fused_tile_pruned_exact():
                                     pre=pre)
     np.testing.assert_array_equal(np.asarray(v), np.asarray(v2))
     np.testing.assert_array_equal(np.asarray(items), np.asarray(items2))
+
+
+def test_fused_dot_gmax_comb_layout():
+    """The gmax-only kernel's COMB layout: output lane gid is the max
+    masked score over ORIGINAL item ids [32*gid, 32*gid + 32) — i.e.
+    comb group gid == packed seen-bitmap word gid (the round-5 rescue
+    layout; pallas_scores._kernel_gmax_only)."""
+    from cleverrec_tpu.ops.pallas_scores import (NEG, fused_dot_gmax,
+                                                 permute_item_table)
+    rng = np.random.default_rng(21)
+    b, i, d = 8, 4096 + 700, 16          # 2 tiles after padding
+    u = rng.normal(size=(b, d)).astype(np.float32)
+    q = rng.normal(size=(i, d)).astype(np.float32)
+    bias = rng.normal(size=(i,)).astype(np.float32)
+    words = -(-i // 32)
+    bits = np.zeros((b, words), np.uint32)
+    seen = np.zeros((b, i), bool)
+    for r in range(b):
+        s = rng.choice(i, size=60, replace=False)
+        seen[r, s] = True
+        np.bitwise_or.at(bits[r], s >> 5, np.uint32(1) << (s & 31))
+    q_perm, item_map = permute_item_table(jnp.asarray(q))
+    bias_perm = jnp.pad(jnp.asarray(bias),
+                        (0, item_map.shape[0] - i))[item_map]
+    gmax = np.asarray(fused_dot_gmax(
+        jnp.asarray(u), q_perm, jnp.asarray(bits), interpret=True,
+        item_nums=i, bias_perm=bias_perm))
+    dense = u @ q.T + bias[None, :]
+    dense[seen] = NEG
+    n = item_map.shape[0]
+    dense_pad = np.full((b, n), NEG, np.float32)
+    dense_pad[:, :i] = dense
+    want = dense_pad.reshape(b, n // 32, 32).max(axis=2)
+    np.testing.assert_allclose(gmax, want, rtol=1e-6)
+
+
+def test_rank_fused_bf16_rescue_smoke():
+    """fused_precompute(rescue_bf16=True) (the serving approx mode):
+    returned ids are never seen, and the top-k heavily overlaps the
+    exact ranking (bf16 rounds candidate scores, it does not corrupt
+    the pruning)."""
+    from cleverrec_tpu import ranking
+
+    class DotModel:
+        cml_like = False
+
+        class meta:
+            item_nums = 12000
+
+        def dot_decomposition(self, params, u, aux):
+            return params["P"][u], params["Q"], None
+
+    rng = np.random.default_rng(22)
+    b, i, d, k = 8, 12000, 16, 10
+    params = {"P": jnp.asarray(rng.normal(size=(b, d)).astype(np.float32)),
+              "Q": jnp.asarray(rng.normal(size=(i, d)).astype(np.float32))}
+    words = -(-i // 32)
+    bits = np.zeros((b, words), np.uint32)
+    seen = np.zeros((b, i), bool)
+    for r in range(b):
+        s = rng.choice(i, size=400, replace=False)
+        seen[r, s] = True
+        np.bitwise_or.at(bits[r], s >> 5, np.uint32(1) << (s & 31))
+    model = DotModel()
+    u = jnp.arange(b, dtype=jnp.int32)
+    pre_exact = ranking.fused_precompute(model, params, {})
+    pre_bf16 = ranking.fused_precompute(model, params, {},
+                                        rescue_bf16=True)
+    assert pre_bf16[3].dtype == jnp.bfloat16
+    v0, i0 = ranking.rank_fused(model, params, {}, u, jnp.asarray(bits),
+                                k, interpret=True, pre=pre_exact)
+    v1, i1 = ranking.rank_fused(model, params, {}, u, jnp.asarray(bits),
+                                k, interpret=True, pre=pre_bf16)
+    got = np.asarray(i1)
+    for r in range(b):
+        assert not (set(got[r].tolist())
+                    & set(np.flatnonzero(seen[r]).tolist()))
+    overlap = np.mean([len(set(np.asarray(i0)[r]) & set(got[r])) / k
+                       for r in range(b)])
+    assert overlap >= 0.7, overlap
+    # bf16-rounded scores stay close to exact.
+    np.testing.assert_allclose(np.asarray(v1), np.asarray(v0),
+                               rtol=0.02, atol=0.05)
