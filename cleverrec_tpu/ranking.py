@@ -172,10 +172,13 @@ def fused_precompute(model, params, aux, rescue_bf16: bool = False):
     compute this ONCE and pass it to ``rank_fused`` as ``pre``.
 
     ``rescue_bf16=True`` stores the rescue copy in bfloat16: the slab
-    gather halves (319k-item retrieval 3.57 -> 1.75 ms/batch) at the
-    cost of bf16-rounded candidate scores — an APPROXIMATE mode for
-    serving retrieval (~90% top-20 id agreement on random tables), never
-    used by evaluation."""
+    gather halves, at the cost of bf16-rounded candidate scores — an
+    APPROXIMATE mode for serving retrieval (~90% top-20 id agreement on
+    random tables), never used by evaluation.  Measured through the
+    production path the gain is small (319k items: 3.58 -> 3.43
+    ms/batch; a standalone pre-integration variant once measured 1.75 —
+    lowering-context dependent), so prefer exact unless profiling shows
+    the slab gather dominating."""
     from cleverrec_tpu.ops.pallas_scores import permute_item_table
     _, table, bias = model.dot_decomposition(
         params, jnp.zeros((1,), jnp.int32), aux)
@@ -273,7 +276,8 @@ def rank_fused(model, params, aux, u, seen_bits, k: int,
     # scalar gathers measured 31.5 ms/batch at [1024 x 319k]).  The
     # dot recomputes the kernel's contraction (within f32-MXU rounding;
     # bit-exact under interpret).  bf16 rescue copies (serving approx
-    # mode) halve the slab traffic again: 3.57 -> 1.75 ms/batch.
+    # mode) halve the slab traffic again (small measured gain through
+    # this full path: 3.58 -> 3.43 ms/batch at 319k).
     qc = q_pad.reshape(n // COMB_I, COMB_I, -1)[gi]        # [B, k, 32, d]
     cand = jax.lax.dot_general(
         qc, u_vecs.astype(qc.dtype), (((3,), (1,)), ((0,), (0,))),

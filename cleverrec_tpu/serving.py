@@ -67,9 +67,11 @@ def build_retrieval_fn(model, params, arrays, device_data, k: int = 10,
     selection — TPU PartialReduce instead of the full sort that
     dominates exact streaming at large catalogs (~0.95 recall of the
     true top-k; ops/topk.streaming_topk).  (fused backend): bf16
-    rescue-slab copy — candidate scores round to bf16, halving the
-    dominant gather of the group-pruned path (319k items: 3.57 ->
-    1.75 ms per 1024-user batch; ~90% top-20 id agreement).
+    rescue-slab copy — candidate scores round to bf16 (~90% top-20 id
+    agreement), halving the group-pruned path's slab gather; the
+    measured end-to-end gain is small (319k items: ~4% at probe level,
+    a wash at the serving harness, which is bitmap-build-bound), so
+    exact is the right default.
 
     Score-value contract: rankings agree across backends, but the
     fused and stream backends score dot-DECOMPOSED logits — monotone
