@@ -223,3 +223,22 @@ def test_stream_approx_retrieval_ranks(toy_dataset):
                                   np.asarray(exact_i))
     np.testing.assert_allclose(np.asarray(approx_v),
                                np.asarray(exact_v), rtol=1e-6)
+
+
+def test_fused_approx_backend_narrow_catalog_exact(toy_dataset):
+    """approx=True on the FUSED backend builds a bf16 rescue copy
+    (fused_precompute(rescue_bf16=True)); narrow catalogs never touch
+    it (they rank the full score row), so the ranking must equal the
+    exact fused backend bit-for-bit — this guards the plumbing, the
+    wide-branch bf16 behavior is pinned in tests/test_ops.py."""
+    model, params, tr = _trained(toy_dataset)
+    u = jnp.asarray(np.arange(8), dtype=jnp.int32)
+    exact_i, exact_v = build_retrieval_fn(
+        model, params, tr.arrays, tr.dd, k=5, backend="fused")(u)
+    approx_i, approx_v = build_retrieval_fn(
+        model, params, tr.arrays, tr.dd, k=5, backend="fused",
+        approx=True)(u)
+    np.testing.assert_array_equal(np.asarray(approx_i),
+                                  np.asarray(exact_i))
+    np.testing.assert_array_equal(np.asarray(approx_v),
+                                  np.asarray(exact_v))
