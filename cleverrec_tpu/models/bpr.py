@@ -26,6 +26,7 @@ class BPR(RecModel):
         cfg.require("embed_size", "reg")
         self.embed_size = cfg.int("embed_size")
         self.reg = cfg.float("reg")
+        self._fused_spec = None
 
     def init(self, key) -> Params:
         P, Q = self._embed_tables(
@@ -43,6 +44,40 @@ class BPR(RecModel):
         diff = jnp.sum(ue * ie, axis=1) - jnp.sum(ue * je, axis=1)
         main = pairwise_loss(self.loss_func, diff, weight=w)
         return main + self.reg * (l2_loss(ue) + l2_loss(ie) + l2_loss(je))
+
+    def fused_rows_spec(self):
+        """Spec for the sparse-rows (lazy row-Adam) scan tier at VMEM
+        overflow: BPR.loss verbatim over gathered P[u]/Q rows, so only
+        the touched rows' params/moments move per step (the dense
+        optax.adam full-table traversal dominated catalog-scale epochs
+        — see benchmarks/PARITY.md round 5)."""
+        if self._fused_spec is not None:
+            return self._fused_spec
+        reg, lf = self.reg, self.loss_func
+
+        def pack(t):
+            return (t["P"], t["Q"], ())
+
+        def unpack(orig, pu, qi, dense):
+            return {"P": pu, "Q": qi}
+
+        def row_loss(rows, floats, dense, w):
+            # Mirrors BPR.loss exactly, reference double-weighting quirk
+            # included (rows scaled by w AND the loss weighted by w).
+            ue, ie, je = (r * w for r in rows)
+            diff = (jnp.sum(ue * ie, axis=1)
+                    - jnp.sum(ue * je, axis=1))
+            main = pairwise_loss(lf, diff, weight=w[:, 0])
+            return main + reg * (l2_loss(ue) + l2_loss(ie) + l2_loss(je))
+
+        self._fused_spec = {
+            "planes": (("u", "u"), ("i", "i"), ("j", "i")),
+            "floats": (), "dense": (),
+            "pack": pack, "unpack": unpack, "row_loss": row_loss,
+            "tw_u": self.embed_size, "tw_i": self.embed_size,
+            "dense_elems": 0,
+        }
+        return self._fused_spec
 
     def score_pairs(self, params: Params, u, i, aux: Aux):
         return jnp.sum(params["P"][u] * params["Q"][i], axis=1)

@@ -486,9 +486,19 @@ class Trainer:
                     f"using the GROUPED epoch ({g} user groups x {rows} "
                     "rows, block-coordinate Adam)")
             return True
+        # Both resident and grouped declined: the lazy row-Adam scan
+        # tier covers BPR's pairwise protocol too (catalog-scale tables
+        # — the dense-Adam full-table traversal dominates the plain
+        # scan epoch there; _sparse_rows_eligible).
+        self._sparse_rows_ok = (proto == "pairwise_bpr"
+                                and hasattr(self.model,
+                                            "fused_rows_spec"))
         if self.logger:
-            self.logger.info("fused epoch kernel skipped: tables exceed "
-                             "the VMEM budget; using the scan path")
+            self.logger.info(
+                "fused epoch kernel skipped: tables exceed the VMEM "
+                "budget; using the "
+                + ("sparse-rows/scan path" if self._sparse_rows_ok
+                   else "scan path"))
         return False
 
     def _build_fused_epoch_fn(self):
@@ -1321,7 +1331,9 @@ class Trainer:
         Opt-out: train.sparse_rows=False; train.sparse_rows_force=True
         engages it even where the resident fused plan fits (test/bench
         hook)."""
-        if getattr(self.model, "fused_protocol", None) != "rows":
+        if (getattr(self.model, "fused_protocol", None)
+                not in ("rows", "pairwise_bpr")
+                or not hasattr(self.model, "fused_rows_spec")):
             return False
         if self.cfg.optimizer != "Adam":
             return False
