@@ -46,11 +46,15 @@ class BPR(RecModel):
         return main + self.reg * (l2_loss(ue) + l2_loss(ie) + l2_loss(je))
 
     def fused_rows_spec(self):
-        """Spec for the sparse-rows (lazy row-Adam) scan tier at VMEM
-        overflow: BPR.loss verbatim over gathered P[u]/Q rows, so only
-        the touched rows' params/moments move per step (the dense
-        optax.adam full-table traversal dominated catalog-scale epochs
-        — see benchmarks/PARITY.md round 5)."""
+        """Spec for the sparse-rows (lazy row-Adam) scan tier: BPR.loss
+        verbatim over gathered P[u]/Q rows, so only the touched rows'
+        params/moments move per step.  OPT-IN for this protocol
+        (train.sparse_rows_force) — the measured A/B at catalog scale
+        (benchmarks/bpr_sparse_probe.py: 319k items, embed 64, batch
+        6144) has the sparse tier LOSING to scan 4635 vs 4121 ms/epoch,
+        unlike the rows protocols where it wins (EPINIONS_RUNS.jsonl);
+        kept as the capability + numerics pin
+        (tests/test_sparse_rows.py bpr oracle)."""
         if self._fused_spec is not None:
             return self._fused_spec
         reg, lf = self.reg, self.loss_func

@@ -486,19 +486,19 @@ class Trainer:
                     f"using the GROUPED epoch ({g} user groups x {rows} "
                     "rows, block-coordinate Adam)")
             return True
-        # Both resident and grouped declined: the lazy row-Adam scan
-        # tier covers BPR's pairwise protocol too (catalog-scale tables
-        # — the dense-Adam full-table traversal dominates the plain
-        # scan epoch there; _sparse_rows_eligible).
-        self._sparse_rows_ok = (proto == "pairwise_bpr"
-                                and hasattr(self.model,
-                                            "fused_rows_spec"))
+        # Both resident and grouped declined → scan.  The lazy row-Adam
+        # tier also covers BPR's pairwise protocol (fused_rows_spec) but
+        # stays OPT-IN there (train.sparse_rows_force): measured A/B at
+        # catalog scale (benchmarks/bpr_sparse_probe.py, 319k items
+        # x embed 64, batch 6144) the sparse tier LOST to scan (4635 vs
+        # 4121 ms/epoch) — BPR's whole-epoch pairwise tensors already
+        # removed the sampling cost, and the dedup sort + row scatters
+        # outweigh the dense-Adam traversal they avoid.  (The rows
+        # protocols keep it default-on — their win is recorded in
+        # EPINIONS_RUNS.jsonl.)
         if self.logger:
-            self.logger.info(
-                "fused epoch kernel skipped: tables exceed the VMEM "
-                "budget; using the "
-                + ("sparse-rows/scan path" if self._sparse_rows_ok
-                   else "scan path"))
+            self.logger.info("fused epoch kernel skipped: tables exceed "
+                             "the VMEM budget; using the scan path")
         return False
 
     def _build_fused_epoch_fn(self):

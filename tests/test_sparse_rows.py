@@ -47,30 +47,13 @@ def _lazy_update(tbl, m, v, g_dense, touched, count, lr):
     tbl[touched] = tbl[touched] - lr * mhat / (np.sqrt(vhat) + EPS)
 
 
-@pytest.mark.parametrize("name", ["SBPR", "CUNE_BPR"])
-def test_sparse_rows_matches_dense_scatter_oracle(name,
-                                                  toy_social_dataset):
-    ov = {"recommender": name, "social_file": "trusts.csv"}
-    if name == "CUNE_BPR":
-        ov.update({"walk_count": "2", "walk_length": "4", "walk_dim": "8",
-                   "window_size": "2", "topk_f": "3", "reg": "0.01"})
-    tr = _trainer(toy_social_dataset, **ov)
-    assert getattr(tr, "_sparse_tier", False)
-    spec = tr.model.fused_rows_spec()
+def _oracle_epoch(tr, spec, batch_all, params, opt):
+    """Dense-scatter lazy-Adam replay of one whole-epoch batch tensor:
+    returns (P, QI, D, mP, count0, losses) after ``steps`` updates."""
     names = tuple(n for n, _ in spec["planes"])
     sides = tuple(sd for _, sd in spec["planes"])
     lr = tr.cfg.lr
-    params, opt = tr.init_state()
-    key = jax.random.PRNGKey(3)
-    got_p, got_o, got_loss = jax.jit(tr._epoch_body)(
-        params, opt, key, tr.arrays)
-
-    # Oracle: replay the SAME whole-epoch sampled batches.
-    steps, b = tr.steps_per_epoch, tr.batch_size
-    pkey, _ = jax.random.split(key)
-    batch_all = sampling.sbpr_epoch_tensors(
-        pkey, tr.arrays["sbpr_static"], tr.arrays["social_neg"],
-        tr.arrays["spu_csr"], tr.dd.item_nums, steps, b)
+    steps = tr.steps_per_epoch
     adam_st = opt[0]
     P, QI, D = [np.array(x) for x in spec["pack"](params)[:2]] + [
         [np.array(d) for d in spec["pack"](params)[2]]]
@@ -112,7 +95,13 @@ def test_sparse_rows_matches_dense_scatter_oracle(name,
             vD[k_] = B2 * vD[k_] + (1 - B2) * g_ ** 2
             D[k_] = D[k_] - lr * (mD[k_] / (1 - B1 ** (cnt + 1))) / (
                 np.sqrt(vD[k_] / (1 - B2 ** (cnt + 1))) + EPS)
+    return P, QI, D, mP, int(adam_st.count), losses
 
+
+def _assert_matches_oracle(tr, spec, batch_all, params, opt,
+                           got_p, got_o, got_loss):
+    P, QI, D, mP, count0, losses = _oracle_epoch(
+        tr, spec, batch_all, params, opt)
     # f32 trajectory tolerance: the tier sums duplicate grads in
     # sorted-segment order vs the oracle's sequential np.add.at, and
     # early Adam steps (tiny v_hat) amplify reordering — same tolerance
@@ -128,8 +117,54 @@ def test_sparse_rows_matches_dense_scatter_oracle(name,
     got_mP = spec["pack"](got_o[0].mu)[0]
     np.testing.assert_allclose(np.asarray(got_mP), mP, rtol=4e-3,
                                atol=1e-6)
-    assert int(got_o[0].count) == count0 + steps
+    assert int(got_o[0].count) == count0 + tr.steps_per_epoch
     assert float(got_loss) == pytest.approx(np.mean(losses), rel=1e-5)
+
+
+@pytest.mark.parametrize("name", ["SBPR", "CUNE_BPR"])
+def test_sparse_rows_matches_dense_scatter_oracle(name,
+                                                  toy_social_dataset):
+    ov = {"recommender": name, "social_file": "trusts.csv"}
+    if name == "CUNE_BPR":
+        ov.update({"walk_count": "2", "walk_length": "4", "walk_dim": "8",
+                   "window_size": "2", "topk_f": "3", "reg": "0.01"})
+    tr = _trainer(toy_social_dataset, **ov)
+    assert getattr(tr, "_sparse_tier", False)
+    spec = tr.model.fused_rows_spec()
+    params, opt = tr.init_state()
+    key = jax.random.PRNGKey(3)
+    got_p, got_o, got_loss = jax.jit(tr._epoch_body)(
+        params, opt, key, tr.arrays)
+
+    # Oracle: replay the SAME whole-epoch sampled batches.
+    steps, b = tr.steps_per_epoch, tr.batch_size
+    pkey, _ = jax.random.split(key)
+    batch_all = sampling.sbpr_epoch_tensors(
+        pkey, tr.arrays["sbpr_static"], tr.arrays["social_neg"],
+        tr.arrays["spu_csr"], tr.dd.item_nums, steps, b)
+    _assert_matches_oracle(tr, spec, batch_all, params, opt,
+                           got_p, got_o, got_loss)
+
+
+def test_sparse_rows_bpr_matches_dense_scatter_oracle(toy_dataset):
+    """The pairwise (BPR) extension of the tier: same lazy row-Adam
+    semantics over the (u, i, j) planes with the whole-epoch pairwise
+    sampling tensors (round-5 catalog-scale train work)."""
+    tr = _trainer(toy_dataset, recommender="BPR")
+    assert getattr(tr, "_sparse_tier", False)
+    spec = tr.model.fused_rows_spec()
+    params, opt = tr.init_state()
+    key = jax.random.PRNGKey(3)
+    got_p, got_o, got_loss = jax.jit(tr._epoch_body)(
+        params, opt, key, tr.arrays)
+
+    steps, b = tr.steps_per_epoch, tr.batch_size
+    pkey, _ = jax.random.split(key)
+    batch_all = sampling.pairwise_epoch_tensors(
+        pkey, tr.arrays["pairwise_static"], tr.arrays["seen"],
+        tr.dd.item_nums, steps, b)
+    _assert_matches_oracle(tr, spec, batch_all, params, opt,
+                           got_p, got_o, got_loss)
 
 
 def test_sparse_rows_trains_and_evaluates(toy_social_dataset):
